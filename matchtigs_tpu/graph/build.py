@@ -1,0 +1,99 @@
+"""Build the bidirected de Bruijn node graph from unitig sequences.
+
+Capability-equivalent of ``genome-graph``'s edge-centric readers
+(/root/reference/src/bin.rs:31-43,874-915): unitig endpoints that share a
+(k-1)-mer (in either orientation) become the same graph node.  Instead of
+hash-map pointer chasing, endpoint (k-1)-mers are packed into fixed-width
+integer rows and deduplicated with one vectorized ``np.unique`` — the
+node table, mirror map, and the full biedge list fall out of the inverse
+permutation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.sequence_store import SequenceStore
+from .bigraph import Bigraph
+
+
+def _pack_rows(kmers: np.ndarray) -> np.ndarray:
+    """Pack uint8 [n, k-1] rows into void rows for np.unique."""
+    kmers = np.ascontiguousarray(kmers)
+    return kmers.view([("", kmers.dtype)] * kmers.shape[1]).reshape(-1)
+
+
+def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
+    """Construct the node bigraph: one biedge (edge pair) per unitig.
+
+    Node identity is the *oriented* (k-1)-mer; mirror(node) is the node of
+    the reverse complement; prefix/suffix endpoints of each unitig and of
+    its reverse complement define the four endpoint references per unitig.
+    """
+    km1 = k - 1
+    n_uni = len(store)
+    if n_uni == 0:
+        return Bigraph(0, np.empty(0, dtype=np.int32))
+
+    codes = store.codes
+    offsets = store.offsets
+    lengths = offsets[1:] - offsets[:-1]
+    if np.any(lengths < k):
+        bad = int(np.argmax(lengths < k))
+        raise ValueError(
+            f"Unitig {bad} has length {int(lengths[bad])} < k={k}"
+        )
+
+    # Gather endpoint (k-1)-mers: prefix and suffix of each unitig, vectorized.
+    rel = np.arange(km1, dtype=np.int64)
+    pref = codes[offsets[:-1, None] + rel[None, :]]  # [U, k-1]
+    suff = codes[(offsets[1:] - km1)[:, None] + rel[None, :]]  # [U, k-1]
+    # Oriented node keys needed: pref, suff, rc(pref), rc(suff).
+    rc_pref = (3 - pref)[:, ::-1]
+    rc_suff = (3 - suff)[:, ::-1]
+    all_kmers = np.concatenate([pref, suff, rc_pref, rc_suff], axis=0)
+
+    packed = _pack_rows(all_kmers)
+    uniq, inverse = np.unique(packed, return_inverse=True)
+    n_nodes = len(uniq)
+    inverse = inverse.astype(np.int32).reshape(4, n_uni)
+    node_pref, node_suff, node_rc_pref, node_rc_suff = inverse
+
+    # mirror(n(x)) = n(rc(x)).  Each oriented kmer x appears in the first
+    # half (pref/suff) or second half (rc) of `all_kmers`; its rc appears in
+    # the opposite half at the same unitig slot.
+    mirror_node = np.full(n_nodes, -1, dtype=np.int32)
+    mirror_node[node_pref] = node_rc_pref
+    mirror_node[node_suff] = node_rc_suff
+    mirror_node[node_rc_pref] = node_pref
+    mirror_node[node_rc_suff] = node_suff
+    assert np.all(mirror_node >= 0)
+
+    g = Bigraph(n_nodes, mirror_node)
+    handles = np.arange(n_uni, dtype=np.int64)
+    weights = (lengths + 1 - k).astype(np.int64)
+    g.add_biedge_pairs(
+        src=node_pref,
+        dst=node_suff,
+        weight=weights,
+        handle=handles,
+        forward=np.ones(n_uni, dtype=bool),
+        dummy_id=np.zeros(n_uni, dtype=np.int64),
+    )
+    assert g.verify_node_pairing()
+    return g
+
+
+def compute_edge_weights(g: Bigraph, store: SequenceStore, k: int) -> None:
+    """Set edge weight = k-mer count = len(seq) + 1 - k.
+
+    Mirrors ``compute_edge_weights`` (/root/reference/src/bin.rs:357-379).
+    Weights are already set by the builder; this recomputes them (used when
+    a graph was loaded with zero weights).
+    """
+    n = g.n_edges
+    handles = g.handles()[:n]
+    lengths = (store.offsets[1:] - store.offsets[:-1])[handles]
+    w = lengths + 1 - k
+    assert np.all(w > 0), "found sequence shorter than k"
+    g.edge_weight[:n] = w

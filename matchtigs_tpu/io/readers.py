@@ -1,0 +1,141 @@
+"""Unitig input parsers: plain fasta, BCALM2/GGCAT fasta, GFA (all + gzip).
+
+Capability-equivalent of ``genome-graph::io`` (call sites
+/root/reference/src/bin.rs:31-43,874-915).  All three formats produce a
+:class:`SequenceStore` plus the topology source; the graph itself is always
+reconstructed by vectorized (k-1)-overlap deduplication
+(:func:`matchtigs_tpu.graph.build.build_bigraph_from_unitigs`), which for
+compacted de Bruijn unitig sets is equivalent to following the explicit
+BCALM2/GFA link annotations.
+
+Gzip is sniffed by the ``.gz`` extension, like the reference
+(/root/reference/src/bin.rs:877,894,905).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+from dataclasses import dataclass
+from pathlib import Path
+
+from .sequence_store import SequenceStore
+
+
+@dataclass
+class GfaProperties:
+    k: int | None
+    header: str | None
+
+
+def _open_maybe_gz(path: str | Path, mode: str = "rb"):
+    path = Path(path)
+    if path.suffix == ".gz":
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def _iter_fasta_records(stream) -> "iter[tuple[bytes, bytes]]":
+    """Yield (header, sequence) byte pairs from a fasta stream."""
+    header = None
+    chunks: list[bytes] = []
+    for line in stream:
+        line = line.rstrip(b"\r\n")
+        if not line:
+            continue
+        if line.startswith(b">"):
+            if header is not None:
+                yield header, b"".join(chunks)
+            header = line[1:]
+            chunks = []
+        else:
+            chunks.append(line)
+    if header is not None:
+        yield header, b"".join(chunks)
+
+
+def read_fasta(path: str | Path) -> tuple[SequenceStore, list[bytes]]:
+    """Read unitigs from a (possibly gzipped) fasta file.
+
+    Covers both the plain-fasta path (/root/reference/src/bin.rs:891-901)
+    and the BCALM2 path (:902-915): BCALM2 headers carry topology
+    annotations (``L:+:12:-`` links), but the graph builder re-derives
+    topology from the sequences, so both reduce to sequence loading.
+    """
+    store = SequenceStore()
+    headers: list[bytes] = []
+    with _open_maybe_gz(path) as f:
+        for header, seq in _iter_fasta_records(f):
+            store.add_ascii(seq)
+            headers.append(header)
+    store.finalize()
+    return store, headers
+
+
+_KL_RE = re.compile(rb"\bKL:Z:(\d+)\b")
+_OVERLAP_RE = re.compile(rb"^(\d+)M$")
+
+
+def read_gfa(path: str | Path) -> tuple[SequenceStore, GfaProperties]:
+    """Read unitigs from a (possibly gzipped) GFA1 file.
+
+    Extracts k from the header ``KL:Z:<k>`` tag if present, else from the
+    first L-line overlap CIGAR ``<k-1>M`` (the reference's GFA reader also
+    recovers k from the file; /root/reference/src/bin.rs:874-890).
+    """
+    store = SequenceStore()
+    header: str | None = None
+    k: int | None = None
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            line = line.rstrip(b"\r\n")
+            if not line:
+                continue
+            tag = line[:1]
+            if tag == b"H":
+                header = line.decode()
+                m = _KL_RE.search(line)
+                if m:
+                    k = int(m.group(1))
+            elif tag == b"S":
+                fields = line.split(b"\t")
+                store.add_ascii(fields[2])
+            elif tag == b"L" and k is None:
+                fields = line.split(b"\t")
+                if len(fields) >= 6:
+                    m = _OVERLAP_RE.match(fields[5])
+                    if m:
+                        k = int(m.group(1)) + 1
+    store.finalize()
+    return store, GfaProperties(k=k, header=header)
+
+
+def load_unitigs(
+    gfa_in: str | None = None,
+    fa_in: str | None = None,
+    bcalm_in: str | None = None,
+    k: int | None = None,
+) -> tuple[SequenceStore, int, str | None]:
+    """CLI-style loader: exactly one input source; returns (store, k, gfa_header).
+
+    Mirrors the input-selection logic of ``main``
+    (/root/reference/src/bin.rs:874-915).
+    """
+    given = [x for x in (gfa_in, fa_in, bcalm_in) if x is not None]
+    if len(given) != 1:
+        raise ValueError(
+            "Specify exactly one of gfa_in, fa_in, bcalm_in"
+        )
+    if gfa_in is not None:
+        store, props = read_gfa(gfa_in)
+        file_k = props.k
+        if file_k is None and k is None:
+            raise ValueError("GFA file does not declare k; pass k explicitly")
+        if k is not None and file_k is not None and k != file_k:
+            raise ValueError(f"GFA file k={file_k} conflicts with k={k}")
+        return store, int(k if file_k is None else file_k), props.header
+    if k is None:
+        raise ValueError("k is required for fasta/bcalm input")
+    store, _headers = read_fasta(fa_in if fa_in is not None else bcalm_in)
+    return store, int(k), None

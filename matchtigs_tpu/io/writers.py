@@ -1,0 +1,141 @@
+"""Tig materialization: spell edge walks into sequences and write outputs.
+
+Capability-equivalent of the reference's walk writers
+(fasta: /root/reference/src/bin.rs:418-606, GFA: :608-818, duplication
+bitvectors: /root/reference/src/implementation/mod.rs:651-702), with the
+same splicing semantics:
+
+- the first edge contributes its full oriented sequence;
+- a following *original* edge contributes its oriented sequence minus an
+  overlap prefix of ``k-1`` characters — or ``k-1-w`` characters if the
+  preceding edge was a cheap dummy of weight ``w`` (the dummy "pre-spells"
+  w of the overlap) (/root/reference/src/bin.rs:533-537);
+- dummy edges themselves contribute nothing;
+- backward edges take the reverse complement, trimming the overlap from the
+  sequence *tail* before reversing (/root/reference/src/bin.rs:567-597).
+
+Gzip output is selected by a ``.gz`` extension with a configurable
+compression level, like the reference (/root/reference/src/bin.rs:200-218).
+"""
+
+from __future__ import annotations
+
+import gzip
+from pathlib import Path
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from ..graph.bigraph import Bigraph
+from ..utils import dna
+from .sequence_store import SequenceStore
+
+
+def spell_walk(
+    g: Bigraph, walk: np.ndarray, store: SequenceStore, k: int
+) -> np.ndarray:
+    """Spell one edge walk into a DNA code array (uint8 values 0..3)."""
+    walk = np.asarray(walk)
+    handles = g.handles()
+    forwards = g.forwards()
+    weights = g.weights()
+    dummies = g.is_dummy()
+
+    first = int(walk[0])
+    assert not dummies[first], "walk must start with an original edge"
+    parts: list[np.ndarray] = []
+    seq = store.get(int(handles[first]))
+    parts.append(seq if forwards[first] else dna.revcomp(seq))
+
+    prev = first
+    for cur in walk[1:].tolist():
+        if dummies[cur]:
+            prev = cur
+            continue
+        offset = k - 1 if not dummies[prev] else k - 1 - int(weights[prev])
+        seq = store.get(int(handles[cur]))
+        if forwards[cur]:
+            parts.append(seq[offset:])
+        else:
+            parts.append(dna.revcomp(seq[: len(seq) - offset]))
+        prev = cur
+    return np.concatenate(parts)
+
+
+def spelled_length(g: Bigraph, walk: np.ndarray, k: int) -> int:
+    """Length of the spelled walk without materializing it.
+
+    (k-1) + sum of original-edge weights + sum of cheap-dummy weights:
+    each cheap dummy of weight w makes the next edge contribute w extra
+    characters (offset k-1-w instead of k-1).
+    """
+    walk = np.asarray(walk)
+    w = g.weights()[walk]
+    d = g.is_dummy()[walk]
+    return int(k - 1 + w[~d].sum() + w[d].sum())
+
+
+def _open_out(path: str | Path, compression_level: int = 6):
+    path = Path(path)
+    if path.suffix == ".gz":
+        return gzip.open(path, "wb", compresslevel=compression_level)
+    return open(path, "wb")
+
+
+def write_walks_fasta(
+    g: Bigraph,
+    walks: Sequence[np.ndarray],
+    store: SequenceStore,
+    k: int,
+    path: str | Path,
+    compression_level: int = 6,
+) -> None:
+    """Write walks as fasta records ``>1``, ``>2``, ... like the reference
+    (/root/reference/src/bin.rs:492)."""
+    with _open_out(path, compression_level) as f:
+        for i, walk in enumerate(walks):
+            f.write(b">%d\n" % (i + 1))
+            f.write(dna.decode_to_ascii(spell_walk(g, walk, store, k)))
+            f.write(b"\n")
+
+
+def write_walks_gfa(
+    g: Bigraph,
+    walks: Sequence[np.ndarray],
+    store: SequenceStore,
+    k: int,
+    header: str | None,
+    path: str | Path,
+    compression_level: int = 6,
+) -> None:
+    """Write walks as GFA segments with the input header (or ``H KL:Z:k``),
+    mirroring /root/reference/src/bin.rs:688-704."""
+    with _open_out(path, compression_level) as f:
+        hdr = header if header is not None else f"H\tKL:Z:{k}"
+        f.write(hdr.encode() + b"\n")
+        for i, walk in enumerate(walks):
+            f.write(b"S\t%d\t" % (i + 1))
+            f.write(dna.decode_to_ascii(spell_walk(g, walk, store, k)))
+            f.write(b"\n")
+
+
+def write_duplication_bitvector(
+    g: Bigraph,
+    walks: Iterable[np.ndarray],
+    path: str | Path,
+    compression_level: int = 6,
+) -> None:
+    """ASCII bitvector per walk: '1' per original k-mer, '0' per duplicated
+    (dummy) k-mer, repeated ``weight`` times per edge
+    (/root/reference/src/implementation/mod.rs:671-702)."""
+    weights = g.weights()
+    dummies = g.is_dummy()
+    with _open_out(path, compression_level) as f:
+        for walk in walks:
+            walk = np.asarray(walk)
+            if len(walk) == 0:
+                raise ValueError("empty walk in duplication bitvector output")
+            chars = np.where(dummies[walk], ord("0"), ord("1")).astype(np.uint8)
+            reps = weights[walk].astype(np.int64)
+            f.write(np.repeat(chars, reps).tobytes())
+            f.write(b"\n")

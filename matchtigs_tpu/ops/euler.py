@@ -1,0 +1,347 @@
+"""Eulerian machinery for bidirected graphs.
+
+Host-side (numpy + python) implementation of the capabilities the reference
+pulls from ``bigraph::algo::eulerian`` and first-party balancing code:
+
+- :func:`make_eulerian_with_breaking_edges` mirrors
+  ``make_graph_eulerian_with_breaking_edges``
+  (/root/reference/src/implementation/mod.rs:392-649) including its
+  deterministic pairing orders (self-mirrors chunked in scan order, then
+  out-nodes in DESCENDING node order x in-nodes ASCENDING, with
+  mirror-collision avoidance as in ``choose_in_node_from_iterator``,
+  mod.rs:252-285).
+- :func:`eulerian_bicycle_decomposition` mirrors
+  ``compute_minimum_bidirected_eulerian_cycle_decomposition``
+  (/root/reference/src/implementation/eulertigs/mod.rs:119): Hierholzer
+  tours where traversing an edge consumes its mirror, spliced into one
+  bicycle per mirror-connected component via O(1) circular-list splices.
+- :func:`break_cycles` mirrors the rotate-to-longest-dummy + break rules
+  (/root/reference/src/implementation/eulertigs/mod.rs:126-186).
+
+These stages are O(E) pointer walks over tiny data relative to the
+shortest-path phase; they run on host (C++ planned for the tour walk),
+while imbalance scans are vectorized numpy and have jit twins in
+:mod:`matchtigs_tpu.ops.device_graph`.
+"""
+
+from __future__ import annotations
+
+import heapq
+import logging
+
+import numpy as np
+
+from ..graph.bigraph import Bigraph
+
+logger = logging.getLogger(__name__)
+
+BREAKING = True  # dummy weight == k marks a breaking edge
+
+
+def decomposes_into_eulerian_bicycles(g: Bigraph) -> bool:
+    """True iff every binode is balanced (/root/reference usage at
+    eulertigs/mod.rs:105)."""
+    return bool(np.all(g.imbalances() == 0))
+
+
+class _LazyHeap:
+    """Heap over node ids with lazy deletion against a membership dict."""
+
+    def __init__(self, keys, values: dict, descending: bool) -> None:
+        self.values = values
+        self.sign = -1 if descending else 1
+        self.heap = [self.sign * int(k) for k in keys]
+        heapq.heapify(self.heap)
+
+    def _clean(self) -> None:
+        while self.heap and (self.sign * self.heap[0]) not in self.values:
+            heapq.heappop(self.heap)
+
+    def peek(self) -> int | None:
+        self._clean()
+        return self.sign * self.heap[0] if self.heap else None
+
+    def peek2(self) -> tuple[int | None, int | None]:
+        self._clean()
+        if not self.heap:
+            return None, None
+        first = heapq.heappop(self.heap)
+        self._clean()
+        second = self.sign * self.heap[0] if self.heap else None
+        heapq.heappush(self.heap, first)
+        return self.sign * first, second
+
+
+def make_eulerian_with_breaking_edges(
+    g: Bigraph, k: int, dummy_edge_id: int
+) -> int:
+    """Add breaking dummy biedges (weight k) until every binode balances.
+
+    Returns the updated dummy edge id counter.  Deterministic order matches
+    the reference balancer exactly (see module docstring).
+    """
+    diff = g.imbalances()
+    sm = g.self_mirror_mask()
+    node_ids = np.arange(g.n_nodes, dtype=np.int64)
+
+    # find_non_eulerian_binodes_with_differences: self-mirrors with odd
+    # degree are reported with difference 0 (consumed by the pairing phase);
+    # ordinary unbalanced nodes carry their out-in difference.
+    self_mirror_unbalanced = node_ids[sm & (diff != 0)]
+    out_keys = node_ids[~sm & (diff < 0)]
+    in_keys = node_ids[~sm & (diff > 0)]
+    out_diff = {int(v): int(diff[v]) for v in out_keys}
+    in_diff = {int(v): int(diff[v]) for v in in_keys}
+
+    total_in = sum(in_diff.values())
+    assert -sum(out_diff.values()) == total_in
+    assert (total_in + len(self_mirror_unbalanced)) % 2 == 0
+    logger.info(
+        "Adding edges for %d unmatched in_nodes, %d unmatched out_nodes and "
+        "%d unmatched self_mirror_nodes",
+        len(in_diff),
+        len(out_diff),
+        len(self_mirror_unbalanced),
+    )
+
+    out_heap = _LazyHeap(out_diff.keys(), out_diff, descending=True)
+    in_heap = _LazyHeap(in_diff.keys(), in_diff, descending=False)
+    mirror = g.mirror_node
+
+    def add_breaking(out_node: int, in_node: int, did: int) -> None:
+        g.add_biedge_pair(out_node, in_node, weight=k, handle=-1, forward=True, dummy_id=did)
+
+    # Phase 1: pair up unbalanced self-mirror nodes (mod.rs:481-524).
+    sm_list = self_mirror_unbalanced.tolist()
+    for i in range(0, len(sm_list) - 1, 2):
+        dummy_edge_id += 1
+        add_breaking(sm_list[i], sm_list[i + 1], dummy_edge_id)
+    if len(sm_list) % 2 == 1:
+        out_node = sm_list[-1]
+        in_node = in_heap.peek()
+        assert in_node is not None, (
+            "Uneven number of self-mirrors, but no other nodes with missing in edges"
+        )
+        dummy_edge_id += 1
+        add_breaking(out_node, in_node, dummy_edge_id)
+        in_diff[in_node] -= 1
+        mo = int(mirror[in_node])
+        if in_diff[in_node] == 0:
+            del in_diff[in_node]
+            del out_diff[mo]
+        else:
+            out_diff[mo] += 1
+
+    # Phase 2: out-nodes descending x in-nodes ascending (mod.rs:526-645).
+    while True:
+        out_node = out_heap.peek()
+        if out_node is None:
+            break
+        d_out = out_diff[out_node]
+        first, second = in_heap.peek2()
+        assert first is not None, "No further in_nodes left"
+        # choose_in_node_from_iterator (mod.rs:252-285): skip the first
+        # in-node if it is the out-node's mirror (unless the deficit is
+        # large enough that a mirror biedge, which fixes 2 units, helps)
+        # or the out-node itself.
+        in_node = first
+        if (first == int(mirror[out_node]) and d_out > -2) or first == out_node:
+            assert second is not None, "No further in_nodes left"
+            in_node = second
+
+        is_mirror = in_node == int(mirror[out_node])
+        assert in_node != out_node, "balancer not designed for self mirrors here"
+        dummy_edge_id += 1
+        add_breaking(out_node, in_node, dummy_edge_id)
+
+        out_diff[out_node] += 1
+        in_diff[in_node] -= 1
+        if out_diff[out_node] == 0:
+            del out_diff[out_node]
+        if in_diff.get(in_node) == 0:
+            del in_diff[in_node]
+
+        mirror_out = int(mirror[in_node])
+        mirror_in = int(mirror[out_node])
+        if mirror_out in out_diff:
+            out_diff[mirror_out] += 1
+            if out_diff[mirror_out] == 0:
+                del out_diff[mirror_out]
+        if mirror_in in in_diff:
+            in_diff[mirror_in] -= 1
+            if in_diff[mirror_in] == 0:
+                del in_diff[mirror_in]
+
+    assert not out_diff and not in_diff
+    return dummy_edge_id
+
+
+def eulerian_bicycle_decomposition(g: Bigraph) -> list[np.ndarray]:
+    """Decompose a balanced bidirected graph into Eulerian bicycles.
+
+    Traversing an edge consumes its mirror (e ^ 1).  Raw Hierholzer
+    subtours are guaranteed closed on balanced graphs; subtours sharing a
+    binode (directly or through the mirror representation) are spliced into
+    a single bicycle, giving the minimum one-bicycle-per-component
+    decomposition the reference computes.
+    """
+    E = g.n_edges
+    if E == 0:
+        return []
+    out_off, out_edges, _, _ = g.csr()
+    dst = g.dsts()
+    src = g.srcs()
+    mirror = g.mirror_node
+
+    used = np.zeros(E, dtype=bool)
+    cursor = out_off[:-1].copy()
+    nxt = np.full(E, -1, dtype=np.int64)  # circular successor within a cycle
+
+    def next_unused_out(v: int) -> int:
+        c = cursor[v]
+        end = out_off[v + 1]
+        while c < end and used[out_edges[c]]:
+            c += 1
+        cursor[v] = c
+        return int(out_edges[c]) if c < end else -1
+
+    # occ[node] = an edge in a merged cycle with dst == node (splice anchor).
+    occ: dict[int, int] = {}
+    heads: list[int] = []  # one representative edge per merged cycle
+    cycle_of: dict[int, int] = {}  # head edge -> cycle index in `heads`
+    edge_cycle: dict[int, int] = {}  # anchor edge -> cycle index
+
+    def flip_chain(edges: list[int]) -> list[int]:
+        """Mirror representation of a closed walk: reverse order, e -> e^1."""
+        return [e ^ 1 for e in reversed(edges)]
+
+    for e0 in range(E):
+        if used[e0]:
+            continue
+        # -- grow one closed subtour starting with e0
+        tour = [e0]
+        used[e0] = True
+        used[e0 ^ 1] = True
+        start = int(src[e0])
+        cur = int(dst[e0])
+        while cur != start:
+            e = next_unused_out(cur)
+            assert e >= 0, "open walk in balanced bidirected graph"
+            tour.append(e)
+            used[e] = True
+            used[e ^ 1] = True
+            cur = int(dst[e])
+        # keep extending from start while possible (pure Hierholzer closes
+        # only when start has no unused out-edge)
+        while True:
+            e = next_unused_out(start)
+            if e < 0:
+                break
+            tour.append(e)
+            used[e] = True
+            used[e ^ 1] = True
+            cur = int(dst[e])
+            while cur != start:
+                e = next_unused_out(cur)
+                assert e >= 0, "open walk in balanced bidirected graph"
+                tour.append(e)
+                used[e] = True
+                used[e ^ 1] = True
+                cur = int(dst[e])
+
+        # -- find an anchor in an existing cycle (direct or mirror node)
+        anchor_edge = -1
+        flipped = False
+        for e in tour:
+            v = int(dst[e])
+            if v in occ:
+                anchor_edge = occ[v]
+                break
+            if int(mirror[v]) in occ:
+                anchor_edge = occ[int(mirror[v])]
+                flipped = True
+                break
+        if flipped:
+            tour = flip_chain(tour)
+
+        # link the subtour into a circular chain
+        for a, b in zip(tour, tour[1:]):
+            nxt[a] = b
+        nxt[tour[-1]] = tour[0]
+
+        if anchor_edge < 0:
+            ci = len(heads)
+            heads.append(tour[0])
+            cycle_of[tour[0]] = ci
+            for e in tour:
+                v = int(dst[e])
+                occ.setdefault(v, e)
+                edge_cycle[e] = ci
+        else:
+            # splice: anchor_edge ends at node v; find the subtour edge
+            # ending at v and swap successors (circular list union).
+            v = int(dst[anchor_edge])
+            sub_anchor = next(e for e in tour if int(dst[e]) == v)
+            nxt[anchor_edge], nxt[sub_anchor] = nxt[sub_anchor], nxt[anchor_edge]
+            ci = edge_cycle[anchor_edge]
+            for e in tour:
+                u = int(dst[e])
+                occ.setdefault(u, e)
+                edge_cycle[e] = ci
+
+    # -- materialize cycles from the circular chains
+    cycles: list[np.ndarray] = []
+    emitted = np.zeros(E, dtype=bool)
+    for head in heads:
+        if emitted[head]:
+            continue
+        chain = [head]
+        emitted[head] = True
+        e = int(nxt[head])
+        while e != head:
+            chain.append(e)
+            emitted[e] = True
+            e = int(nxt[e])
+        cycles.append(np.asarray(chain, dtype=np.int64))
+    return cycles
+
+
+def break_cycles(g: Bigraph, cycles: list[np.ndarray], k: int) -> list[np.ndarray]:
+    """Rotate each bicycle so its longest dummy is first, then break at
+    breaking dummies (weight >= k) and at a dummy in position 0.
+
+    Faithful to /root/reference/src/implementation/eulertigs/mod.rs:126-186.
+    """
+    weights = g.weights()
+    dummies = g.is_dummy()
+    tigs: list[np.ndarray] = []
+
+    for cycle in cycles:
+        w = weights[cycle]
+        d = dummies[cycle]
+        dummy_w = np.where(d, w, 0)
+        longest = int(dummy_w.max(initial=0))
+        if longest > 0:
+            # first index attaining the max, matching the reference's
+            # strictly-greater scan
+            idx = int(np.argmax(dummy_w))
+            cycle = np.roll(cycle, -idx)
+            d = np.roll(d, -idx)
+            w = np.roll(w, -idx)
+
+        breaks = (d & (w >= k)) | (d & (np.arange(len(cycle)) == 0))
+        offset = 0
+        for i in np.flatnonzero(breaks).tolist():
+            if offset < i:
+                tigs.append(cycle[offset:i])
+            offset = i + 1
+        if offset < len(cycle):
+            if not d[-1]:
+                tigs.append(cycle[offset:])
+            elif offset < len(cycle) - 1:
+                tigs.append(cycle[offset : len(cycle) - 1])
+
+    for tig in tigs:
+        assert len(tig) > 0
+        assert not dummies[tig[0]] and not dummies[tig[-1]]
+    return tigs

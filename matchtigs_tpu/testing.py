@@ -1,0 +1,181 @@
+"""Synthetic data generation and oracle checks.
+
+The reference repo ships no fixtures; its real test oracle is k-mer-set
+equivalence of the spelled tigs (SURVEY.md §4).  This module generates
+random genomes, extracts their maximal unitigs (a minimal BCALM2-style
+compactor over canonical k-mers), and provides the k-mer-set oracle used
+by the test-suite and benchmarks.
+
+All k here are <= 31 so k-mers pack into uint64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .graph.bigraph import Bigraph
+from .io.sequence_store import SequenceStore
+from .utils import dna
+
+
+def random_genome(length: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 4, size=length, dtype=np.uint8)
+
+
+def kmer_set_of_codes(codes: np.ndarray, k: int) -> np.ndarray:
+    """Sorted unique canonical packed k-mers of one sequence."""
+    packed = dna.pack_kmers_u64(codes, k)
+    return np.unique(dna.canonical_packed_u64(packed, k))
+
+
+def kmer_multiset_of_walk_seqs(seqs: list[np.ndarray], k: int) -> np.ndarray:
+    """Sorted canonical packed k-mers (with duplicates) over sequences."""
+    parts = [
+        dna.canonical_packed_u64(dna.pack_kmers_u64(s, k), k)
+        for s in seqs
+        if len(s) >= k
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(np.concatenate(parts))
+
+
+def unitigs_from_kmers(kmers: np.ndarray, k: int) -> list[np.ndarray]:
+    """Extract maximal unitigs from a canonical k-mer set.
+
+    Returns a list of code arrays, one per unitig, canonical orientation
+    (seq <= revcomp(seq) lexicographically on the packed form).
+    """
+    kmers = np.unique(kmers.astype(np.uint64))
+    rc = dna.revcomp_packed_u64(kmers, k)
+    oriented = np.unique(np.concatenate([kmers, rc]))  # all oriented k-mers
+    n = len(oriented)
+    mask = np.uint64((1 << (2 * k)) - 1)
+
+    def find(vals: np.ndarray) -> np.ndarray:
+        """Index into `oriented` or -1."""
+        idx = np.searchsorted(oriented, vals)
+        idx_c = np.clip(idx, 0, n - 1)
+        ok = oriented[idx_c] == vals
+        return np.where(ok, idx_c, -1).astype(np.int64)
+
+    # Successors: (x << 2 | c) & mask for c in 0..3
+    succ = np.full((n, 4), -1, dtype=np.int64)
+    pred = np.full((n, 4), -1, dtype=np.int64)
+    for c in range(4):
+        sv = ((oriented << np.uint64(2)) | np.uint64(c)) & mask
+        succ[:, c] = find(sv)
+        pv = (oriented >> np.uint64(2)) | (np.uint64(c) << np.uint64(2 * (k - 1)))
+        pred[:, c] = find(pv)
+    out_deg = (succ >= 0).sum(axis=1)
+    in_deg = (pred >= 0).sum(axis=1)
+    rc_idx = find(dna.revcomp_packed_u64(oriented, k))
+    assert np.all(rc_idx >= 0)
+
+    def unique_succ(i: int) -> int:
+        row = succ[i]
+        return int(row[row >= 0][0])
+
+    # A node starts a unitig unless it has a unique predecessor that has a
+    # unique successor.  BCALM2 palindrome rule: extension x -> y is also
+    # forbidden when y == revcomp(x) (a palindromic junction), otherwise a
+    # unitig would contain a k-mer and its reverse complement.
+    has_unique_pred = in_deg == 1
+    pred_first = np.where(has_unique_pred, pred.max(axis=1), -1)
+    is_internal = (
+        has_unique_pred
+        & (out_deg[np.clip(pred_first, 0, n - 1)] == 1)
+        & (pred_first != rc_idx)
+    )
+    starts = np.flatnonzero(~is_internal)
+
+    visited = np.zeros(n, dtype=bool)
+    unitigs_idx: list[list[int]] = []
+
+    def walk(s: int) -> list[int]:
+        path = [s]
+        visited[s] = True
+        cur = s
+        while out_deg[cur] == 1:
+            nx = unique_succ(cur)
+            if nx == rc_idx[cur]:
+                break
+            if is_internal[nx] and not visited[nx]:
+                visited[nx] = True
+                path.append(nx)
+                cur = nx
+            else:
+                break
+        return path
+
+    for s in starts.tolist():
+        if not visited[s]:
+            unitigs_idx.append(walk(s))
+    # isolated cycles: all nodes internal
+    for s in range(n):
+        if not visited[s]:
+            unitigs_idx.append(walk(s))
+
+    # materialize sequences; deduplicate reverse-complement twins
+    out: list[np.ndarray] = []
+    seen: set[bytes] = set()
+    for path in unitigs_idx:
+        first = int(oriented[path[0]])
+        codes = [(first >> (2 * (k - 1 - j))) & 3 for j in range(k)]
+        for i in path[1:]:
+            codes.append(int(oriented[i]) & 3)
+        arr = np.asarray(codes, dtype=np.uint8)
+        key = min(arr.tobytes(), dna.revcomp(arr).tobytes())
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(arr if arr.tobytes() <= dna.revcomp(arr).tobytes() else dna.revcomp(arr))
+    return out
+
+
+def make_unitig_store(
+    genome_length: int = 20000, k: int = 15, seed: int = 0, n_sequences: int = 1
+) -> tuple[SequenceStore, np.ndarray, int]:
+    """Random genome(s) -> (unitig SequenceStore, canonical kmer set, k)."""
+    kmer_parts = []
+    for i in range(n_sequences):
+        genome = random_genome(genome_length, seed=seed + i)
+        kmer_parts.append(kmer_set_of_codes(genome, k))
+    kmers = np.unique(np.concatenate(kmer_parts))
+    unitigs = unitigs_from_kmers(kmers, k)
+    store = SequenceStore()
+    for u in unitigs:
+        store.add(u)
+    store.finalize()
+    return store, kmers, k
+
+
+def spelled_kmers(
+    g: Bigraph, tigs: list[np.ndarray], store: SequenceStore, k: int
+) -> np.ndarray:
+    """Sorted canonical k-mer multiset spelled by the tigs."""
+    from .io.writers import spell_walk
+
+    seqs = [spell_walk(g, t, store, k) for t in tigs]
+    return kmer_multiset_of_walk_seqs(seqs, k)
+
+
+def assert_tigs_spell_kmer_set(
+    g: Bigraph,
+    tigs: list[np.ndarray],
+    store: SequenceStore,
+    k: int,
+    kmers: np.ndarray,
+    allow_duplicates: bool,
+) -> None:
+    got = spelled_kmers(g, tigs, store, k)
+    got_set = np.unique(got)
+    expected = np.unique(kmers.astype(np.uint64))
+    assert got_set.shape == expected.shape and np.all(got_set == expected), (
+        f"spelled kmer set mismatch: got {len(got_set)} expected {len(expected)}"
+    )
+    if not allow_duplicates:
+        assert len(got) == len(expected), (
+            f"duplicate kmers spelled: {len(got)} vs {len(expected)} unique"
+        )
