@@ -1,0 +1,58 @@
+"""Device-resident graph arrays for the shortest-path phase.
+
+The bidirected de Bruijn *node* graph has out-degree <= 4 (each out-edge
+is a unitig whose first k-mer extends the node's (k-1)-mer by one of four
+bases, and first k-mers are unique across unitigs).  That makes a dense
+padded adjacency ``[N, 4]`` the natural TPU layout — every frontier
+expansion is one regular gather, no CSR offset indirection.
+
+This replaces the reference's pointer graph + per-thread Dijkstra state
+(/root/reference/src/implementation/greedytigs/mod.rs:276-526) with arrays
+that live in HBM once and are shared by every batched search.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..graph.bigraph import Bigraph
+
+MAX_DEGREE = 4
+
+
+@dataclass
+class DeviceGraph:
+    """Padded adjacency: nbr[v, j] = j-th successor node (or N = sentinel),
+    nw[v, j] = edge weight (or a large sentinel weight)."""
+
+    n_nodes: int
+    nbr: np.ndarray  # int32 [N + 1, deg_pad]; row N is the sentinel row
+    nw: np.ndarray  # int32 [N + 1, deg_pad]
+    deg_pad: int
+
+    @property
+    def sentinel(self) -> int:
+        return self.n_nodes
+
+
+def build_device_graph(g: Bigraph, weight_cap: int = 1 << 20) -> DeviceGraph:
+    """Pack the (original-edge) adjacency into padded [N+1, deg] arrays."""
+    n = g.n_nodes
+    src = g.srcs()
+    dst = g.dsts()
+    w = np.minimum(g.weights(), weight_cap).astype(np.int32)
+
+    deg = np.bincount(src, minlength=n)
+    deg_pad = max(MAX_DEGREE, int(deg.max(initial=0)))
+    nbr = np.full((n + 1, deg_pad), n, dtype=np.int32)
+    nw = np.full((n + 1, deg_pad), weight_cap, dtype=np.int32)
+
+    order = np.argsort(src, kind="stable")
+    slot = np.arange(len(src)) - np.repeat(
+        np.concatenate([[0], np.cumsum(deg)[:-1]]), deg
+    )
+    nbr[src[order], slot] = dst[order]
+    nw[src[order], slot] = w[order]
+    return DeviceGraph(n_nodes=n, nbr=nbr, nw=nw, deg_pad=deg_pad)

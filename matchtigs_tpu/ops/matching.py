@@ -1,0 +1,103 @@
+"""Deterministic greedy matching over shortest-path candidates.
+
+Replaces the reference's online greedy matching under fine-grained node
+locks (P3/P4 in SURVEY.md §2.3;
+/root/reference/src/implementation/greedytigs/mod.rs:350-502): instead of
+accepting paths in nondeterministic per-thread discovery order, all
+candidate (out_node, in_node, distance) triples are gathered (from the
+batched device SSSP) and accepted greedily in globally sorted
+(distance, out_node, in_node) order — deterministic, lock-free, and at
+least as good as an arbitrary discovery order.
+
+The per-candidate acceptance rules mirror the reference's multiplicity
+protocol exactly:
+- ordinary out-node u: multiplicity -m[u] (m[u] <= 0), mirrored as
+  +m[mirror(u)];
+- unbalanced self-mirror nodes have multiplicity 1 on both sides;
+- a mirror biedge (v == mirror(u)) consumes 2 units of u's deficit and is
+  only allowed when the deficit is >= 2 (greedytigs/mod.rs:352-358);
+- accepting u->v decrements u's out-deficit and v's in-surplus (and their
+  mirrors symmetrically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph.bigraph import Bigraph
+
+
+def unbalanced_nodes(g: Bigraph):
+    """(out_nodes, in_node_mask, multiplicities) per the greedytig scan
+    (/root/reference/src/implementation/greedytigs/mod.rs:229-245).
+
+    out_nodes: nodes missing outgoing biedges (diff < 0) plus unbalanced
+    self-mirrors; in_node_mask: nodes missing incoming biedges (diff > 0)
+    plus unbalanced self-mirrors; multiplicities: the signed diff.
+    """
+    diff = g.imbalances()
+    sm = g.self_mirror_mask()
+    node_ids = np.arange(g.n_nodes, dtype=np.int64)
+    sm_unbal = sm & (diff != 0)
+    out_nodes = node_ids[(diff < 0) | sm_unbal]
+    in_mask = (diff > 0) | sm_unbal
+    return out_nodes, in_mask, diff.copy()
+
+
+def greedy_accept(
+    g: Bigraph,
+    candidates: np.ndarray,  # int64 [M, 3]: (out_node, in_node, dist)
+    multiplicities: np.ndarray,  # signed imbalance per node (mutated)
+) -> np.ndarray:
+    """Accept candidate paths greedily; returns accepted [A, 3] triples.
+
+    Candidates are sorted by (dist, out_node, in_node) before the scan, so
+    the result is deterministic for a given candidate set.
+    """
+    if len(candidates) == 0:
+        return candidates.reshape(0, 3)
+    order = np.lexsort(
+        (candidates[:, 1], candidates[:, 0], candidates[:, 2])
+    )
+    cands = candidates[order]
+    m = multiplicities
+    mirror = g.mirror_node
+    sm = g.self_mirror_mask()
+    accepted = []
+
+    for u, v, d in cands.tolist():
+        u_sm = bool(sm[u])
+        mu = int(mirror[u])
+        is_mirror_edge = (v == mu) and not u_sm
+
+        if u_sm:
+            out_mult = m[u]  # in [0, 1]
+        else:
+            out_mult = -m[u]
+        if out_mult <= 0:
+            continue
+        if is_mirror_edge:
+            if out_mult < 2:
+                continue
+        else:
+            v_sm = bool(sm[v])
+            in_mult = m[v]
+            if in_mult <= 0:
+                continue
+
+        # accept
+        accepted.append((u, v, d))
+        red = 2 if is_mirror_edge else 1
+        if u_sm:
+            m[u] -= 1
+        else:
+            m[u] += red
+            m[mu] -= red
+        if not is_mirror_edge:
+            m[v] -= 1
+            if not v_sm:
+                m[int(mirror[v])] += 1
+
+    if not accepted:
+        return np.empty((0, 3), dtype=np.int64)
+    return np.asarray(accepted, dtype=np.int64)

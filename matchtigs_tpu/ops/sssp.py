@@ -1,0 +1,175 @@
+"""Batched k-bounded multi-source shortest paths (the hot kernel).
+
+TPU-native replacement for the reference's per-source binary-heap Dijkstra
+(``traitgraph-algo``; call sites
+/root/reference/src/implementation/greedytigs/mod.rs:324-341) and its whole
+thread runtime (P1-P6 in SURVEY.md §2.3): a *batch* of S sources is relaxed
+simultaneously with bounded Bellman-Ford rounds over a fixed-capacity
+working set per source.
+
+Why this maps to the hardware:
+- distances are bounded by k-1 (<= 62), and edge weights are >= 1, so at
+  most k-1 relaxation rounds reach a fixpoint — no priority queue needed;
+- each source's reachable ball is tiny, so a per-source working set of C
+  (node, dist) slots replaces the O(V) weight array / hashmap
+  (``EpochNodeWeightArray`` / ``HashbrownHashMap``);
+- a round is: one gather (padded [N+1, 4] adjacency), one lexicographic
+  sort for per-node min-dedup, one sort for distance-compaction — all
+  regular, statically-shaped ops XLA tiles well on the VPU;
+- capacity overflow is *reported, not fatal*: sources whose candidate set
+  ever exceeded C are flagged incomplete and retried with a larger C —
+  the TPU analog of the reference's staged parallelism / resource limits
+  (greedytigs/mod.rs:537-644, DijkstraExhaustiveness).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device_graph import DeviceGraph
+
+INF = np.int32(1 << 20)  # > any bounded distance, safe against int32 overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "max_rounds", "deg_pad")
+)
+def _sssp_kernel(
+    nbr: jax.Array,  # int32 [N+1, deg_pad]
+    nw: jax.Array,  # int32 [N+1, deg_pad]
+    sources: jax.Array,  # int32 [S]
+    max_weight: jax.Array,  # int32 scalar
+    capacity: int,
+    max_rounds: int,
+    deg_pad: int,
+):
+    S = sources.shape[0]
+    C = capacity
+    sentinel = jnp.int32(nbr.shape[0] - 1)
+
+    nodes0 = jnp.full((S, C), sentinel, dtype=jnp.int32).at[:, 0].set(sources)
+    dist0 = jnp.full((S, C), INF, dtype=jnp.int32).at[:, 0].set(0)
+    overflow0 = jnp.zeros((S,), dtype=bool)
+
+    def round_body(state):
+        nodes, dist, overflow, changed, r = state
+        # Expand every live working-set entry over the padded adjacency.
+        nn = nbr[nodes]  # [S, C, deg_pad]
+        nd = dist[:, :, None] + nw[nodes]
+        live = (nn != sentinel) & (nd <= max_weight)
+        cand_nodes = jnp.where(live, nn, sentinel).reshape(S, C * deg_pad)
+        cand_dist = jnp.where(live, nd, INF).reshape(S, C * deg_pad)
+
+        all_nodes = jnp.concatenate([nodes, cand_nodes], axis=1)
+        all_dist = jnp.concatenate([dist, cand_dist], axis=1)
+
+        # Per-node min via lexicographic (node, dist) sort + first-of-run.
+        sn, sd = jax.lax.sort((all_nodes, all_dist), num_keys=2, dimension=1)
+        first = jnp.concatenate(
+            [jnp.ones((S, 1), dtype=bool), sn[:, 1:] != sn[:, :-1]], axis=1
+        )
+        keep = first & (sd < INF)
+        sd = jnp.where(keep, sd, INF)
+        sn = jnp.where(keep, sn, sentinel)
+
+        # Compact: keep the C closest entries; anything valid beyond C
+        # means the search exceeded its resource limit for this source.
+        dd, dn = jax.lax.sort((sd, sn), num_keys=2, dimension=1)
+        new_nodes = dn[:, :C]
+        new_dist = dd[:, :C]
+        overflow = overflow | (dd[:, C] < INF)
+
+        # Canonical order for fixpoint detection: sort by (node, dist).
+        new_nodes, new_dist = jax.lax.sort(
+            (new_nodes, new_dist), num_keys=2, dimension=1
+        )
+        changed = jnp.any((new_nodes != nodes) | (new_dist != dist))
+        return new_nodes, new_dist, overflow, changed, r + 1
+
+    def cond(state):
+        _, _, _, changed, r = state
+        return changed & (r < max_rounds)
+
+    nodes, dist, overflow, _, rounds = jax.lax.while_loop(
+        cond, round_body, (nodes0, dist0, overflow0, jnp.bool_(True), jnp.int32(0))
+    )
+    return nodes, dist, overflow, rounds
+
+
+def batched_bounded_sssp(
+    dg: DeviceGraph,
+    sources: np.ndarray,
+    max_weight: int,
+    capacity: int = 128,
+    batch_size: int | None = None,
+):
+    """All-targets bounded shortest paths from each source.
+
+    Returns (nodes [S, C], dist [S, C], overflow [S]): per source the set
+    of reachable nodes with distance <= max_weight (sentinel-padded), their
+    distances, and whether the search hit the capacity limit (incomplete).
+    """
+    sources = np.asarray(sources, dtype=np.int32)
+    S = len(sources)
+    if S == 0:
+        return (
+            np.empty((0, capacity), np.int32),
+            np.empty((0, capacity), np.int32),
+            np.empty((0,), bool),
+        )
+    if batch_size is None:
+        batch_size = S
+    nbr = jnp.asarray(dg.nbr)
+    nw = jnp.asarray(dg.nw)
+
+    out_nodes, out_dist, out_over = [], [], []
+    for start in range(0, S, batch_size):
+        chunk = sources[start : start + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.full(pad, dg.n_nodes, np.int32)])
+        nodes, dist, overflow, _ = _sssp_kernel(
+            nbr,
+            nw,
+            jnp.asarray(chunk),
+            jnp.int32(max_weight),
+            capacity=capacity,
+            max_rounds=int(max_weight),
+            deg_pad=dg.deg_pad,
+        )
+        n = len(sources[start : start + batch_size])
+        out_nodes.append(np.asarray(nodes)[:n])
+        out_dist.append(np.asarray(dist)[:n])
+        out_over.append(np.asarray(overflow)[:n])
+    return (
+        np.concatenate(out_nodes),
+        np.concatenate(out_dist),
+        np.concatenate(out_over),
+    )
+
+
+def sssp_reference_host(
+    dg: DeviceGraph, source: int, max_weight: int
+) -> dict[int, int]:
+    """Host Dijkstra oracle (heapq) for testing the device kernel."""
+    import heapq
+
+    dist = {source: 0}
+    heap = [(0, source)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, INF):
+            continue
+        for j in range(dg.deg_pad):
+            v = int(dg.nbr[u, j])
+            if v == dg.n_nodes:
+                continue
+            nd = d + int(dg.nw[u, j])
+            if nd <= max_weight and nd < dist.get(v, INF):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist

@@ -1,15 +1,19 @@
 """Test configuration: force a deterministic 8-device CPU mesh for JAX.
 
-Multi-chip sharding is validated on a virtual CPU mesh (no multi-chip TPU
-hardware available in CI); the driver separately dry-runs the multichip
-path via __graft_entry__.dryrun_multichip.
+The environment's sitecustomize registers an `axon` TPU backend at
+interpreter startup and pins JAX_PLATFORMS=axon, so env vars set here are
+too late; instead the platform is overridden through jax.config before any
+backend is initialized.  Multi-chip sharding is validated on this virtual
+CPU mesh; the driver separately dry-runs the multichip path via
+__graft_entry__.dryrun_multichip.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

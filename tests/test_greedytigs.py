@@ -1,0 +1,79 @@
+import numpy as np
+import pytest
+
+from matchtigs_tpu import testing
+from matchtigs_tpu.algos.eulertigs import EulertigConfig, compute_eulertigs
+from matchtigs_tpu.algos.greedytigs import GreedytigConfig, compute_greedytigs
+from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+from matchtigs_tpu.io.writers import spelled_length
+
+
+CASES = [
+    dict(genome_length=3000, k=9, seed=0),
+    dict(genome_length=8000, k=11, seed=1),
+    dict(genome_length=2500, k=7, seed=2),
+    dict(genome_length=5000, k=13, seed=3, n_sequences=2),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_greedytigs_spell_exact_kmer_set(case):
+    store, kmers, k = testing.make_unitig_store(**case)
+    g = build_bigraph_from_unitigs(store, k)
+    tigs = compute_greedytigs(g, GreedytigConfig(k=k))
+    # Greedy matchtigs may repeat k-mers (< k-1 per join) but must cover
+    # the exact input k-mer set.
+    testing.assert_tigs_spell_kmer_set(g, tigs, store, k, kmers, allow_duplicates=True)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_greedytigs_not_worse_than_eulertigs(case):
+    store, _, k = testing.make_unitig_store(**case)
+    g1 = build_bigraph_from_unitigs(store, k)
+    euler_tigs = compute_eulertigs(g1, EulertigConfig(k=k))
+    g2 = build_bigraph_from_unitigs(store, k)
+    greedy_tigs = compute_greedytigs(g2, GreedytigConfig(k=k))
+    # Joining via repeated kmers can only reduce count and length.
+    assert len(greedy_tigs) <= len(euler_tigs)
+    len_g = sum(spelled_length(g2, t, k) for t in greedy_tigs)
+    len_e = sum(spelled_length(g1, t, k) for t in euler_tigs)
+    assert len_g <= len_e
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_greedytigs_duplication_bounded(case):
+    """Each join duplicates at most k-2 kmers (path weight <= k-1 with
+    >= 1 real kmer...; the duplicated count equals the dummy weight < k)."""
+    store, kmers, k = testing.make_unitig_store(**case)
+    g = build_bigraph_from_unitigs(store, k)
+    tigs = compute_greedytigs(g, GreedytigConfig(k=k))
+    dummies = g.is_dummy()
+    weights = g.weights()
+    cheap = dummies & (weights < k)
+    # every cheap dummy has weight in [1, k-1]
+    assert np.all(weights[cheap] >= 1)
+    total_dup = int(weights[np.flatnonzero(cheap)].sum()) // 2  # biedge pairs
+    got = testing.spelled_kmers(g, tigs, store, k)
+    n_dup_spelled = len(got) - len(np.unique(got))
+    assert n_dup_spelled <= total_dup
+
+
+def test_greedytigs_walks_valid():
+    store, _, k = testing.make_unitig_store(genome_length=4000, k=9, seed=7)
+    g = build_bigraph_from_unitigs(store, k)
+    tigs = compute_greedytigs(g, GreedytigConfig(k=k))
+    dummies = g.is_dummy()
+    seen = np.zeros(g.n_edges, dtype=bool)
+    for t in tigs:
+        assert np.all(g.dsts()[t[:-1]] == g.srcs()[t[1:]])
+        assert not dummies[t[0]] and not dummies[t[-1]]
+        # no two consecutive dummies (spelling offset needs an original
+        # neighbor; reference invariant mod.rs:319-390)
+        d = dummies[t]
+        assert not np.any(d[:-1] & d[1:])
+        for e in t.tolist():
+            assert not seen[e] and not seen[e ^ 1]
+            seen[e] = True
+            seen[e ^ 1] = True
+    orig = ~dummies
+    assert np.all(seen[: g.n_edges][orig])

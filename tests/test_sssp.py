@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+
+from matchtigs_tpu import testing
+from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+from matchtigs_tpu.ops.device_graph import build_device_graph
+from matchtigs_tpu.ops.sssp import batched_bounded_sssp, sssp_reference_host
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        dict(genome_length=3000, k=9, seed=0),
+        dict(genome_length=6000, k=11, seed=1),
+        dict(genome_length=2000, k=7, seed=2),
+    ],
+)
+def test_device_sssp_matches_host_dijkstra(case):
+    store, _, k = testing.make_unitig_store(**case)
+    g = build_bigraph_from_unitigs(store, k)
+    dg = build_device_graph(g)
+    rng = np.random.default_rng(0)
+    sources = rng.choice(g.n_nodes, size=min(32, g.n_nodes), replace=False)
+
+    nodes, dist, overflow = batched_bounded_sssp(
+        dg, sources, max_weight=k - 1, capacity=256, batch_size=16
+    )
+    assert not overflow.any(), "searches should be complete at capacity 256"
+
+    for i, s in enumerate(sources):
+        expected = sssp_reference_host(dg, int(s), k - 1)
+        got = {
+            int(n): int(d)
+            for n, d in zip(nodes[i], dist[i])
+            if n != dg.sentinel
+        }
+        assert got == expected, f"source {s}: {got} != {expected}"
+
+
+def test_overflow_flag_and_retry():
+    store, _, k = testing.make_unitig_store(genome_length=6000, k=9, seed=3)
+    g = build_bigraph_from_unitigs(store, k)
+    dg = build_device_graph(g)
+    sources = np.arange(min(16, g.n_nodes), dtype=np.int32)
+    # Tiny capacity: most searches must overflow and be flagged.
+    nodes_s, dist_s, over_s = batched_bounded_sssp(
+        dg, sources, max_weight=k - 1, capacity=4, batch_size=16
+    )
+    nodes_l, dist_l, over_l = batched_bounded_sssp(
+        dg, sources, max_weight=k - 1, capacity=512, batch_size=16
+    )
+    assert not over_l.any()
+    # Complete (non-overflowed) small-capacity searches must agree with the
+    # large-capacity truth.
+    for i in range(len(sources)):
+        if not over_s[i]:
+            got = {
+                (int(n), int(d))
+                for n, d in zip(nodes_s[i], dist_s[i])
+                if n != dg.sentinel
+            }
+            want = {
+                (int(n), int(d))
+                for n, d in zip(nodes_l[i], dist_l[i])
+                if n != dg.sentinel
+            }
+            assert got == want
+
+
+def test_empty_sources():
+    store, _, k = testing.make_unitig_store(genome_length=2000, k=9, seed=4)
+    g = build_bigraph_from_unitigs(store, k)
+    dg = build_device_graph(g)
+    nodes, dist, over = batched_bounded_sssp(dg, np.empty(0, np.int32), 8)
+    assert nodes.shape[0] == 0 and over.shape[0] == 0
