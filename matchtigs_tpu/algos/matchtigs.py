@@ -1,0 +1,178 @@
+"""Optimal matchtigs: minimum plain-text representation with repetition.
+
+Capability-equivalent of ``MatchtigAlgorithm``
+(/root/reference/src/implementation/matchtigs/mod.rs:131-940):
+
+1. imbalance scan; unbalanced self-mirrors get multiplicity 1 on both
+   sides (mod.rs:176-191);
+2. all-pairs k-bounded shortest paths between unbalanced nodes via the
+   batched device kernel (replacing the threaded Dijkstra fan-out,
+   mod.rs:321-541);
+3. binodes expand into |imbalance| matching ids shared with their mirror
+   (``GraphMatchingNodeMap``,
+   /root/reference/src/implementation/mod.rs:188-250); candidate paths
+   collapse to deduplicated id-pair edges (mod.rs:273-305);
+4. the min-cost perfect matching on the doubled graph + 4 extra nodes per
+   WCC (mod.rs:600-719) is solved as an equivalent per-component
+   maximum-weight matching with a 2-gadget-node constraint
+   (:mod:`matchtigs_tpu.ops.perfect_matching`) using the in-process native
+   blossom instead of the external blossom5 subprocess (mod.rs:724-746);
+5. matched pairs become cheap dummy biedges; balancing, Eulerian
+   decomposition and cycle breaking finish as usual (mod.rs:828-928).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..graph.bigraph import Bigraph
+from ..ops import euler
+from ..ops.matching import unbalanced_nodes
+from ..ops.perfect_matching import optimal_component_matching
+from .greedytigs import GreedytigConfig, collect_candidates
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class MatchtigConfig:
+    k: int
+    initial_capacity: int = 128
+    max_capacity: int = 1 << 16
+    batch_size: int = 1024
+
+
+def _matching_node_ids(g: Bigraph, diff: np.ndarray):
+    """Assign |imbalance| consecutive matching ids per unbalanced binode
+    class (shared between a node and its mirror)."""
+    mirror = g.mirror_node
+    nodes = np.arange(g.n_nodes, dtype=np.int64)
+    canon = np.minimum(nodes, mirror.astype(np.int64))
+    counts = np.abs(diff)
+    # class representative carries the count
+    class_counts = np.zeros(g.n_nodes, dtype=np.int64)
+    class_counts[canon] = np.maximum(class_counts[canon], 0)  # touch
+    for v in np.flatnonzero(counts):
+        c = int(canon[v])
+        class_counts[c] = max(class_counts[c], int(counts[v]))
+    reps = np.flatnonzero(class_counts)
+    offsets = np.zeros(len(reps) + 1, dtype=np.int64)
+    np.cumsum(class_counts[reps], out=offsets[1:])
+    rep_to_slot = {int(r): i for i, r in enumerate(reps)}
+    total = int(offsets[-1])
+
+    def ids_of(v: int) -> range:
+        slot = rep_to_slot.get(int(canon[v]))
+        if slot is None:
+            return range(0)
+        return range(int(offsets[slot]), int(offsets[slot + 1]))
+
+    return ids_of, total, canon, reps, offsets
+
+
+def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
+    """Mutates `g` (adds dummy biedges) and returns edge walks."""
+    k = config.k
+    out_nodes, in_mask, _ = unbalanced_nodes(g)
+    diff = g.imbalances()
+    logger.info(
+        "Found %d nodes with missing outgoing and %d with missing incoming edges",
+        len(out_nodes),
+        int(in_mask.sum()),
+    )
+
+    # All-pairs bounded shortest paths (targets = every in-node).
+    gt_config = GreedytigConfig(
+        k=k,
+        initial_capacity=config.initial_capacity,
+        max_capacity=config.max_capacity,
+        batch_size=config.batch_size,
+    )
+    candidates = collect_candidates(g, out_nodes, in_mask, k, gt_config)
+    logger.info("Found %d candidate shortest paths", len(candidates))
+
+    # Expand binodes into matching ids and collapse candidates to id pairs.
+    ids_of, n_ids, canon, reps, offsets = _matching_node_ids(g, diff)
+    logger.info("Matching instance has %d expanded nodes", n_ids)
+
+    edges: dict[tuple[int, int], tuple[int, int, int]] = {}
+    mirror = g.mirror_node
+    for u, v, w in candidates.tolist():
+        assert w >= 1, "zero-weight candidate path"
+        is_mirror_biedge = (u == int(mirror[v])) and u != v
+        for a in ids_of(u):
+            for b in ids_of(v):
+                if a == b:
+                    assert is_mirror_biedge, "self-loop not from a mirror biedge"
+                    continue
+                key = (min(a, b), max(a, b))
+                prev = edges.get(key)
+                if prev is None:
+                    edges[key] = (w, u, v)
+                else:
+                    assert prev[0] == w, "conflicting weights for id pair"
+    logger.info("Collapsed to %d matching edges", len(edges))
+
+    # Components of the bidirected graph (doubled edges + mirror pairing);
+    # each component's Eulerian tour needs >= 1 break, granted free by the
+    # per-component gadget (the reference's 4-extra-nodes-per-WCC).
+    comp = _bidirected_components(g)
+    id_comp = np.empty(n_ids, dtype=np.int64)
+    for i, r in enumerate(reps.tolist()):
+        id_comp[int(offsets[i]) : int(offsets[i + 1])] = comp[r]
+
+    matched_pairs: list[tuple[int, int]] = []
+    edge_arr = np.asarray(
+        [(a, b, w) for (a, b), (w, _, _) in edges.items()], dtype=np.int64
+    ).reshape(-1, 3)
+    for c in np.unique(id_comp):
+        members = np.flatnonzero(id_comp == c)
+        if len(members) == 0:
+            continue
+        if len(edge_arr):
+            sel = id_comp[edge_arr[:, 0]] == c
+            comp_edges = edge_arr[sel]
+        else:
+            comp_edges = edge_arr
+        matched_pairs.extend(
+            optimal_component_matching(members, comp_edges, k)
+        )
+    logger.info("Matched %d id pairs", len(matched_pairs))
+
+    # Apply matching: insert cheap dummy biedges.
+    dummy_edge_id = 0
+    for a, b in matched_pairs:
+        w, u, v = edges[(min(a, b), max(a, b))]
+        dummy_edge_id += 1
+        g.add_biedge_pair(u, v, weight=w, handle=-1, forward=True, dummy_id=dummy_edge_id)
+
+    assert g.verify_node_pairing()
+    assert g.verify_edge_mirror_property()
+
+    logger.info("Making graph Eulerian by completing unmatched nodes")
+    euler.make_eulerian_with_breaking_edges(g, k, dummy_edge_id)
+    if not euler.decomposes_into_eulerian_bicycles(g):
+        raise AssertionError("Failed to make the graph Eulerian")
+
+    cycles = euler.eulerian_bicycle_decomposition(g)
+    logger.info("Found %d Eulerian bicycles", len(cycles))
+    tigs = euler.break_cycles(g, cycles, k)
+    logger.info("Found %d matchtigs", len(tigs))
+    return tigs
+
+
+def _bidirected_components(g: Bigraph) -> np.ndarray:
+    """Connected components over edges + mirror-node pairing (undirected)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    n = g.n_nodes
+    rows = np.concatenate([g.srcs(), np.arange(n, dtype=np.int32)])
+    cols = np.concatenate([g.dsts(), g.mirror_node])
+    data = np.ones(len(rows), dtype=np.int8)
+    adj = coo_matrix((data, (rows, cols)), shape=(n, n))
+    _, labels = connected_components(adj, directed=False)
+    return labels

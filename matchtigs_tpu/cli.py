@@ -1,0 +1,192 @@
+"""Command line interface.
+
+Mirrors the reference CLI's flag surface (/root/reference/src/bin.rs:56-218)
+with the same orchestration: load -> per-algorithm compute (on a fresh
+graph copy for graph-mutating algorithms) -> write, with timing and memory
+logging (/root/reference/src/bin.rs:850-1218).
+
+Run as ``python -m matchtigs_tpu.cli`` or the ``matchtigs-tpu`` entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import resource
+import sys
+import time
+
+from .algos.eulertigs import EulertigConfig, compute_eulertigs
+from .algos.greedytigs import GreedytigConfig, compute_greedytigs
+from .algos.matchtigs import MatchtigConfig, compute_matchtigs
+from .algos.pathtigs import compute_pathtigs
+from .graph.build import build_bigraph_from_unitigs
+from .io.readers import load_unitigs
+from .io.writers import (
+    write_duplication_bitvector,
+    write_walks_fasta,
+    write_walks_gfa,
+)
+
+logger = logging.getLogger("matchtigs_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="matchtigs-tpu",
+        description="Matchtigs (TPU-native): minimum plain text representation of kmer sets.",
+    )
+    p.add_argument("--gfa-in", help="GFA file containing the input unitigs (.gz ok)")
+    p.add_argument("--fa-in", help="Fasta file containing the input unitigs (.gz ok)")
+    p.add_argument(
+        "--bcalm-in", help="BCALM2 fasta file containing the input unitigs (.gz ok)"
+    )
+    for algo in ("pathtigs", "eulertigs", "greedytigs", "matchtigs"):
+        p.add_argument(f"--{algo}-gfa-out", help=f"Compute {algo}, write GFA (.gz ok)")
+        p.add_argument(f"--{algo}-fa-out", help=f"Compute {algo}, write fasta (.gz ok)")
+    p.add_argument(
+        "--greedytigs-duplication-bitvector-out",
+        help="ASCII bitvector: 0 per duplicated kmer in the greedytigs",
+    )
+    p.add_argument(
+        "--matchtigs-duplication-bitvector-out",
+        help="ASCII bitvector: 0 per duplicated kmer in the matchtigs",
+    )
+    p.add_argument("-k", type=int, help="kmer size (required for fasta/bcalm input)")
+    p.add_argument(
+        "-t",
+        "--threads",
+        type=int,
+        default=1,
+        help="accepted for reference-CLI compatibility; parallelism is device-batched",
+    )
+    p.add_argument(
+        "--sssp-initial-capacity",
+        type=int,
+        default=128,
+        help="initial per-source working-set capacity of the batched search",
+    )
+    p.add_argument(
+        "--sssp-batch-size",
+        type=int,
+        default=1024,
+        help="number of sources relaxed per device batch",
+    )
+    p.add_argument("--debug-print-walks", action="store_true")
+    p.add_argument("--log-level", default="Info")
+    p.add_argument(
+        "--compression-level",
+        type=int,
+        default=6,
+        choices=range(10),
+        help="gzip level for .gz outputs",
+    )
+    return p
+
+
+def _log_mem(label: str) -> None:
+    peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    logger.debug("%s peak memory usage: %d KiB", label, peak_kb)
+
+
+def main(argv: list[str] | None = None) -> int:
+    opts = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=getattr(logging, opts.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s [%(name)s] %(message)s",
+    )
+    logger.info("matchtigs-tpu starting")
+
+    load_start = time.monotonic()
+    store, k, gfa_header = load_unitigs(
+        gfa_in=opts.gfa_in, fa_in=opts.fa_in, bcalm_in=opts.bcalm_in, k=opts.k
+    )
+    graph = build_bigraph_from_unitigs(store, k)
+    logger.info("Loading took %.1f seconds", time.monotonic() - load_start)
+    logger.info("k = %d", k)
+    logger.info(
+        "Graph has %d nodes and %d edges", graph.n_nodes, graph.n_edges
+    )
+    _log_mem("After load")
+
+    requested = []
+    if opts.pathtigs_fa_out or opts.pathtigs_gfa_out:
+        requested.append("pathtigs")
+    if opts.eulertigs_fa_out or opts.eulertigs_gfa_out:
+        requested.append("eulertigs")
+    if (
+        opts.greedytigs_fa_out
+        or opts.greedytigs_gfa_out
+        or opts.greedytigs_duplication_bitvector_out
+    ):
+        requested.append("greedytigs")
+    if (
+        opts.matchtigs_fa_out
+        or opts.matchtigs_gfa_out
+        or opts.matchtigs_duplication_bitvector_out
+    ):
+        requested.append("matchtigs")
+    if not requested:
+        logger.warning("No outputs requested; nothing to do")
+        return 0
+
+    times: dict[str, tuple[float, float]] = {}
+    for algo in requested:
+        logger.info("Computing %s", algo)
+        g = graph if algo == "pathtigs" else graph.copy()
+        t0 = time.monotonic()
+        if algo == "pathtigs":
+            tigs = compute_pathtigs(g)
+        elif algo == "eulertigs":
+            tigs = compute_eulertigs(g, EulertigConfig(k=k))
+        elif algo == "greedytigs":
+            tigs = compute_greedytigs(
+                g,
+                GreedytigConfig(
+                    k=k,
+                    initial_capacity=opts.sssp_initial_capacity,
+                    batch_size=opts.sssp_batch_size,
+                ),
+            )
+        else:
+            tigs = compute_matchtigs(
+                g,
+                MatchtigConfig(
+                    k=k,
+                    initial_capacity=opts.sssp_initial_capacity,
+                    batch_size=opts.sssp_batch_size,
+                ),
+            )
+        compute_time = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        fa_out = getattr(opts, f"{algo}_fa_out")
+        gfa_out = getattr(opts, f"{algo}_gfa_out")
+        if fa_out:
+            logger.info("Writing %s as fasta to %s", algo, fa_out)
+            write_walks_fasta(g, tigs, store, k, fa_out, opts.compression_level)
+        if gfa_out:
+            logger.info("Writing %s as gfa to %s", algo, gfa_out)
+            write_walks_gfa(
+                g, tigs, store, k, gfa_header, gfa_out, opts.compression_level
+            )
+        bv_out = getattr(opts, f"{algo}_duplication_bitvector_out", None)
+        if bv_out:
+            logger.info("Writing %s duplication bitvector to %s", algo, bv_out)
+            write_duplication_bitvector(g, tigs, bv_out, opts.compression_level)
+        if opts.debug_print_walks:
+            for walk in tigs:
+                print(", ".join(str(int(e)) for e in walk))
+        write_time = time.monotonic() - t0
+        times[algo] = (compute_time, write_time)
+        _log_mem(f"After {algo}")
+
+    for algo, (ct, wt) in times.items():
+        logger.info("Computing %s took %.1fs and writing took %.1fs", algo, ct, wt)
+    _log_mem("Final")
+    logger.info("Done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

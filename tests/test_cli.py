@@ -1,0 +1,87 @@
+import gzip
+
+import numpy as np
+import pytest
+
+from matchtigs_tpu import testing
+from matchtigs_tpu.cli import main
+from matchtigs_tpu.io.readers import read_fasta, read_gfa
+
+
+@pytest.fixture(scope="module")
+def unitig_fa(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    store, kmers, k = testing.make_unitig_store(genome_length=4000, k=11, seed=5)
+    path = tmp / "unitigs.fa.gz"
+    with gzip.open(path, "wb") as f:
+        for i in range(len(store)):
+            f.write(b">%d\n%s\n" % (i, store.get_ascii(i)))
+    return path, kmers, k
+
+
+def test_cli_all_algorithms(unitig_fa, tmp_path):
+    path, kmers, k = unitig_fa
+    outs = {a: tmp_path / f"{a}.fa" for a in ("pathtigs", "eulertigs", "greedytigs", "matchtigs")}
+    rc = main(
+        [
+            "--fa-in",
+            str(path),
+            "-k",
+            str(k),
+            "--pathtigs-fa-out",
+            str(outs["pathtigs"]),
+            "--eulertigs-fa-out",
+            str(outs["eulertigs"]),
+            "--greedytigs-fa-out",
+            str(outs["greedytigs"]),
+            "--matchtigs-fa-out",
+            str(outs["matchtigs"]),
+            "--greedytigs-duplication-bitvector-out",
+            str(tmp_path / "greedy.bv"),
+            "--log-level",
+            "Warning",
+        ]
+    )
+    assert rc == 0
+    for algo, out in outs.items():
+        store, _ = read_fasta(out)
+        seqs = [store.get(i) for i in range(len(store))]
+        ms = testing.kmer_multiset_of_walk_seqs(seqs, k)
+        assert np.all(np.unique(ms) == kmers), f"{algo} kmer set mismatch"
+        if algo in ("pathtigs", "eulertigs"):
+            assert len(ms) == len(kmers), f"{algo} must not duplicate kmers"
+    # bitvector: number of 0s equals number of duplicated kmers in greedytigs
+    bv = (tmp_path / "greedy.bv").read_bytes().replace(b"\n", b"")
+    store, _ = read_fasta(outs["greedytigs"])
+    seqs = [store.get(i) for i in range(len(store))]
+    ms = testing.kmer_multiset_of_walk_seqs(seqs, k)
+    assert len(bv) == len(ms)
+    assert bv.count(b"0") == len(ms) - len(np.unique(ms))
+
+
+def test_cli_gfa_roundtrip(unitig_fa, tmp_path):
+    path, kmers, k = unitig_fa
+    gfa_out = tmp_path / "eulertigs.gfa.gz"
+    rc = main(
+        [
+            "--fa-in",
+            str(path),
+            "-k",
+            str(k),
+            "--eulertigs-gfa-out",
+            str(gfa_out),
+            "--log-level",
+            "Warning",
+        ]
+    )
+    assert rc == 0
+    store, props = read_gfa(gfa_out)
+    assert props.k == k  # written header declares KL:Z:k
+    seqs = [store.get(i) for i in range(len(store))]
+    ms = testing.kmer_multiset_of_walk_seqs(seqs, k)
+    assert np.all(np.unique(ms) == kmers)
+
+
+def test_cli_no_outputs(unitig_fa):
+    path, _, k = unitig_fa
+    assert main(["--fa-in", str(path), "-k", str(k), "--log-level", "Warning"]) == 0
