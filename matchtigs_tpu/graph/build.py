@@ -18,9 +18,20 @@ from .bigraph import Bigraph
 
 
 def _pack_rows(kmers: np.ndarray) -> np.ndarray:
-    """Pack uint8 [n, k-1] rows into void rows for np.unique."""
+    """Pack uint8 [n, m] code rows into sortable keys for np.unique.
+
+    m <= 31 packs into uint64 (fast integer unique); larger m falls back to
+    void-dtype rows (lexicographic, arbitrary length).
+    """
     kmers = np.ascontiguousarray(kmers)
-    return kmers.view([("", kmers.dtype)] * kmers.shape[1]).reshape(-1)
+    m = kmers.shape[1]
+    if m <= 31:
+        c = kmers.astype(np.uint64)
+        out = np.zeros(len(kmers), dtype=np.uint64)
+        for j in range(m):
+            out |= c[:, j] << np.uint64(2 * (m - 1 - j))
+        return out
+    return kmers.view([("", kmers.dtype)] * m).reshape(-1)
 
 
 def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:

@@ -51,9 +51,12 @@ def _sssp_kernel(
     C = capacity
     sentinel = jnp.int32(nbr.shape[0] - 1)
 
+    # The init carry is derived from `sources` so that under shard_map the
+    # whole carry is uniformly axis-varying (mixing invariant constants
+    # with varying outputs is a type error in the while_loop carry).
     nodes0 = jnp.full((S, C), sentinel, dtype=jnp.int32).at[:, 0].set(sources)
-    dist0 = jnp.full((S, C), INF, dtype=jnp.int32).at[:, 0].set(0)
-    overflow0 = jnp.zeros((S,), dtype=bool)
+    dist0 = jnp.full((S, C), INF, dtype=jnp.int32).at[:, 0].set(sources * 0)
+    overflow0 = sources < 0  # all False; varying like `sources`
 
     def round_body(state):
         nodes, dist, overflow, changed, r = state
@@ -94,8 +97,9 @@ def _sssp_kernel(
         _, _, _, changed, r = state
         return changed & (r < max_rounds)
 
+    changed0 = jnp.any(sources >= 0)  # True; varying like `sources`
     nodes, dist, overflow, _, rounds = jax.lax.while_loop(
-        cond, round_body, (nodes0, dist0, overflow0, jnp.bool_(True), jnp.int32(0))
+        cond, round_body, (nodes0, dist0, overflow0, changed0, jnp.int32(0))
     )
     return nodes, dist, overflow, rounds
 

@@ -1,0 +1,129 @@
+"""Multi-chip scaling: source-batch data parallelism over a device mesh.
+
+The reference's only parallelism is a shared-memory thread pool with a
+mutex work queue (SURVEY.md §2.3 P1-P6).  The TPU-native analog per
+BASELINE.json: the graph's padded adjacency is replicated to every device
+(HBM-resident, read-only), the *source batch* of the bounded shortest-path
+phase is sharded across a 1-D mesh axis, and per-device candidate counts /
+buffers are merged with XLA collectives (psum / implicit all-gather via
+output sharding) riding ICI.  Matching and Euler stitching run replicated
+and deterministic on host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.device_graph import DeviceGraph
+from ..ops.sssp import INF, _sssp_kernel
+
+SOURCE_AXIS = "sources"
+
+
+def make_mesh(devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (SOURCE_AXIS,))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("capacity", "max_rounds", "deg_pad", "mesh"),
+)
+def _sharded_sssp_step(
+    nbr, nw, in_mask, sources, max_weight, capacity, max_rounds, deg_pad, mesh
+):
+    """One full device step over the mesh: sharded batched SSSP + target
+    filtering + a psum of candidate counts (collective merge).
+
+    sources are sharded over the mesh axis; graph arrays are replicated.
+    Outputs come back with the source axis sharded (allgather happens
+    implicitly when the host reads the global arrays).
+    """
+
+    def step(nbr, nw, in_mask, sources, max_weight):
+        nodes, dist, overflow, _ = _sssp_kernel(
+            nbr,
+            nw,
+            sources,
+            max_weight,
+            capacity=capacity,
+            max_rounds=max_rounds,
+            deg_pad=deg_pad,
+        )
+        sentinel = jnp.int32(nbr.shape[0] - 1)
+        is_cand = (
+            (nodes != sentinel)
+            & (dist >= 1)
+            & (dist < INF)
+            & in_mask[jnp.minimum(nodes, sentinel)]
+        )
+        cand_dist = jnp.where(is_cand, dist, INF)
+        local_count = jnp.sum(is_cand.astype(jnp.int32))
+        total_count = jax.lax.psum(local_count, SOURCE_AXIS)
+        return nodes, cand_dist, overflow, total_count
+
+    spec_sharded = P(SOURCE_AXIS)
+    spec_repl = P()
+    out = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec_repl, spec_repl, spec_repl, spec_sharded, spec_repl),
+        out_specs=(spec_sharded, spec_sharded, spec_sharded, spec_repl),
+    )(nbr, nw, in_mask, sources, max_weight)
+    return out
+
+
+def sharded_bounded_sssp(
+    dg: DeviceGraph,
+    in_mask: np.ndarray,
+    sources: np.ndarray,
+    max_weight: int,
+    capacity: int = 128,
+    mesh: Mesh | None = None,
+):
+    """Data-parallel batched SSSP over all mesh devices.
+
+    Returns (nodes [S, C], cand_dist [S, C], overflow [S], total_count):
+    cand_dist is INF where the entry is not a valid (target, >=1) candidate.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    sources = np.asarray(sources, dtype=np.int32)
+    S = len(sources)
+    pad = (-S) % n_dev
+    if pad:
+        sources = np.concatenate(
+            [sources, np.full(pad, dg.n_nodes, dtype=np.int32)]
+        )
+    mask = np.zeros(dg.n_nodes + 1, dtype=bool)
+    mask[: len(in_mask)] = in_mask
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(SOURCE_AXIS))
+    nbr = jax.device_put(dg.nbr, repl)
+    nw = jax.device_put(dg.nw, repl)
+    mask_d = jax.device_put(mask, repl)
+    sources_d = jax.device_put(sources, shard)
+
+    nodes, cand_dist, overflow, total = _sharded_sssp_step(
+        nbr,
+        nw,
+        mask_d,
+        sources_d,
+        jnp.int32(max_weight),
+        capacity=capacity,
+        max_rounds=int(max_weight),
+        deg_pad=dg.deg_pad,
+        mesh=mesh,
+    )
+    nodes = np.asarray(nodes)[:S]
+    cand_dist = np.asarray(cand_dist)[:S]
+    overflow = np.asarray(overflow)[:S]
+    return nodes, cand_dist, overflow, int(total)

@@ -23,6 +23,38 @@ def random_genome(length: int, seed: int = 0) -> np.ndarray:
     return rng.integers(0, 4, size=length, dtype=np.uint8)
 
 
+def mutate_genome(genome: np.ndarray, rate: float, seed: int = 0) -> np.ndarray:
+    """Substitution-mutated copy of a genome (pangenome-strain analog)."""
+    rng = np.random.default_rng(seed)
+    out = genome.copy()
+    pos = np.flatnonzero(rng.random(len(genome)) < rate)
+    out[pos] = (out[pos] + rng.integers(1, 4, size=len(pos), dtype=np.uint8)) % 4
+    return out
+
+
+def make_pangenome_store(
+    genome_length: int,
+    k: int,
+    n_strains: int = 4,
+    mutation_rate: float = 0.005,
+    seed: int = 0,
+) -> tuple["SequenceStore", np.ndarray, int]:
+    """Reference genome + mutated strains -> unitig store (BASELINE.json
+    config-5 analog: pangenome unitigs with bubble-rich topology)."""
+    base = random_genome(genome_length, seed=seed)
+    kmer_parts = [kmer_set_of_codes(base, k)]
+    for i in range(1, n_strains):
+        strain = mutate_genome(base, mutation_rate, seed=seed + 1000 + i)
+        kmer_parts.append(kmer_set_of_codes(strain, k))
+    kmers = np.unique(np.concatenate(kmer_parts))
+    unitigs = unitigs_from_kmers(kmers, k)
+    store = SequenceStore()
+    for u in unitigs:
+        store.add(u)
+    store.finalize()
+    return store, kmers, k
+
+
 def kmer_set_of_codes(codes: np.ndarray, k: int) -> np.ndarray:
     """Sorted unique canonical packed k-mers of one sequence."""
     packed = dna.pack_kmers_u64(codes, k)
