@@ -13,13 +13,19 @@ Why this maps to the hardware:
 - each source's reachable ball is tiny, so a per-source working set of C
   (node, dist) slots replaces the O(V) weight array / hashmap
   (``EpochNodeWeightArray`` / ``HashbrownHashMap``);
-- a round is: one gather (padded [N+1, 4] adjacency), one lexicographic
-  sort for per-node min-dedup, one sort for distance-compaction — all
-  regular, statically-shaped ops XLA tiles well on the VPU;
+- a round is: one gather (padded [N+1, 4] adjacency) and two single-key
+  int32 bitonic sorts over (node, dist) packed into one word — per-node
+  min-dedup and distance-compaction, regular statically-shaped VPU work;
+- the fixpoint test is a (count, sum-of-dists) witness, monotone under
+  relaxation, so no canonical re-sort is needed;
 - capacity overflow is *reported, not fatal*: sources whose candidate set
   ever exceeded C are flagged incomplete and retried with a larger C —
   the TPU analog of the reference's staged parallelism / resource limits
   (greedytigs/mod.rs:537-644, DijkstraExhaustiveness).
+
+Distances are packed into the low ``DIST_BITS`` of the sort key, node ids
+above them; graphs with more than 2^(31-DIST_BITS) nodes fall back to
+two-key lexicographic sorts.
 """
 
 from __future__ import annotations
@@ -33,10 +39,11 @@ import numpy as np
 from .device_graph import DeviceGraph
 
 INF = np.int32(1 << 20)  # > any bounded distance, safe against int32 overflow
+DIST_BITS = 7  # distances < 128 (k <= 128); nodes < 2^24 for packed sorts
 
 
 @functools.partial(
-    jax.jit, static_argnames=("capacity", "max_rounds", "deg_pad")
+    jax.jit, static_argnames=("capacity", "max_rounds", "deg_pad", "packed")
 )
 def _sssp_kernel(
     nbr: jax.Array,  # int32 [N+1, deg_pad]
@@ -46,62 +53,98 @@ def _sssp_kernel(
     capacity: int,
     max_rounds: int,
     deg_pad: int,
+    packed: bool = True,
 ):
     S = sources.shape[0]
     C = capacity
     sentinel = jnp.int32(nbr.shape[0] - 1)
+    dist_cap = jnp.int32((1 << DIST_BITS) - 1)  # dists clamp here; > max_weight
 
-    # The init carry is derived from `sources` so that under shard_map the
-    # whole carry is uniformly axis-varying (mixing invariant constants
-    # with varying outputs is a type error in the while_loop carry).
+    def sort2(a_nodes, a_dist, by_node_first: bool):
+        """Sort (node, dist) pairs along axis 1 by (node, dist) or
+        (dist, node); single packed int32 key when ids fit."""
+        if packed:
+            if by_node_first:
+                key = (a_nodes << DIST_BITS) | a_dist
+                key = jax.lax.sort(key, dimension=1)
+                return key >> DIST_BITS, key & dist_cap
+            key = (a_dist << (31 - DIST_BITS - 1)) | a_nodes
+            # dist in high bits: requires nodes < 2^(31-DIST_BITS-1)
+            key = jax.lax.sort(key, dimension=1)
+            return key & ((1 << (31 - DIST_BITS - 1)) - 1), key >> (
+                31 - DIST_BITS - 1
+            )
+        if by_node_first:
+            n, d = jax.lax.sort((a_nodes, a_dist), num_keys=2, dimension=1)
+            return n, d
+        d, n = jax.lax.sort((a_dist, a_nodes), num_keys=2, dimension=1)
+        return n, d
+
+    # Init carry derived from `sources` so that under shard_map the whole
+    # carry is uniformly axis-varying.
     nodes0 = jnp.full((S, C), sentinel, dtype=jnp.int32).at[:, 0].set(sources)
-    dist0 = jnp.full((S, C), INF, dtype=jnp.int32).at[:, 0].set(sources * 0)
+    dist0 = (
+        jnp.full((S, C), dist_cap, dtype=jnp.int32).at[:, 0].set(sources * 0)
+    )
     overflow0 = sources < 0  # all False; varying like `sources`
+    witness0 = jnp.stack(
+        [jnp.ones((S,), jnp.int32), jnp.zeros((S,), jnp.int32)], axis=1
+    ) + (sources * 0)[:, None]
 
     def round_body(state):
-        nodes, dist, overflow, changed, r = state
-        # Expand every live working-set entry over the padded adjacency.
-        nn = nbr[nodes]  # [S, C, deg_pad]
+        nodes, dist, overflow, witness, changed, r = state
+        live = dist <= max_weight
+        nn = jnp.where(live[:, :, None], nbr[nodes], sentinel)
         nd = dist[:, :, None] + nw[nodes]
-        live = (nn != sentinel) & (nd <= max_weight)
-        cand_nodes = jnp.where(live, nn, sentinel).reshape(S, C * deg_pad)
-        cand_dist = jnp.where(live, nd, INF).reshape(S, C * deg_pad)
+        ok = (nn != sentinel) & (nd <= max_weight)
+        cand_nodes = jnp.where(ok, nn, sentinel).reshape(S, C * deg_pad)
+        cand_dist = jnp.where(ok, nd, dist_cap).reshape(S, C * deg_pad)
 
         all_nodes = jnp.concatenate([nodes, cand_nodes], axis=1)
         all_dist = jnp.concatenate([dist, cand_dist], axis=1)
 
-        # Per-node min via lexicographic (node, dist) sort + first-of-run.
-        sn, sd = jax.lax.sort((all_nodes, all_dist), num_keys=2, dimension=1)
+        # Per-node min via (node, dist) sort + first-of-run.
+        sn, sd = sort2(all_nodes, all_dist, by_node_first=True)
         first = jnp.concatenate(
             [jnp.ones((S, 1), dtype=bool), sn[:, 1:] != sn[:, :-1]], axis=1
         )
-        keep = first & (sd < INF)
-        sd = jnp.where(keep, sd, INF)
+        keep = first & (sd < dist_cap) & (sn != sentinel)
+        sd = jnp.where(keep, sd, dist_cap)
         sn = jnp.where(keep, sn, sentinel)
 
-        # Compact: keep the C closest entries; anything valid beyond C
-        # means the search exceeded its resource limit for this source.
-        dd, dn = jax.lax.sort((sd, sn), num_keys=2, dimension=1)
+        # Compact to the C closest entries; a valid entry beyond C means
+        # the resource limit was exceeded for this source.
+        dn, dd = sort2(sn, sd, by_node_first=False)
         new_nodes = dn[:, :C]
         new_dist = dd[:, :C]
-        overflow = overflow | (dd[:, C] < INF)
+        overflow = overflow | (dd[:, C] < dist_cap)
 
-        # Canonical order for fixpoint detection: sort by (node, dist).
-        new_nodes, new_dist = jax.lax.sort(
-            (new_nodes, new_dist), num_keys=2, dimension=1
-        )
-        changed = jnp.any((new_nodes != nodes) | (new_dist != dist))
-        return new_nodes, new_dist, overflow, changed, r + 1
+        valid = new_dist < dist_cap
+        count = valid.sum(axis=1, dtype=jnp.int32)
+        dsum = jnp.where(valid, new_dist, 0).sum(axis=1, dtype=jnp.int32)
+        new_witness = jnp.stack([count, dsum], axis=1)
+        changed = jnp.any(new_witness != witness)
+        return new_nodes, new_dist, overflow, new_witness, changed, r + 1
 
     def cond(state):
-        _, _, _, changed, r = state
+        *_, changed, r = state
         return changed & (r < max_rounds)
 
     changed0 = jnp.any(sources >= 0)  # True; varying like `sources`
-    nodes, dist, overflow, _, rounds = jax.lax.while_loop(
-        cond, round_body, (nodes0, dist0, overflow0, changed0, jnp.int32(0))
+    nodes, dist, overflow, _, _, rounds = jax.lax.while_loop(
+        cond,
+        round_body,
+        (nodes0, dist0, overflow0, witness0, changed0, jnp.int32(0)),
     )
+    dist = jnp.where(dist >= dist_cap, INF, dist)
     return nodes, dist, overflow, rounds
+
+
+def _can_pack(dg: DeviceGraph, max_weight: int) -> bool:
+    return (
+        max_weight < (1 << DIST_BITS) - 1
+        and dg.n_nodes + 1 < (1 << (31 - DIST_BITS - 1))
+    )
 
 
 def batched_bounded_sssp(
@@ -114,8 +157,8 @@ def batched_bounded_sssp(
     """All-targets bounded shortest paths from each source.
 
     Returns (nodes [S, C], dist [S, C], overflow [S]): per source the set
-    of reachable nodes with distance <= max_weight (sentinel-padded), their
-    distances, and whether the search hit the capacity limit (incomplete).
+    of reachable nodes with distance <= max_weight (sentinel-padded, dist
+    INF), and whether the search hit the capacity limit (incomplete).
     """
     sources = np.asarray(sources, dtype=np.int32)
     S = len(sources)
@@ -129,6 +172,7 @@ def batched_bounded_sssp(
         batch_size = S
     nbr = jnp.asarray(dg.nbr)
     nw = jnp.asarray(dg.nw)
+    packed = _can_pack(dg, max_weight)
 
     out_nodes, out_dist, out_over = [], [], []
     for start in range(0, S, batch_size):
@@ -144,6 +188,7 @@ def batched_bounded_sssp(
             capacity=capacity,
             max_rounds=int(max_weight),
             deg_pad=dg.deg_pad,
+            packed=packed,
         )
         n = len(sources[start : start + batch_size])
         out_nodes.append(np.asarray(nodes)[:n])

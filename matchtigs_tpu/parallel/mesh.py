@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.device_graph import DeviceGraph
-from ..ops.sssp import INF, _sssp_kernel
+from ..ops.sssp import INF, _can_pack, _sssp_kernel
 
 SOURCE_AXIS = "sources"
 
@@ -33,10 +33,19 @@ def make_mesh(devices=None) -> Mesh:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("capacity", "max_rounds", "deg_pad", "mesh"),
+    static_argnames=("capacity", "max_rounds", "deg_pad", "packed", "mesh"),
 )
 def _sharded_sssp_step(
-    nbr, nw, in_mask, sources, max_weight, capacity, max_rounds, deg_pad, mesh
+    nbr,
+    nw,
+    in_mask,
+    sources,
+    max_weight,
+    capacity,
+    max_rounds,
+    deg_pad,
+    packed,
+    mesh,
 ):
     """One full device step over the mesh: sharded batched SSSP + target
     filtering + a psum of candidate counts (collective merge).
@@ -55,6 +64,7 @@ def _sharded_sssp_step(
             capacity=capacity,
             max_rounds=max_rounds,
             deg_pad=deg_pad,
+            packed=packed,
         )
         sentinel = jnp.int32(nbr.shape[0] - 1)
         is_cand = (
@@ -121,6 +131,7 @@ def sharded_bounded_sssp(
         capacity=capacity,
         max_rounds=int(max_weight),
         deg_pad=dg.deg_pad,
+        packed=_can_pack(dg, max_weight),
         mesh=mesh,
     )
     nodes = np.asarray(nodes)[:S]
