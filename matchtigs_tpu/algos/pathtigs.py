@@ -22,6 +22,55 @@ logger = logging.getLogger(__name__)
 
 
 def compute_pathtigs(g: Bigraph) -> list[np.ndarray]:
+    """Dispatches to the native C++ pass when available; the python
+    implementation below is the fallback and test oracle."""
+    try:
+        return _compute_pathtigs_native(g)
+    except ImportError:
+        logger.warning("native graphwalk unavailable; using python fallback")
+        return compute_pathtigs_py(g)
+
+
+def _compute_pathtigs_native(g: Bigraph) -> list[np.ndarray]:
+    from .. import native
+
+    lib = native.load()
+    E = g.n_edges
+    if E == 0:
+        return []
+    out_off, out_edges, in_off, in_edges = g.csr()
+    p = native.as_ll_ptr
+    src = np.ascontiguousarray(g.srcs(), dtype=np.int64)
+    dst = np.ascontiguousarray(g.dsts(), dtype=np.int64)
+    out_off = np.ascontiguousarray(out_off, dtype=np.int64)
+    out_edges = np.ascontiguousarray(out_edges, dtype=np.int64)
+    in_off = np.ascontiguousarray(in_off, dtype=np.int64)
+    in_edges = np.ascontiguousarray(in_edges, dtype=np.int64)
+    walks_out = np.empty(E, dtype=np.int64)
+    offsets_out = np.empty(E, dtype=np.int64)
+    n_walks = lib.biwalk_cover(
+        g.n_nodes,
+        E,
+        p(src),
+        p(dst),
+        p(out_off),
+        p(out_edges),
+        p(in_off),
+        p(in_edges),
+        p(walks_out),
+        p(offsets_out),
+    )
+    walks = []
+    prev = 0
+    for i in range(n_walks):
+        end = int(offsets_out[i])
+        walks.append(walks_out[prev:end].copy())
+        prev = end
+    logger.info("Found %d pathtigs", len(walks))
+    return walks
+
+
+def compute_pathtigs_py(g: Bigraph) -> list[np.ndarray]:
     E = g.n_edges
     if E == 0:
         return []

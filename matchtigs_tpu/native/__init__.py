@@ -15,9 +15,10 @@ from pathlib import Path
 
 _SRC_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = Path(__file__).resolve().parent / "_native.so"
-_SOURCES = ["blossom.cpp"]
+_SOURCES = ["blossom.cpp", "graphwalk.cpp"]
 
 _lib: ctypes.CDLL | None = None
+_load_error: Exception | None = None
 
 
 def _build() -> None:
@@ -33,7 +34,11 @@ def _build() -> None:
         str(_LIB_PATH),
         *srcs,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise ImportError(
+            f"native build failed: {proc.stderr[-2000:]}"
+        )
 
 
 def _needs_rebuild() -> bool:
@@ -45,17 +50,39 @@ def _needs_rebuild() -> bool:
 
 def load() -> ctypes.CDLL:
     """Load (building if needed) the native library."""
-    global _lib
+    global _lib, _load_error
     if _lib is not None:
         return _lib
-    if _needs_rebuild():
-        _build()
+    if _load_error is not None:  # don't retry a failed build every call
+        raise _load_error
+    try:
+        if _needs_rebuild():
+            _build()
+    except Exception as e:
+        _load_error = e if isinstance(e, ImportError) else ImportError(str(e))
+        raise _load_error from None
     lib = ctypes.CDLL(str(_LIB_PATH))
-    lib.mwm_dense.restype = ctypes.c_longlong
+    ll = ctypes.c_longlong
+    llp = ctypes.POINTER(ll)
+    lib.mwm_dense.restype = ll
     lib.mwm_dense.argtypes = [
         ctypes.c_int,
-        ctypes.POINTER(ctypes.c_longlong),
+        llp,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.follow_chains.restype = ll
+    lib.follow_chains.argtypes = [ll, llp, ll, llp, llp, llp]
+    lib.euler_decompose.restype = ll
+    lib.euler_decompose.argtypes = [ll, ll] + [llp] * 7
+    lib.biwalk_cover.restype = ll
+    lib.biwalk_cover.argtypes = [ll, ll] + [llp] * 8
     _lib = lib
     return lib
+
+
+def as_ll_ptr(a):
+    """int64 numpy array -> c_longlong pointer (no copy)."""
+    import numpy as np
+
+    assert a.dtype == np.int64 and a.flags.c_contiguous
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))

@@ -184,7 +184,57 @@ def eulerian_bicycle_decomposition(g: Bigraph) -> list[np.ndarray]:
     binode (directly or through the mirror representation) are spliced into
     a single bicycle, giving the minimum one-bicycle-per-component
     decomposition the reference computes.
+
+    Dispatches to the native C++ pass (native/graphwalk.cpp) when
+    available; this python implementation is the fallback and test oracle.
     """
+    try:
+        return _eulerian_bicycle_decomposition_native(g)
+    except ImportError:
+        logger.warning("native graphwalk unavailable; using python fallback")
+        return eulerian_bicycle_decomposition_py(g)
+
+
+def _eulerian_bicycle_decomposition_native(g: Bigraph) -> list[np.ndarray]:
+    from .. import native
+
+    lib = native.load()
+    E = g.n_edges
+    if E == 0:
+        return []
+    out_off, out_edges, _, _ = g.csr()
+    src = np.ascontiguousarray(g.srcs(), dtype=np.int64)
+    dst = np.ascontiguousarray(g.dsts(), dtype=np.int64)
+    mirror = np.ascontiguousarray(g.mirror_node, dtype=np.int64)
+    out_off = np.ascontiguousarray(out_off, dtype=np.int64)
+    out_edges = np.ascontiguousarray(out_edges, dtype=np.int64)
+    cycles_out = np.empty(E, dtype=np.int64)
+    offsets_out = np.empty(E, dtype=np.int64)
+    p = native.as_ll_ptr
+    n_cycles = lib.euler_decompose(
+        g.n_nodes,
+        E,
+        p(src),
+        p(dst),
+        p(mirror),
+        p(out_off),
+        p(out_edges),
+        p(cycles_out),
+        p(offsets_out),
+    )
+    if n_cycles < 0:
+        raise AssertionError("open walk in balanced bidirected graph")
+    res = []
+    prev = 0
+    for i in range(n_cycles):
+        end = int(offsets_out[i])
+        res.append(cycles_out[prev:end].copy())
+        prev = end
+    return res
+
+
+def eulerian_bicycle_decomposition_py(g: Bigraph) -> list[np.ndarray]:
+    """Pure-python reference implementation (oracle for the native pass)."""
     E = g.n_edges
     if E == 0:
         return []

@@ -105,65 +105,81 @@ def unitigs_from_kmers(kmers: np.ndarray, k: int) -> list[np.ndarray]:
     rc_idx = find(dna.revcomp_packed_u64(oriented, k))
     assert np.all(rc_idx >= 0)
 
-    def unique_succ(i: int) -> int:
-        row = succ[i]
-        return int(row[row >= 0][0])
-
-    # A node starts a unitig unless it has a unique predecessor that has a
-    # unique successor.  BCALM2 palindrome rule: extension x -> y is also
-    # forbidden when y == revcomp(x) (a palindromic junction), otherwise a
-    # unitig would contain a k-mer and its reverse complement.
-    has_unique_pred = in_deg == 1
-    pred_first = np.where(has_unique_pred, pred.max(axis=1), -1)
-    is_internal = (
-        has_unique_pred
-        & (out_deg[np.clip(pred_first, 0, n - 1)] == 1)
-        & (pred_first != rc_idx)
+    # Contracted edge i -> j: both are forced (out_deg[i] == 1,
+    # in_deg[j] == 1) and j != rc(i) (BCALM2 palindrome rule: a unitig may
+    # not contain a k-mer and its reverse complement).
+    uniq_succ = np.where(out_deg == 1, succ.max(axis=1), -1)
+    contracted = (
+        (uniq_succ >= 0)
+        & (in_deg[np.clip(uniq_succ, 0, n - 1)] == 1)
+        & (uniq_succ != rc_idx)
     )
-    starts = np.flatnonzero(~is_internal)
+    nxt = np.where(contracted, uniq_succ, -1).astype(np.int64)
+    has_contracted_in = np.zeros(n, dtype=bool)
+    has_contracted_in[nxt[nxt >= 0]] = True
+    starts = np.flatnonzero(~has_contracted_in).astype(np.int64)
 
-    visited = np.zeros(n, dtype=bool)
-    unitigs_idx: list[list[int]] = []
+    # Chain following (native C++ with python fallback).
+    order, offsets = _follow_chains(n, nxt, starts)
 
-    def walk(s: int) -> list[int]:
-        path = [s]
-        visited[s] = True
-        cur = s
-        while out_deg[cur] == 1:
-            nx = unique_succ(cur)
-            if nx == rc_idx[cur]:
-                break
-            if is_internal[nx] and not visited[nx]:
-                visited[nx] = True
-                path.append(nx)
-                cur = nx
-            else:
-                break
-        return path
-
-    for s in starts.tolist():
-        if not visited[s]:
-            unitigs_idx.append(walk(s))
-    # isolated cycles: all nodes internal
-    for s in range(n):
-        if not visited[s]:
-            unitigs_idx.append(walk(s))
-
-    # materialize sequences; deduplicate reverse-complement twins
+    # Materialize sequences vectorized: chain = first kmer + one base per
+    # further node; deduplicate reverse-complement twins.
+    last_bases = (oriented[order] & np.uint64(3)).astype(np.uint8)
+    shifts = np.uint64(2) * (np.uint64(k - 1) - np.arange(k, dtype=np.uint64))
     out: list[np.ndarray] = []
     seen: set[bytes] = set()
-    for path in unitigs_idx:
-        first = int(oriented[path[0]])
-        codes = [(first >> (2 * (k - 1 - j))) & 3 for j in range(k)]
-        for i in path[1:]:
-            codes.append(int(oriented[i]) & 3)
-        arr = np.asarray(codes, dtype=np.uint8)
-        key = min(arr.tobytes(), dna.revcomp(arr).tobytes())
+    prev = 0
+    for end in offsets.tolist():
+        first = oriented[order[prev]]
+        head = ((first >> shifts) & np.uint64(3)).astype(np.uint8)
+        arr = np.concatenate([head, last_bases[prev + 1 : end]])
+        prev = end
+        fwd = arr.tobytes()
+        rc = dna.revcomp(arr)
+        bwd = rc.tobytes()
+        key = min(fwd, bwd)
         if key in seen:
             continue
         seen.add(key)
-        out.append(arr if arr.tobytes() <= dna.revcomp(arr).tobytes() else dna.revcomp(arr))
+        out.append(arr if fwd <= bwd else rc)
     return out
+
+
+def _follow_chains(n: int, nxt: np.ndarray, starts: np.ndarray):
+    """(order, chain end offsets) via native follow_chains or python."""
+    try:
+        from . import native
+
+        lib = native.load()
+        order = np.empty(n, dtype=np.int64)
+        offsets = np.empty(n + 1, dtype=np.int64)
+        p = native.as_ll_ptr
+        n_chains = lib.follow_chains(
+            n, p(np.ascontiguousarray(nxt)), len(starts),
+            p(np.ascontiguousarray(starts)), p(order), p(offsets),
+        )
+        return order, offsets[:n_chains]
+    except ImportError:
+        visited = np.zeros(n, dtype=bool)
+        order_l: list[int] = []
+        offsets_l: list[int] = []
+
+        def walk(u: int) -> None:
+            while u >= 0 and not visited[u]:
+                visited[u] = True
+                order_l.append(u)
+                u = int(nxt[u])
+            offsets_l.append(len(order_l))
+
+        for s in starts.tolist():
+            if not visited[s]:
+                walk(s)
+        for u in range(n):
+            if not visited[u]:
+                walk(u)
+        return np.asarray(order_l, dtype=np.int64), np.asarray(
+            offsets_l, dtype=np.int64
+        )
 
 
 def make_unitig_store(

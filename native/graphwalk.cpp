@@ -1,0 +1,230 @@
+// Native graph-walk runtime: Eulerian bicycle decomposition, biwalk cover,
+// chain following.
+//
+// These are the reference's `bigraph::algo` capabilities (Eulerian
+// decomposition eulertigs/mod.rs:119 via crate call, walk cover
+// pathtigs/mod.rs:38) re-implemented as flat-array C++ passes: O(E)
+// pointer-chasing that is not a fit for the TPU device path but must not
+// run as per-edge Python either.  Called via ctypes on int64 arrays.
+
+#include <cstddef>
+#include <cstdint>
+#include <vector>
+
+namespace {
+using i64 = long long;
+}
+
+extern "C" {
+
+// Follow functional chains: next[i] = unique successor or -1.
+// starts[]: chain heads.  Emits the concatenated chain node lists into
+// order_out (capacity n) and per-chain end offsets into offsets_out
+// (capacity n_chains).  Returns number of chains emitted.
+i64 follow_chains(i64 n, const i64* next, i64 n_starts, const i64* starts,
+                  i64* order_out, i64* offsets_out) {
+  std::vector<char> visited(n, 0);
+  i64 pos = 0;
+  i64 chains = 0;
+  for (i64 s = 0; s < n_starts; ++s) {
+    i64 u = starts[s];
+    if (visited[u]) continue;
+    while (u >= 0 && !visited[u]) {
+      visited[u] = 1;
+      order_out[pos++] = u;
+      u = next[u];
+    }
+    offsets_out[chains++] = pos;
+  }
+  // isolated cycles (every node internal)
+  for (i64 u0 = 0; u0 < n; ++u0) {
+    if (visited[u0]) continue;
+    i64 u = u0;
+    while (u >= 0 && !visited[u]) {
+      visited[u] = 1;
+      order_out[pos++] = u;
+      u = next[u];
+    }
+    offsets_out[chains++] = pos;
+  }
+  return chains;
+}
+
+// Eulerian bicycle decomposition of a balanced bidirected graph.
+//
+// Edges come in mirror pairs (mirror(e) == e ^ 1); traversing an edge
+// consumes its mirror.  Hierholzer subtours (guaranteed closed on balanced
+// graphs) are spliced into one bicycle per mirror-connected component via
+// O(1) circular successor swaps at shared nodes (occ[] holds, per node, an
+// edge of a merged cycle ending there).  Mirror-side sharing is handled by
+// flipping a subtour to its mirror representation (reverse + ^1).
+//
+// Inputs: n_edges E, edge endpoints src/dst (int64 [E]), mirror_node
+// (int64 [N]), out-CSR (out_off int64 [N+1], out_edges int64 [E] sorted by
+// src).  Outputs: cycles_out (capacity E) receives concatenated cycle edge
+// lists, cycle_offsets (capacity E) the per-cycle end offsets.  Returns
+// the number of cycles, or -1 if an open walk was found (graph not
+// balanced).
+i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
+                    const i64* mirror_node, const i64* out_off,
+                    const i64* out_edges, i64* cycles_out,
+                    i64* cycle_offsets) {
+  std::vector<char> used(n_edges, 0);
+  std::vector<i64> cursor(out_off, out_off + n_nodes);
+  std::vector<i64> nxt(n_edges, -1);
+  std::vector<i64> occ(n_nodes, -1);
+  std::vector<i64> heads;
+  std::vector<i64> tour;
+
+  auto next_unused_out = [&](i64 v) -> i64 {
+    i64 c = cursor[v];
+    i64 end = out_off[v + 1];
+    while (c < end && used[out_edges[c]]) ++c;
+    cursor[v] = c;
+    return c < end ? out_edges[c] : -1;
+  };
+
+  for (i64 e0 = 0; e0 < n_edges; ++e0) {
+    if (used[e0]) continue;
+    tour.clear();
+    tour.push_back(e0);
+    used[e0] = 1;
+    used[e0 ^ 1] = 1;
+    i64 start = src[e0];
+    i64 cur = dst[e0];
+    for (;;) {
+      while (cur != start) {
+        i64 e = next_unused_out(cur);
+        if (e < 0) return -1;  // open walk: unbalanced graph
+        tour.push_back(e);
+        used[e] = 1;
+        used[e ^ 1] = 1;
+        cur = dst[e];
+      }
+      i64 e = next_unused_out(start);
+      if (e < 0) break;
+      tour.push_back(e);
+      used[e] = 1;
+      used[e ^ 1] = 1;
+      cur = dst[e];
+    }
+
+    // find an anchor in an existing cycle, directly or via mirror
+    i64 anchor = -1;
+    bool flipped = false;
+    for (i64 e : tour) {
+      i64 v = dst[e];
+      if (occ[v] >= 0) {
+        anchor = occ[v];
+        break;
+      }
+      i64 mv = mirror_node[v];
+      if (occ[mv] >= 0) {
+        anchor = occ[mv];
+        flipped = true;
+        break;
+      }
+    }
+    if (flipped) {
+      // mirror representation: reverse order, e -> e^1
+      std::vector<i64> rev(tour.rbegin(), tour.rend());
+      for (auto& e : rev) e ^= 1;
+      tour.swap(rev);
+    }
+    for (std::size_t i = 0; i + 1 < tour.size(); ++i) nxt[tour[i]] = tour[i + 1];
+    nxt[tour.back()] = tour.front();
+
+    if (anchor < 0) {
+      heads.push_back(tour.front());
+    } else {
+      i64 v = dst[anchor];
+      i64 sub_anchor = -1;
+      for (i64 e : tour)
+        if (dst[e] == v) {
+          sub_anchor = e;
+          break;
+        }
+      i64 t = nxt[anchor];
+      nxt[anchor] = nxt[sub_anchor];
+      nxt[sub_anchor] = t;
+    }
+    for (i64 e : tour) {
+      i64 v = dst[e];
+      if (occ[v] < 0) occ[v] = e;
+    }
+  }
+
+  i64 pos = 0;
+  i64 n_cycles = 0;
+  for (i64 head : heads) {
+    i64 e = head;
+    do {
+      cycles_out[pos++] = e;
+      e = nxt[e];
+    } while (e != head);
+    cycle_offsets[n_cycles++] = pos;
+  }
+  return n_cycles;
+}
+
+// Maximal edge-disjoint biwalk cover (pathtigs).  Walks are extended
+// forward from their end and backward from their start; traversing an
+// edge consumes its mirror.  Outputs like euler_decompose.  in-CSR:
+// in_off int64 [N+1], in_edges int64 [E] sorted by dst.
+i64 biwalk_cover(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
+                 const i64* out_off, const i64* out_edges, const i64* in_off,
+                 const i64* in_edges, i64* walks_out, i64* walk_offsets) {
+  std::vector<char> used(n_edges, 0);
+  std::vector<i64> out_cursor(out_off, out_off + n_nodes);
+  std::vector<i64> in_cursor(in_off, in_off + n_nodes);
+  std::vector<i64> fwd, bwd;
+
+  auto next_unused_out = [&](i64 v) -> i64 {
+    i64 c = out_cursor[v];
+    i64 end = out_off[v + 1];
+    while (c < end && used[out_edges[c]]) ++c;
+    out_cursor[v] = c;
+    return c < end ? out_edges[c] : -1;
+  };
+  auto next_unused_in = [&](i64 v) -> i64 {
+    i64 c = in_cursor[v];
+    i64 end = in_off[v + 1];
+    while (c < end && used[in_edges[c]]) ++c;
+    in_cursor[v] = c;
+    return c < end ? in_edges[c] : -1;
+  };
+
+  i64 pos = 0;
+  i64 n_walks = 0;
+  for (i64 e0 = 0; e0 < n_edges; ++e0) {
+    if (used[e0]) continue;
+    used[e0] = 1;
+    used[e0 ^ 1] = 1;
+    fwd.clear();
+    bwd.clear();
+    fwd.push_back(e0);
+    i64 cur = dst[e0];
+    for (;;) {
+      i64 e = next_unused_out(cur);
+      if (e < 0) break;
+      used[e] = 1;
+      used[e ^ 1] = 1;
+      fwd.push_back(e);
+      cur = dst[e];
+    }
+    cur = src[e0];
+    for (;;) {
+      i64 e = next_unused_in(cur);
+      if (e < 0) break;
+      used[e] = 1;
+      used[e ^ 1] = 1;
+      bwd.push_back(e);
+      cur = src[e];
+    }
+    for (auto it = bwd.rbegin(); it != bwd.rend(); ++it) walks_out[pos++] = *it;
+    for (i64 e : fwd) walks_out[pos++] = e;
+    walk_offsets[n_walks++] = pos;
+  }
+  return n_walks;
+}
+}

@@ -1,0 +1,47 @@
+"""Native C++ graph-walk passes vs their python oracles."""
+
+import numpy as np
+import pytest
+
+from matchtigs_tpu import testing
+from matchtigs_tpu.algos.pathtigs import (
+    _compute_pathtigs_native,
+    compute_pathtigs_py,
+)
+from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+from matchtigs_tpu.ops import euler
+
+CASES = [
+    dict(genome_length=3000, k=9, seed=0),
+    dict(genome_length=6000, k=11, seed=1),
+    dict(genome_length=2500, k=7, seed=2),
+]
+
+
+def _balanced_graph(case):
+    store, _, k = testing.make_unitig_store(**case)
+    g = build_bigraph_from_unitigs(store, k)
+    euler.make_eulerian_with_breaking_edges(g, k, 0)
+    return g
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_euler_native_matches_python(case):
+    g = _balanced_graph(case)
+    native_cycles = euler._eulerian_bicycle_decomposition_native(g)
+    py_cycles = euler.eulerian_bicycle_decomposition_py(g)
+    assert len(native_cycles) == len(py_cycles)
+    # identical traversal (same deterministic edge-order walk)
+    for a, b in zip(native_cycles, py_cycles):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_pathtigs_native_matches_python(case):
+    store, _, k = testing.make_unitig_store(**case)
+    g = build_bigraph_from_unitigs(store, k)
+    native_walks = _compute_pathtigs_native(g)
+    py_walks = compute_pathtigs_py(g)
+    assert len(native_walks) == len(py_walks)
+    for a, b in zip(native_walks, py_walks):
+        assert np.array_equal(a, b)
