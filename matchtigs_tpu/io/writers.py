@@ -75,6 +75,58 @@ def spelled_length(g: Bigraph, walk: np.ndarray, k: int) -> int:
     return int(k - 1 + w[~d].sum() + w[d].sum())
 
 
+def spell_walks_flat(
+    g: Bigraph, walks: Sequence[np.ndarray], store: SequenceStore, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Spell many walks at once: (flat codes, per-walk end offsets).
+
+    Uses the native speller (native/tigs.cpp) when available, else the
+    per-walk python speller."""
+    if not len(walks):
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    try:
+        from .. import native
+
+        lib = native.load()
+    except ImportError:
+        parts = [spell_walk(g, w, store, k) for w in walks]
+        offsets = np.cumsum([len(p) for p in parts]).astype(np.int64)
+        return np.concatenate(parts), offsets
+
+    flat = np.ascontiguousarray(np.concatenate(walks), dtype=np.int64)
+    walk_off = np.cumsum([len(w) for w in walks]).astype(np.int64)
+    E = g.n_edges
+    handle = np.ascontiguousarray(g.handles()[:E], dtype=np.int64)
+    weight = np.ascontiguousarray(g.weights()[:E], dtype=np.int64)
+    forward = np.ascontiguousarray(g.forwards()[:E], dtype=np.int8)
+    dummy = np.ascontiguousarray(g.is_dummy()[:E], dtype=np.int8)
+    codes = np.ascontiguousarray(store.codes, dtype=np.uint8)
+    seq_off = np.ascontiguousarray(store.offsets, dtype=np.int64)
+    total = sum(spelled_length(g, w, k) for w in walks)
+    out = np.empty(total, dtype=np.uint8)
+    out_off = np.empty(len(walks), dtype=np.int64)
+    p = native.as_ll_ptr
+    written = lib.spell_walks(
+        p(flat),
+        p(walk_off),
+        len(walks),
+        p(handle),
+        p(weight),
+        native.as_i8_ptr(forward),
+        native.as_i8_ptr(dummy),
+        native.as_u8_ptr(codes),
+        p(seq_off),
+        k,
+        native.as_u8_ptr(out),
+        p(out_off),
+    )
+    if written != total:
+        raise AssertionError(
+            f"native speller wrote {written} of {total} expected chars"
+        )
+    return out, out_off
+
+
 def _open_out(path: str | Path, compression_level: int = 6):
     path = Path(path)
     if path.suffix == ".gz":
@@ -92,11 +144,14 @@ def write_walks_fasta(
 ) -> None:
     """Write walks as fasta records ``>1``, ``>2``, ... like the reference
     (/root/reference/src/bin.rs:492)."""
+    flat, offsets = spell_walks_flat(g, walks, store, k)
     with _open_out(path, compression_level) as f:
-        for i, walk in enumerate(walks):
+        prev = 0
+        for i, end in enumerate(offsets.tolist()):
             f.write(b">%d\n" % (i + 1))
-            f.write(dna.decode_to_ascii(spell_walk(g, walk, store, k)))
+            f.write(dna.decode_to_ascii(flat[prev:end]))
             f.write(b"\n")
+            prev = end
 
 
 def write_walks_gfa(
@@ -110,13 +165,16 @@ def write_walks_gfa(
 ) -> None:
     """Write walks as GFA segments with the input header (or ``H KL:Z:k``),
     mirroring /root/reference/src/bin.rs:688-704."""
+    flat, offsets = spell_walks_flat(g, walks, store, k)
     with _open_out(path, compression_level) as f:
         hdr = header if header is not None else f"H\tKL:Z:{k}"
         f.write(hdr.encode() + b"\n")
-        for i, walk in enumerate(walks):
+        prev = 0
+        for i, end in enumerate(offsets.tolist()):
             f.write(b"S\t%d\t" % (i + 1))
-            f.write(dna.decode_to_ascii(spell_walk(g, walk, store, k)))
+            f.write(dna.decode_to_ascii(flat[prev:end]))
             f.write(b"\n")
+            prev = end
 
 
 def write_duplication_bitvector(

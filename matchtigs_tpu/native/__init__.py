@@ -15,7 +15,7 @@ from pathlib import Path
 
 _SRC_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = Path(__file__).resolve().parent / "_native.so"
-_SOURCES = ["blossom.cpp", "graphwalk.cpp"]
+_SOURCES = ["blossom.cpp", "graphwalk.cpp", "tigs.cpp"]
 
 _lib: ctypes.CDLL | None = None
 _load_error: Exception | None = None
@@ -76,6 +76,14 @@ def load() -> ctypes.CDLL:
     lib.euler_decompose.argtypes = [ll, ll] + [llp] * 7
     lib.biwalk_cover.restype = ll
     lib.biwalk_cover.argtypes = [ll, ll] + [llp] * 8
+    i8p = ctypes.POINTER(ctypes.c_byte)
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    lib.greedy_accept_scan.restype = ll
+    lib.greedy_accept_scan.argtypes = [ll, llp, llp, llp, llp, llp, i8p, llp]
+    lib.spell_walks.restype = ll
+    lib.spell_walks.argtypes = [
+        llp, llp, ll, llp, llp, i8p, i8p, u8p, llp, ll, u8p, llp,
+    ]
     _lib = lib
     return lib
 
@@ -86,3 +94,19 @@ def as_ll_ptr(a):
 
     assert a.dtype == np.int64 and a.flags.c_contiguous
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+
+
+def as_i8_ptr(a):
+    """int8 numpy array -> c_byte pointer (no copy)."""
+    import numpy as np
+
+    assert a.dtype == np.int8 and a.flags.c_contiguous
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_byte))
+
+
+def as_u8_ptr(a):
+    """uint8 numpy array -> c_ubyte pointer (no copy)."""
+    import numpy as np
+
+    assert a.dtype == np.uint8 and a.flags.c_contiguous
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))

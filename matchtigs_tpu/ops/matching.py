@@ -52,18 +52,53 @@ def greedy_accept(
     """Accept candidate paths greedily; returns accepted [A, 3] triples.
 
     Candidates are sorted by (dist, out_node, in_node) before the scan, so
-    the result is deterministic for a given candidate set.
+    the result is deterministic for a given candidate set.  The scan runs
+    natively (native/tigs.cpp) with this python loop as fallback/oracle.
     """
     if len(candidates) == 0:
         return candidates.reshape(0, 3)
     order = np.lexsort(
         (candidates[:, 1], candidates[:, 0], candidates[:, 2])
     )
-    cands = candidates[order]
+    cands = np.ascontiguousarray(candidates[order])
+    try:
+        return _greedy_accept_native(g, cands, multiplicities)
+    except ImportError:
+        logger.warning("native tigs pass unavailable; using python fallback")
+        return greedy_accept_scan_py(g, cands, multiplicities)
+
+
+def _greedy_accept_native(
+    g: Bigraph, cands: np.ndarray, m: np.ndarray
+) -> np.ndarray:
+    from .. import native
+
+    lib = native.load()
+    M = len(cands)
+    cu = np.ascontiguousarray(cands[:, 0])
+    cv = np.ascontiguousarray(cands[:, 1])
+    cd = np.ascontiguousarray(cands[:, 2])
+    m64 = np.ascontiguousarray(m, dtype=np.int64)
+    mirror = np.ascontiguousarray(g.mirror_node, dtype=np.int64)
+    sm = np.ascontiguousarray(g.self_mirror_mask(), dtype=np.int8)
+    accepted = np.empty(M, dtype=np.int64)
+    p = native.as_ll_ptr
+    n_acc = lib.greedy_accept_scan(
+        M, p(cu), p(cv), p(cd), p(m64), p(mirror),
+        native.as_i8_ptr(sm), p(accepted),
+    )
+    m[:] = m64  # propagate multiplicity updates to the caller's array
+    return cands[accepted[:n_acc]]
+
+
+def greedy_accept_scan_py(
+    g: Bigraph, cands: np.ndarray, multiplicities: np.ndarray
+) -> np.ndarray:
+    """Python oracle for the native scan; expects pre-sorted candidates."""
     m = multiplicities
     mirror = g.mirror_node
     sm = g.self_mirror_mask()
-    accepted = []
+    accepted: list[tuple[int, int, int]] = []
 
     for u, v, d in cands.tolist():
         u_sm = bool(sm[u])

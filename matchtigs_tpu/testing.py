@@ -92,23 +92,27 @@ def unitigs_from_kmers(kmers: np.ndarray, k: int) -> list[np.ndarray]:
         ok = oriented[idx_c] == vals
         return np.where(ok, idx_c, -1).astype(np.int64)
 
-    # Successors: (x << 2 | c) & mask for c in 0..3
-    succ = np.full((n, 4), -1, dtype=np.int64)
-    pred = np.full((n, 4), -1, dtype=np.int64)
+    # Successor/predecessor degrees without materializing [n, 4] tables:
+    # accumulate counts and the successor-index sum (the sum IS the unique
+    # successor when out_deg == 1).
+    out_deg = np.zeros(n, dtype=np.uint8)
+    in_deg = np.zeros(n, dtype=np.uint8)
+    succ_sum = np.zeros(n, dtype=np.int64)
     for c in range(4):
         sv = ((oriented << np.uint64(2)) | np.uint64(c)) & mask
-        succ[:, c] = find(sv)
+        idx = find(sv)
+        hit = idx >= 0
+        out_deg += hit
+        succ_sum += np.where(hit, idx, 0)
         pv = (oriented >> np.uint64(2)) | (np.uint64(c) << np.uint64(2 * (k - 1)))
-        pred[:, c] = find(pv)
-    out_deg = (succ >= 0).sum(axis=1)
-    in_deg = (pred >= 0).sum(axis=1)
+        in_deg += find(pv) >= 0
     rc_idx = find(dna.revcomp_packed_u64(oriented, k))
     assert np.all(rc_idx >= 0)
 
     # Contracted edge i -> j: both are forced (out_deg[i] == 1,
     # in_deg[j] == 1) and j != rc(i) (BCALM2 palindrome rule: a unitig may
     # not contain a k-mer and its reverse complement).
-    uniq_succ = np.where(out_deg == 1, succ.max(axis=1), -1)
+    uniq_succ = np.where(out_deg == 1, succ_sum, -1)
     contracted = (
         (uniq_succ >= 0)
         & (in_deg[np.clip(uniq_succ, 0, n - 1)] == 1)

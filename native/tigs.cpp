@@ -1,0 +1,118 @@
+// Native passes for the tig pipeline: greedy candidate acceptance and
+// walk spelling.
+//
+// greedy_accept_scan: the reference's lock-based online matching
+// (/root/reference/src/implementation/greedytigs/mod.rs:350-502) reduced
+// to a deterministic linear scan over pre-sorted candidates with the same
+// multiplicity rules (see ops/matching.py, which holds the python oracle).
+//
+// spell_walks: the walk speller (/root/reference/src/bin.rs:486-605) over
+// flat arrays: first edge spelled fully, every following original edge
+// minus a k-1 overlap (k-1-w after a cheap dummy of weight w), reverse
+// complement taken from the tail for backward edges.
+
+#include <cstddef>
+#include <cstdint>
+#include <vector>
+
+namespace {
+using i64 = long long;
+}
+
+extern "C" {
+
+// Candidates: cand_u/cand_v/cand_d (int64 [M]) pre-sorted by (d, u, v).
+// m: signed multiplicities per node (int64 [N], mutated).
+// mirror: mirror node ids.  self_mirror: 0/1 per node.
+// accepted_out: capacity M, receives indices of accepted candidates.
+// Returns number accepted.
+i64 greedy_accept_scan(i64 n_cands, const i64* cand_u, const i64* cand_v,
+                       const i64* cand_d, i64* m, const i64* mirror,
+                       const signed char* self_mirror, i64* accepted_out) {
+  i64 n_acc = 0;
+  for (i64 i = 0; i < n_cands; ++i) {
+    i64 u = cand_u[i];
+    i64 v = cand_v[i];
+    bool u_sm = self_mirror[u] != 0;
+    i64 mu = mirror[u];
+    bool is_mirror_edge = (v == mu) && !u_sm;
+
+    i64 out_mult = u_sm ? m[u] : -m[u];
+    if (out_mult <= 0) continue;
+    bool v_sm = false;
+    if (is_mirror_edge) {
+      if (out_mult < 2) continue;
+    } else {
+      v_sm = self_mirror[v] != 0;
+      if (m[v] <= 0) continue;
+    }
+
+    accepted_out[n_acc++] = i;
+    i64 red = is_mirror_edge ? 2 : 1;
+    if (u_sm) {
+      m[u] -= 1;
+    } else {
+      m[u] += red;
+      m[mu] -= red;
+    }
+    if (!is_mirror_edge) {
+      m[v] -= 1;
+      if (!v_sm) m[mirror[v]] += 1;
+    }
+  }
+  return n_acc;
+}
+
+// Spell walks into 2-bit codes.
+// walks: flat edge ids (int64 [T]); walk_offsets: per-walk end offsets
+// (int64 [n_walks]).  Edge arrays (int64 [E]): handle (-1 dummy), weight;
+// forward/dummy as int8.  Store: codes (uint8 [L]), seq_off (int64 [U+1]).
+// out: caller-allocated uint8 buffer of size sum(spelled lengths) —
+// computable as sum over walks of (k-1) + sum of edge weights; out_offsets
+// (int64 [n_walks]) receives per-walk end offsets in `out`.
+// Returns total bytes written, or -1 on error.
+i64 spell_walks(const i64* walks, const i64* walk_offsets, i64 n_walks,
+                const i64* handle, const i64* weight,
+                const signed char* forward, const signed char* dummy,
+                const unsigned char* codes, const i64* seq_off, i64 k,
+                unsigned char* out, i64* out_offsets) {
+  i64 pos = 0;
+  i64 w_start = 0;
+  for (i64 w = 0; w < n_walks; ++w) {
+    i64 w_end = walk_offsets[w];
+    if (w_end <= w_start) return -1;
+    i64 first = walks[w_start];
+    if (dummy[first]) return -1;
+    {
+      i64 h = handle[first];
+      i64 s = seq_off[h], e = seq_off[h + 1];
+      if (forward[first]) {
+        for (i64 i = s; i < e; ++i) out[pos++] = codes[i];
+      } else {
+        for (i64 i = e - 1; i >= s; --i) out[pos++] = 3 - codes[i];
+      }
+    }
+    i64 prev = first;
+    for (i64 t = w_start + 1; t < w_end; ++t) {
+      i64 cur = walks[t];
+      if (dummy[cur]) {
+        prev = cur;
+        continue;
+      }
+      i64 offset = dummy[prev] ? (k - 1 - weight[prev]) : (k - 1);
+      if (offset < 0) return -1;
+      i64 h = handle[cur];
+      i64 s = seq_off[h], e = seq_off[h + 1];
+      if (forward[cur]) {
+        for (i64 i = s + offset; i < e; ++i) out[pos++] = codes[i];
+      } else {
+        for (i64 i = e - 1 - offset; i >= s; --i) out[pos++] = 3 - codes[i];
+      }
+      prev = cur;
+    }
+    out_offsets[w] = pos;
+    w_start = w_end;
+  }
+  return pos;
+}
+}

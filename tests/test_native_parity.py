@@ -45,3 +45,42 @@ def test_pathtigs_native_matches_python(case):
     assert len(native_walks) == len(py_walks)
     for a, b in zip(native_walks, py_walks):
         assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_greedy_accept_native_matches_python(case):
+    from matchtigs_tpu.algos.greedytigs import GreedytigConfig, collect_candidates
+    from matchtigs_tpu.ops.matching import (
+        _greedy_accept_native,
+        greedy_accept_scan_py,
+        unbalanced_nodes,
+    )
+
+    store, _, k = testing.make_unitig_store(**case)
+    g = build_bigraph_from_unitigs(store, k)
+    out_nodes, in_mask, mult = unbalanced_nodes(g)
+    cands = collect_candidates(g, out_nodes, in_mask, k, GreedytigConfig(k=k))
+    order = np.lexsort((cands[:, 1], cands[:, 0], cands[:, 2]))
+    cands = np.ascontiguousarray(cands[order])
+    m1 = mult.copy()
+    m2 = mult.copy()
+    a_native = _greedy_accept_native(g, cands, m1)
+    a_py = greedy_accept_scan_py(g, cands, m2)
+    assert np.array_equal(a_native, a_py)
+    assert np.array_equal(m1, m2)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_speller_native_matches_python(case):
+    from matchtigs_tpu.algos.eulertigs import EulertigConfig, compute_eulertigs
+    from matchtigs_tpu.io.writers import spell_walk, spell_walks_flat
+
+    store, _, k = testing.make_unitig_store(**case)
+    g = build_bigraph_from_unitigs(store, k)
+    tigs = compute_eulertigs(g, EulertigConfig(k=k))
+    flat, offsets = spell_walks_flat(g, tigs, store, k)
+    prev = 0
+    for tig, end in zip(tigs, offsets.tolist()):
+        expected = spell_walk(g, tig, store, k)
+        assert np.array_equal(flat[prev:end], expected)
+        prev = end
