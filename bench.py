@@ -3,9 +3,10 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "unitigs/s", "vs_baseline": N}
 
-Dataset: synthetic pangenome unitigs (1M-base genome, 4 strains, 0.5%
-mutations, k=21; no external datasets are reachable from this
-environment), ~40k unitigs / ~1.3M k-mers / ~27k shortest-path sources.
+Dataset: synthetic pangenome unitigs (10M-base genome, 7 strains, 1%
+mutations, k=31 -- the BASELINE.json config-5 analog; no external datasets
+are reachable from this environment).  Deterministic; cached on disk after
+the first generation.
 
 value: unitigs processed per second by the full greedy-matchtigs compute
 (batched bounded SSSP on device + deterministic greedy matching + Euler
@@ -47,14 +48,15 @@ from matchtigs_tpu.ops.device_graph import build_device_graph
 from matchtigs_tpu.ops.matching import greedy_accept, unbalanced_nodes
 from matchtigs_tpu.ops.sssp import batched_bounded_sssp, sssp_reference_host
 
-GENOME_LENGTH = 1_000_000
-K = 21
-N_STRAINS = 4
-MUTATION_RATE = 0.005
+GENOME_LENGTH = 10_000_000
+K = 31
+N_STRAINS = 7
+MUTATION_RATE = 0.01
 SEED = 0
 CAPACITY = 128
-BATCH_SIZE = 2048
-BASELINE_SAMPLE = 512
+BATCH_SIZE = 4096
+BASELINE_SAMPLE = 2048
+DATA_CACHE = str(Path(__file__).parent / ".bench_data")
 
 
 def main() -> None:
@@ -65,6 +67,7 @@ def main() -> None:
         n_strains=N_STRAINS,
         mutation_rate=MUTATION_RATE,
         seed=SEED,
+        cache_dir=DATA_CACHE,
     )
     n_unitigs = len(store)
     g = build_bigraph_from_unitigs(store, k)

@@ -7,8 +7,10 @@ TPU-first (SURVEY.md §7):
 1. imbalance scan (vectorized) -> out-nodes / in-node target mask;
 2. batched k-bounded shortest paths on device
    (:func:`matchtigs_tpu.ops.sssp.batched_bounded_sssp`) instead of
-   per-source heap Dijkstras under a thread pool; sources whose search hit
-   the capacity limit are retried with a larger working set (the staged
+   per-source heap Dijkstras under a thread pool; with more than one
+   device, source batches are sharded data-parallel over the mesh
+   (:mod:`matchtigs_tpu.parallel.mesh`); sources whose search hit the
+   capacity limit are retried with a larger working set (the staged
    parallelism analog of greedytigs/mod.rs:537-644);
 3. deterministic global greedy matching over the candidate triples
    (:func:`matchtigs_tpu.ops.matching.greedy_accept`) replaces the
@@ -16,12 +18,16 @@ TPU-first (SURVEY.md §7):
 4. accepted paths become cheap dummy biedges (weight = distance < k); the
    deterministic breaking balancer + Eulerian decomposition + cycle break
    finish exactly as in eulertigs.
+
+Search statistics (executed searches, rounds, retries, candidates) are
+collected per run — the analog of the reference's opt-in Dijkstra
+performance counters (greedytigs/mod.rs:646-673).
 """
 
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -29,7 +35,7 @@ from ..graph.bigraph import Bigraph
 from ..ops import euler
 from ..ops.device_graph import build_device_graph
 from ..ops.matching import greedy_accept, unbalanced_nodes
-from ..ops.sssp import batched_bounded_sssp
+from ..ops.sssp import INF, batched_bounded_sssp
 
 logger = logging.getLogger(__name__)
 
@@ -42,6 +48,40 @@ class GreedytigConfig:
     initial_capacity: int = 128
     max_capacity: int = 1 << 16
     batch_size: int = 1024
+    # "auto": shard source batches over the mesh when >1 device is
+    # available; True/False force it.
+    use_mesh: bool | str = "auto"
+
+
+@dataclass
+class SearchStats:
+    """Counters for the shortest-path phase (reference analog:
+    DijkstraPerformanceCounter, greedytigs/mod.rs:646-673)."""
+
+    sources: int = 0
+    candidates: int = 0
+    retries: int = 0
+    capacity_final: int = 0
+    stage_sources: list[int] = field(default_factory=list)
+
+    def log(self) -> None:
+        logger.info(
+            "Search stats: %d sources, %d candidates, %d capacity retries "
+            "(stage sizes %s, final capacity %d)",
+            self.sources,
+            self.candidates,
+            self.retries,
+            self.stage_sources,
+            self.capacity_final,
+        )
+
+
+def _want_mesh(config: GreedytigConfig) -> bool:
+    if config.use_mesh == "auto":
+        import jax
+
+        return len(jax.devices()) > 1
+    return bool(config.use_mesh)
 
 
 def collect_candidates(
@@ -50,28 +90,55 @@ def collect_candidates(
     in_mask: np.ndarray,
     k: int,
     config: GreedytigConfig,
+    stats: SearchStats | None = None,
 ) -> np.ndarray:
     """Run the batched bounded SSSP and extract (out, in, dist) triples."""
     dg = build_device_graph(g)
     sentinel = dg.sentinel
+    stats = stats if stats is not None else SearchStats()
+    stats.sources = len(out_nodes)
+    use_mesh = _want_mesh(config)
+    if use_mesh:
+        from ..parallel.mesh import make_mesh, sharded_bounded_sssp
+
+        mesh = make_mesh()
     triples: list[np.ndarray] = []
 
     pending = np.asarray(out_nodes, dtype=np.int32)
     capacity = config.initial_capacity
     batch_size = config.batch_size
     while len(pending) > 0:
-        nodes, dist, overflow = batched_bounded_sssp(
-            dg, pending, max_weight=k - 1, capacity=capacity, batch_size=batch_size
-        )
+        stats.stage_sources.append(len(pending))
+        stats.capacity_final = capacity
+        if use_mesh:
+            nodes, dist, overflow, _ = sharded_bounded_sssp(
+                dg,
+                in_mask,
+                pending,
+                max_weight=k - 1,
+                capacity=capacity,
+                mesh=mesh,
+                batch_size=batch_size,
+            )
+            # dist is already INF where not a valid candidate
+            valid_mask_applied = True
+        else:
+            nodes, dist, overflow = batched_bounded_sssp(
+                dg,
+                pending,
+                max_weight=k - 1,
+                capacity=capacity,
+                batch_size=batch_size,
+            )
+            valid_mask_applied = False
         done = ~overflow
         if np.any(done):
             dn = nodes[done]
             dd = dist[done]
             srcs = pending[done]
-            valid = (dn != sentinel) & (dd >= 1)
-            valid &= in_mask[np.minimum(dn, len(in_mask) - 1)] & (
-                dn != sentinel
-            )
+            valid = (dn != sentinel) & (dd >= 1) & (dd < INF)
+            if not valid_mask_applied:
+                valid &= in_mask[np.minimum(dn, len(in_mask) - 1)]
             s_idx, c_idx = np.nonzero(valid)
             if len(s_idx):
                 triples.append(
@@ -92,6 +159,7 @@ def collect_candidates(
                 )
             capacity *= 4
             batch_size = max(8, batch_size // 4)
+            stats.retries += 1
             logger.info(
                 "Retrying %d overflowed sources with capacity %d",
                 len(pending),
@@ -100,7 +168,9 @@ def collect_candidates(
 
     if not triples:
         return np.empty((0, 3), dtype=np.int64)
-    return np.concatenate(triples)
+    result = np.concatenate(triples)
+    stats.candidates = len(result)
+    return result
 
 
 def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> list[np.ndarray]:
@@ -113,7 +183,9 @@ def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> list[np.ndarray]:
         int(in_mask.sum()),
     )
 
-    candidates = collect_candidates(g, out_nodes, in_mask, k, config)
+    stats = SearchStats()
+    candidates = collect_candidates(g, out_nodes, in_mask, k, config, stats)
+    stats.log()
     logger.info("Found %d candidate shortest paths", len(candidates))
 
     accepted = greedy_accept(g, candidates, mult)

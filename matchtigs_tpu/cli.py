@@ -72,8 +72,24 @@ def build_parser() -> argparse.ArgumentParser:
         default=1024,
         help="number of sources relaxed per device batch",
     )
+    p.add_argument(
+        "--debug-print-graph",
+        action="store_true",
+        help="print the de Bruijn graph constructed from the input unitigs",
+    )
     p.add_argument("--debug-print-walks", action="store_true")
     p.add_argument("--log-level", default="Info")
+    # Reference-CLI compatibility: accepted, mapped or ignored with a note.
+    p.add_argument("--blossom5-command", help=argparse.SUPPRESS)
+    p.add_argument("--dijkstra-node-weight-array-type", help=argparse.SUPPRESS)
+    p.add_argument("--dijkstra-heap-type", help=argparse.SUPPRESS)
+    p.add_argument("--dijkstra-performance-data-type", help=argparse.SUPPRESS)
+    p.add_argument(
+        "--dijkstra-staged-parallelism-divisor", type=float, help=argparse.SUPPRESS
+    )
+    p.add_argument(
+        "--dijkstra-resource-limit-factor", type=int, help=argparse.SUPPRESS
+    )
     p.add_argument(
         "--compression-level",
         type=int,
@@ -108,6 +124,26 @@ def main(argv: list[str] | None = None) -> int:
         "Graph has %d nodes and %d edges", graph.n_nodes, graph.n_edges
     )
     _log_mem("After load")
+
+    if opts.blossom5_command:
+        logger.info(
+            "--blossom5-command is accepted for compatibility; the matching "
+            "runs with the built-in native blossom solver"
+        )
+    if opts.dijkstra_staged_parallelism_divisor or opts.dijkstra_resource_limit_factor:
+        logger.info(
+            "Staged-parallelism flags map to the built-in capacity ladder "
+            "(--sssp-initial-capacity); searches that exceed the working-set "
+            "capacity are retried automatically with more memory"
+        )
+
+    if opts.debug_print_graph:
+        logger.info("Printing graph to stdout, because --debug-print-graph was set")
+        for e in range(graph.n_edges):
+            print(
+                f"{e} ({int(graph.srcs()[e])} -> {int(graph.dsts()[e])}) "
+                f"{store.get_ascii(int(graph.handles()[e]), bool(graph.forwards()[e])).decode()}"
+            )
 
     requested = []
     if opts.pathtigs_fa_out or opts.pathtigs_gfa_out:

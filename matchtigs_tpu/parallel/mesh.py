@@ -96,22 +96,24 @@ def sharded_bounded_sssp(
     max_weight: int,
     capacity: int = 128,
     mesh: Mesh | None = None,
+    batch_size: int | None = None,
 ):
     """Data-parallel batched SSSP over all mesh devices.
 
     Returns (nodes [S, C], cand_dist [S, C], overflow [S], total_count):
     cand_dist is INF where the entry is not a valid (target, >=1) candidate.
+    `batch_size` is the per-device batch; the global batch is
+    batch_size * n_devices, looped over the source list with padding so
+    only one program shape is ever compiled.
     """
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size
     sources = np.asarray(sources, dtype=np.int32)
     S = len(sources)
-    pad = (-S) % n_dev
-    if pad:
-        sources = np.concatenate(
-            [sources, np.full(pad, dg.n_nodes, dtype=np.int32)]
-        )
+    if batch_size is None:
+        batch_size = max(1, -(-S // n_dev))
+    global_batch = batch_size * n_dev
     mask = np.zeros(dg.n_nodes + 1, dtype=bool)
     mask[: len(in_mask)] = in_mask
 
@@ -120,21 +122,39 @@ def sharded_bounded_sssp(
     nbr = jax.device_put(dg.nbr, repl)
     nw = jax.device_put(dg.nw, repl)
     mask_d = jax.device_put(mask, repl)
-    sources_d = jax.device_put(sources, shard)
 
-    nodes, cand_dist, overflow, total = _sharded_sssp_step(
-        nbr,
-        nw,
-        mask_d,
-        sources_d,
-        jnp.int32(max_weight),
-        capacity=capacity,
-        max_rounds=int(max_weight),
-        deg_pad=dg.deg_pad,
-        packed=_can_pack(dg, max_weight),
-        mesh=mesh,
+    all_nodes, all_dist, all_over = [], [], []
+    total = 0
+    for start in range(0, max(S, 1), global_batch):
+        chunk = sources[start : start + global_batch]
+        n_real = len(chunk)
+        if n_real == 0:
+            break
+        pad = global_batch - n_real
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.full(pad, dg.n_nodes, dtype=np.int32)]
+            )
+        sources_d = jax.device_put(chunk, shard)
+        nodes, cand_dist, overflow, count = _sharded_sssp_step(
+            nbr,
+            nw,
+            mask_d,
+            sources_d,
+            jnp.int32(max_weight),
+            capacity=capacity,
+            max_rounds=int(max_weight),
+            deg_pad=dg.deg_pad,
+            packed=_can_pack(dg, max_weight),
+            mesh=mesh,
+        )
+        all_nodes.append(np.asarray(nodes)[:n_real])
+        all_dist.append(np.asarray(cand_dist)[:n_real])
+        all_over.append(np.asarray(overflow)[:n_real])
+        total += int(count)
+    return (
+        np.concatenate(all_nodes),
+        np.concatenate(all_dist),
+        np.concatenate(all_over),
+        total,
     )
-    nodes = np.asarray(nodes)[:S]
-    cand_dist = np.asarray(cand_dist)[:S]
-    overflow = np.asarray(overflow)[:S]
-    return nodes, cand_dist, overflow, int(total)

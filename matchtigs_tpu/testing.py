@@ -38,9 +38,29 @@ def make_pangenome_store(
     n_strains: int = 4,
     mutation_rate: float = 0.005,
     seed: int = 0,
+    cache_dir: str | None = None,
 ) -> tuple["SequenceStore", np.ndarray, int]:
     """Reference genome + mutated strains -> unitig store (BASELINE.json
-    config-5 analog: pangenome unitigs with bubble-rich topology)."""
+    config-5 analog: pangenome unitigs with bubble-rich topology).
+
+    With `cache_dir`, the deterministic result is cached on disk keyed by
+    the parameters (generation is memory-bandwidth-bound at 10M+ scales).
+    """
+    cache_path = None
+    if cache_dir is not None:
+        from pathlib import Path
+
+        key = f"pan_{genome_length}_{k}_{n_strains}_{mutation_rate}_{seed}"
+        cache_path = Path(cache_dir) / f"{key}.npz"
+        if cache_path.exists():
+            data = np.load(cache_path)
+            store = SequenceStore()
+            store._chunks = []
+            store._lengths = (data["offsets"][1:] - data["offsets"][:-1]).tolist()
+            store._codes = data["codes"]
+            store._offsets = data["offsets"]
+            return store, data["kmers"], k
+
     base = random_genome(genome_length, seed=seed)
     kmer_parts = [kmer_set_of_codes(base, k)]
     for i in range(1, n_strains):
@@ -52,6 +72,9 @@ def make_pangenome_store(
     for u in unitigs:
         store.add(u)
     store.finalize()
+    if cache_path is not None:
+        cache_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cache_path, codes=store.codes, offsets=store.offsets, kmers=kmers)
     return store, kmers, k
 
 
