@@ -53,8 +53,8 @@ K = 31
 N_STRAINS = 7
 MUTATION_RATE = 0.01
 SEED = 0
-CAPACITY = 128
-BATCH_SIZE = 4096
+CAPACITY = 16
+BATCH_SIZE = 8192
 BASELINE_SAMPLE = 2048
 DATA_CACHE = str(Path(__file__).parent / ".bench_data")
 
@@ -68,6 +68,7 @@ def main() -> None:
         mutation_rate=MUTATION_RATE,
         seed=SEED,
         cache_dir=DATA_CACHE,
+        with_repeats=True,
     )
     n_unitigs = len(store)
     g = build_bigraph_from_unitigs(store, k)
@@ -90,13 +91,25 @@ def main() -> None:
     )
     print(f"warmup(compile): {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
-    # Timed: the full greedy-matchtigs compute.
+    # Timed: the full greedy-matchtigs compute (candidates captured for
+    # the baseline's matching+euler measurement).
+    import matchtigs_tpu.algos.greedytigs as gt
+
+    _CANDS = [None]
+    _orig_collect = gt.collect_candidates
+
+    def _capture(*args, **kw):
+        _CANDS[0] = _orig_collect(*args, **kw)
+        return _CANDS[0]
+
+    gt.collect_candidates = _capture
     g_run = g.copy()
     t0 = time.monotonic()
     tigs = compute_greedytigs(
         g_run,
         GreedytigConfig(k=k, initial_capacity=CAPACITY, batch_size=BATCH_SIZE),
     )
+    gt.collect_candidates = _orig_collect
     elapsed = time.monotonic() - t0
     unitigs_per_s = n_unitigs / elapsed
     kmers_per_s = len(kmers) / elapsed
@@ -117,19 +130,12 @@ def main() -> None:
             1 for node, d in dists.items() if d >= 1 and in_mask[node]
         )
     host_sssp_time = (time.monotonic() - t0) * (len(out_nodes) / len(sample))
-    # matching + euler: reuse the device run's host-side portion by
-    # re-running them on a fresh graph with the device candidates.
+    # matching + euler host-side time, measured on the device candidates.
     from matchtigs_tpu.algos.greedytigs import collect_candidates
     from matchtigs_tpu.ops import euler as euler_ops
 
     g_host = g.copy()
-    cands = collect_candidates(
-        g_host,
-        out_nodes,
-        in_mask,
-        k,
-        GreedytigConfig(k=k, initial_capacity=CAPACITY, batch_size=BATCH_SIZE),
-    )
+    cands = _CANDS[0]
     t0 = time.monotonic()
     acc = greedy_accept(g_host, cands, mult.copy())
     n = len(acc)

@@ -45,9 +45,11 @@ class GreedytigConfig:
     k: int
     # Initial per-source working-set capacity for the batched search;
     # overflowing sources are retried with 4x capacity until complete.
-    initial_capacity: int = 128
+    # Balls are tiny for most sources (the k-1 distance bound caps the
+    # radius), so the ladder starts small to keep sort widths minimal.
+    initial_capacity: int = 16
     max_capacity: int = 1 << 16
-    batch_size: int = 1024
+    batch_size: int = 8192
     # "auto": shard source batches over the mesh when >1 device is
     # available; True/False force it.
     use_mesh: bool | str = "auto"

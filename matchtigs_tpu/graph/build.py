@@ -95,6 +95,68 @@ def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
     return g
 
 
+def build_bigraph_from_links(
+    store: SequenceStore, links: list[tuple[int, bool, int, bool]], k: int
+) -> Bigraph:
+    """Construct the node bigraph from explicit topology links.
+
+    The reference's GFA/BCALM2 input path (L-lines / header annotations,
+    /root/reference/src/bin.rs:874-915): unitig endpoints are merged by
+    union-find over 4 endpoint slots per unitig (the clib.rs:104-122
+    numbering), rather than by (k-1)-mer hashing.  For true compacted de
+    Bruijn unitig sets both constructions agree; this path skips sequence
+    hashing entirely.
+    """
+    n_uni = len(store)
+    parent = np.arange(n_uni * 4, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, sa, b, sb in links:
+        out_a = a * 4 + (2 if sa else 1)
+        in_b = b * 4 + (0 if sb else 3)
+        mirror_in_a = a * 4 + (3 if sa else 0)
+        mirror_out_b = b * 4 + (1 if sb else 2)
+        parent[find(out_a)] = find(in_b)
+        parent[find(mirror_in_a)] = find(mirror_out_b)
+
+    roots = np.asarray([find(i) for i in range(len(parent))], dtype=np.int64)
+    _, node_of_slot = np.unique(roots, return_inverse=True)
+    n_nodes = int(node_of_slot.max(initial=-1)) + 1
+
+    u = np.arange(n_uni, dtype=np.int64)
+    n1 = node_of_slot[u * 4]
+    n2 = node_of_slot[u * 4 + 2]
+    mirror_n2 = node_of_slot[u * 4 + 3]
+    mirror_n1 = node_of_slot[u * 4 + 1]
+    mirror_node = np.full(n_nodes, -1, dtype=np.int32)
+    mirror_node[n1] = mirror_n1
+    mirror_node[mirror_n1] = n1
+    mirror_node[n2] = mirror_n2
+    mirror_node[mirror_n2] = n2
+    assert np.all(mirror_node >= 0)
+
+    g = Bigraph(n_nodes, mirror_node)
+    lengths = store.offsets[1:] - store.offsets[:-1]
+    g.add_biedge_pairs(
+        src=n1.astype(np.int32),
+        dst=n2.astype(np.int32),
+        weight=(lengths + 1 - k).astype(np.int64),
+        handle=u,
+        forward=np.ones(n_uni, dtype=bool),
+        dummy_id=np.zeros(n_uni, dtype=np.int64),
+    )
+    assert g.verify_node_pairing()
+    assert g.verify_edge_mirror_property()
+    return g
+
+
 def compute_edge_weights(g: Bigraph, store: SequenceStore, k: int) -> None:
     """Set edge weight = k-mer count = len(seq) + 1 - k.
 

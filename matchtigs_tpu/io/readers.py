@@ -27,6 +27,9 @@ from .sequence_store import SequenceStore
 class GfaProperties:
     k: int | None
     header: str | None
+    # L-line topology: (unitig_a, strand_a, unitig_b, strand_b) per link,
+    # unitig ids being S-line ordinals.
+    links: list[tuple[int, bool, int, bool]] | None = None
 
 
 def _open_maybe_gz(path: str | Path, mode: str = "rb"):
@@ -87,6 +90,8 @@ def read_gfa(path: str | Path) -> tuple[SequenceStore, GfaProperties]:
     store = SequenceStore()
     header: str | None = None
     k: int | None = None
+    name_to_id: dict[bytes, int] = {}
+    links: list[tuple[int, bool, int, bool]] = []
     with _open_maybe_gz(path) as f:
         for line in f:
             line = line.rstrip(b"\r\n")
@@ -100,15 +105,44 @@ def read_gfa(path: str | Path) -> tuple[SequenceStore, GfaProperties]:
                     k = int(m.group(1))
             elif tag == b"S":
                 fields = line.split(b"\t")
-                store.add_ascii(fields[2])
-            elif tag == b"L" and k is None:
+                name_to_id[fields[1]] = store.add_ascii(fields[2])
+            elif tag == b"L":
                 fields = line.split(b"\t")
-                if len(fields) >= 6:
+                if k is None and len(fields) >= 6:
                     m = _OVERLAP_RE.match(fields[5])
                     if m:
                         k = int(m.group(1)) + 1
+                if len(fields) >= 5:
+                    a = name_to_id.get(fields[1])
+                    b = name_to_id.get(fields[3])
+                    if a is not None and b is not None:
+                        links.append(
+                            (a, fields[2] == b"+", b, fields[4] == b"+")
+                        )
     store.finalize()
-    return store, GfaProperties(k=k, header=header)
+    return store, GfaProperties(k=k, header=header, links=links)
+
+
+_BCALM_LINK_RE = re.compile(rb"L:([+-]):(\d+):([+-])")
+
+
+def read_bcalm2(path: str | Path) -> tuple[SequenceStore, list[tuple[int, bool, int, bool]]]:
+    """Read BCALM2/GGCAT fasta: sequences plus header-annotated topology.
+
+    BCALM2 headers carry ``L:<my_strand>:<other_id>:<other_strand>`` tags
+    (the reference's fast input path, /root/reference/src/bin.rs:902-915).
+    """
+    store = SequenceStore()
+    links: list[tuple[int, bool, int, bool]] = []
+    with _open_maybe_gz(path) as f:
+        for uid, (head, seq) in enumerate(_iter_fasta_records(f)):
+            store.add_ascii(seq)
+            for m in _BCALM_LINK_RE.finditer(head):
+                links.append(
+                    (uid, m.group(1) == b"+", int(m.group(2)), m.group(3) == b"+")
+                )
+    store.finalize()
+    return store, links
 
 
 def load_unitigs(

@@ -23,6 +23,59 @@ def random_genome(length: int, seed: int = 0) -> np.ndarray:
     return rng.integers(0, 4, size=length, dtype=np.uint8)
 
 
+def random_genome_with_repeats(
+    length: int,
+    seed: int = 0,
+    repeat_len: int = 300,
+    n_families: int = 3,
+    copies_per_family: int = 200,
+    divergence: float = 0.03,
+) -> np.ndarray:
+    """Random genome with interspersed diverged repeat families.
+
+    Real genomes are repeat-rich; repeat families create dense tangles in
+    the de Bruijn graph where bounded shortest-path searches expand large
+    balls — the regime the reference's resource-limited staged parallelism
+    exists for (greedytigs/mod.rs:537-644) and where batched device search
+    pays off.
+    """
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=length, dtype=np.uint8)
+    families = [
+        rng.integers(0, 4, size=repeat_len, dtype=np.uint8)
+        for _ in range(n_families)
+    ]
+    # interspersed repeats (LINE/SINE-like): diverged copies scattered
+    for fam in families:
+        positions = rng.integers(0, length - repeat_len, size=copies_per_family)
+        for pos in positions:
+            copy = fam.copy()
+            muts = np.flatnonzero(rng.random(repeat_len) < divergence)
+            copy[muts] = (
+                copy[muts] + rng.integers(1, 4, size=len(muts), dtype=np.uint8)
+            ) % 4
+            genome[pos : pos + repeat_len] = copy
+    # tandem satellite arrays (alpha-satellite-like): ~171bp units repeated
+    # in place with small divergence -- the dense-tangle regime where the
+    # de Bruijn graph becomes a hairball of short unitigs and bounded
+    # searches expand large balls
+    unit_len = 171
+    n_arrays = max(1, length // 2_000_000)
+    array_copies = 400
+    for _ in range(n_arrays):
+        unit = rng.integers(0, 4, size=unit_len, dtype=np.uint8)
+        arr_len = unit_len * array_copies
+        pos = int(rng.integers(0, max(1, length - arr_len)))
+        for c in range(array_copies):
+            copy = unit.copy()
+            muts = np.flatnonzero(rng.random(unit_len) < 0.02)
+            copy[muts] = (
+                copy[muts] + rng.integers(1, 4, size=len(muts), dtype=np.uint8)
+            ) % 4
+            genome[pos + c * unit_len : pos + (c + 1) * unit_len] = copy
+    return genome
+
+
 def mutate_genome(genome: np.ndarray, rate: float, seed: int = 0) -> np.ndarray:
     """Substitution-mutated copy of a genome (pangenome-strain analog)."""
     rng = np.random.default_rng(seed)
@@ -39,9 +92,12 @@ def make_pangenome_store(
     mutation_rate: float = 0.005,
     seed: int = 0,
     cache_dir: str | None = None,
+    with_repeats: bool = False,
 ) -> tuple["SequenceStore", np.ndarray, int]:
     """Reference genome + mutated strains -> unitig store (BASELINE.json
-    config-5 analog: pangenome unitigs with bubble-rich topology).
+    config-5 analog: pangenome unitigs with bubble-rich topology;
+    `with_repeats` adds diverged repeat families for realistic dense
+    tangles).
 
     With `cache_dir`, the deterministic result is cached on disk keyed by
     the parameters (generation is memory-bandwidth-bound at 10M+ scales).
@@ -50,7 +106,8 @@ def make_pangenome_store(
     if cache_dir is not None:
         from pathlib import Path
 
-        key = f"pan_{genome_length}_{k}_{n_strains}_{mutation_rate}_{seed}"
+        rep = "_rep" if with_repeats else ""
+        key = f"pan_{genome_length}_{k}_{n_strains}_{mutation_rate}_{seed}{rep}"
         cache_path = Path(cache_dir) / f"{key}.npz"
         if cache_path.exists():
             data = np.load(cache_path)
@@ -61,7 +118,14 @@ def make_pangenome_store(
             store._offsets = data["offsets"]
             return store, data["kmers"], k
 
-    base = random_genome(genome_length, seed=seed)
+    if with_repeats:
+        base = random_genome_with_repeats(
+            genome_length,
+            seed=seed,
+            copies_per_family=max(20, genome_length // 25000),
+        )
+    else:
+        base = random_genome(genome_length, seed=seed)
     kmer_parts = [kmer_set_of_codes(base, k)]
     for i in range(1, n_strains):
         strain = mutate_genome(base, mutation_rate, seed=seed + 1000 + i)
