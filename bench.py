@@ -79,16 +79,17 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Warmup / compile with the production batch shape.
+    # Warmup / compile every ladder stage shape the run can hit, so the
+    # timed section contains zero compiles.
     dg = build_device_graph(g)
     t0 = time.monotonic()
-    batched_bounded_sssp(
-        dg,
-        out_nodes[:BATCH_SIZE],
-        max_weight=k - 1,
-        capacity=CAPACITY,
-        batch_size=BATCH_SIZE,
-    )
+    cap, bs = CAPACITY, BATCH_SIZE
+    while cap <= 1024:
+        batched_bounded_sssp(
+            dg, out_nodes[:bs], max_weight=k - 1, capacity=cap, batch_size=bs
+        )
+        cap *= 4
+        bs = max(8, bs // 4)
     print(f"warmup(compile): {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     # Timed: the full greedy-matchtigs compute (candidates captured for

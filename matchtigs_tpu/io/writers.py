@@ -102,7 +102,10 @@ def spell_walks_flat(
     dummy = np.ascontiguousarray(g.is_dummy()[:E], dtype=np.int8)
     codes = np.ascontiguousarray(store.codes, dtype=np.uint8)
     seq_off = np.ascontiguousarray(store.offsets, dtype=np.int64)
-    total = sum(spelled_length(g, w, k) for w in walks)
+    # total spelled length = (k-1) per walk + every edge's weight
+    # (cheap dummies contribute their weight through the next edge's
+    # reduced overlap; breaking dummies never appear inside walks)
+    total = (k - 1) * len(walks) + int(weight[flat].sum())
     out = np.empty(total, dtype=np.uint8)
     out_off = np.empty(len(walks), dtype=np.int64)
     p = native.as_ll_ptr

@@ -174,10 +174,14 @@ def batched_bounded_sssp(
     nw = jnp.asarray(dg.nw)
     packed = _can_pack(dg, max_weight)
 
-    out_nodes, out_dist, out_over = [], [], []
+    # Dispatch all batches asynchronously, then materialize: JAX queues the
+    # programs so device round-trip latency overlaps across batches (the
+    # axon tunnel has high per-call latency).
+    pending = []
     for start in range(0, S, batch_size):
         chunk = sources[start : start + batch_size]
-        pad = batch_size - len(chunk)
+        n = len(chunk)
+        pad = batch_size - n
         if pad:
             chunk = np.concatenate([chunk, np.full(pad, dg.n_nodes, np.int32)])
         nodes, dist, overflow, _ = _sssp_kernel(
@@ -190,10 +194,10 @@ def batched_bounded_sssp(
             deg_pad=dg.deg_pad,
             packed=packed,
         )
-        n = len(sources[start : start + batch_size])
-        out_nodes.append(np.asarray(nodes)[:n])
-        out_dist.append(np.asarray(dist)[:n])
-        out_over.append(np.asarray(overflow)[:n])
+        pending.append((nodes, dist, overflow, n))
+    out_nodes = [np.asarray(nodes)[:n] for nodes, _, _, n in pending]
+    out_dist = [np.asarray(dist)[:n] for _, dist, _, n in pending]
+    out_over = [np.asarray(overflow)[:n] for _, _, overflow, n in pending]
     return (
         np.concatenate(out_nodes),
         np.concatenate(out_dist),
