@@ -41,6 +41,7 @@ def compute_eulertigs(g: Bigraph, config: EulertigConfig) -> list[np.ndarray]:
 
     if not euler.decomposes_into_eulerian_bicycles(g):
         raise AssertionError("Failed to make the graph Eulerian")
+    euler.assert_no_consecutive_dummy_edges(g, k)
     assert g.verify_node_pairing()
     assert g.verify_edge_mirror_property()
 

@@ -53,6 +53,11 @@ class GreedytigConfig:
     # "auto": shard source batches over the mesh when >1 device is
     # available; True/False force it.
     use_mesh: bool | str = "auto"
+    # Overflow handling: "host" finishes capacity-overflow sources with
+    # the native C++ Dijkstra (single device program shape; the tail is a
+    # tiny fraction of sources); "ladder" retries on device with 4x
+    # capacity per stage (one compiled shape per stage).
+    overflow_mode: str = "host"
 
 
 @dataclass
@@ -155,6 +160,20 @@ def collect_candidates(
                 )
         pending = pending[overflow]
         if len(pending) > 0:
+            if config.overflow_mode == "host":
+                # Finish the heavy tail with the native host Dijkstra
+                # (keeps a single compiled device program shape).
+                from ..ops.sssp import host_dijkstra_candidates
+
+                stats.retries += 1
+                stats.stage_sources.append(len(pending))
+                logger.info(
+                    "Finishing %d overflowed sources on host", len(pending)
+                )
+                tail = host_dijkstra_candidates(dg, pending, k - 1, in_mask)
+                if len(tail):
+                    triples.append(tail)
+                break
             if capacity >= config.max_capacity:
                 raise RuntimeError(
                     f"SSSP capacity {capacity} exhausted for {len(pending)} sources"
@@ -214,6 +233,7 @@ def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> list[np.ndarray]:
     euler.make_eulerian_with_breaking_edges(g, k, dummy_edge_id)
     if not euler.decomposes_into_eulerian_bicycles(g):
         raise AssertionError("Failed to make the graph Eulerian")
+    euler.assert_no_consecutive_dummy_edges(g, k)
 
     cycles = euler.eulerian_bicycle_decomposition(g)
     logger.info("Found %d Eulerian bicycles", len(cycles))

@@ -40,9 +40,14 @@ logger = logging.getLogger(__name__)
 @dataclass
 class MatchtigConfig:
     k: int
-    initial_capacity: int = 128
+    initial_capacity: int = 16
     max_capacity: int = 1 << 16
-    batch_size: int = 1024
+    batch_size: int = 8192
+    # If set, the collapsed matching instance and its solution are written
+    # to <prefix>.matching / <prefix>.matching.solution — the durable
+    # intermediate analog of the reference's blossom5 files
+    # (<prefix>.minimalperfectmatching[.solution], matchtigs/mod.rs:600-603).
+    matching_file_prefix: str | None = None
 
 
 def _matching_node_ids(g: Bigraph, diff: np.ndarray):
@@ -142,6 +147,18 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
         )
     logger.info("Matched %d id pairs", len(matched_pairs))
 
+    if config.matching_file_prefix is not None:
+        inst = f"{config.matching_file_prefix}.matching"
+        with open(inst, "w") as f:
+            f.write(f"{n_ids} {len(edges)}\n")
+            for (a, b), (w, _, _) in sorted(edges.items()):
+                f.write(f"{a} {b} {w}\n")
+        with open(inst + ".solution", "w") as f:
+            f.write(f"{n_ids} {len(matched_pairs)}\n")
+            for a, b in matched_pairs:
+                f.write(f"{a} {b}\n")
+        logger.info("Wrote matching instance and solution to %s[.solution]", inst)
+
     # Apply matching: insert cheap dummy biedges.
     dummy_edge_id = 0
     for a, b in matched_pairs:
@@ -156,6 +173,7 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
     euler.make_eulerian_with_breaking_edges(g, k, dummy_edge_id)
     if not euler.decomposes_into_eulerian_bicycles(g):
         raise AssertionError("Failed to make the graph Eulerian")
+    euler.assert_no_consecutive_dummy_edges(g, k)
 
     cycles = euler.eulerian_bicycle_decomposition(g)
     logger.info("Found %d Eulerian bicycles", len(cycles))

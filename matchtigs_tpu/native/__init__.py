@@ -84,6 +84,11 @@ def load() -> ctypes.CDLL:
     lib.spell_walks.argtypes = [
         llp, llp, ll, llp, llp, i8p, i8p, u8p, llp, ll, u8p, llp,
     ]
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.bounded_dijkstra_candidates.restype = ll
+    lib.bounded_dijkstra_candidates.argtypes = [
+        ll, ll, ip, ip, ll, llp, ll, i8p, ll, llp, llp, llp,
+    ]
     _lib = lib
     return lib
 
@@ -110,3 +115,11 @@ def as_u8_ptr(a):
 
     assert a.dtype == np.uint8 and a.flags.c_contiguous
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+
+
+def as_i32_ptr(a):
+    """int32 numpy array -> c_int pointer (no copy)."""
+    import numpy as np
+
+    assert a.dtype == np.int32 and a.flags.c_contiguous
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))

@@ -44,6 +44,31 @@ def decomposes_into_eulerian_bicycles(g: Bigraph) -> bool:
     return bool(np.all(g.imbalances() == 0))
 
 
+def assert_no_consecutive_dummy_edges(g: Bigraph, k: int) -> None:
+    """No node may have both an incoming and an outgoing dummy edge,
+    except a single mirror pair of nonzero weight.
+
+    Vectorized analog of ``debug_assert_graph_has_no_consecutive_dummy_edges``
+    (/root/reference/src/implementation/mod.rs:319-390).
+    """
+    d = g.is_dummy()
+    src = g.srcs()
+    dst = g.dsts()
+    dummy_out = np.bincount(src[d], minlength=g.n_nodes)
+    dummy_in = np.bincount(dst[d], minlength=g.n_nodes)
+    both = np.flatnonzero((dummy_out > 0) & (dummy_in > 0))
+    for v in both.tolist():
+        ins = [e for e in g.in_edges_of(v) if d[e]]
+        outs = [e for e in g.out_edges_of(v) if d[e]]
+        if len(ins) == 1 and len(outs) == 1 and (ins[0] ^ 1) == outs[0]:
+            assert g.weights()[ins[0]] != 0
+            continue
+        raise AssertionError(
+            f"node {v} has both incoming and outgoing dummy edges "
+            f"(self-mirror={g.is_self_mirror_node(v)}, in={ins}, out={outs})"
+        )
+
+
 class _LazyHeap:
     """Heap over node ids with lazy deletion against a membership dict."""
 

@@ -205,6 +205,52 @@ def batched_bounded_sssp(
     )
 
 
+def host_dijkstra_candidates(
+    dg: DeviceGraph,
+    sources: np.ndarray,
+    max_weight: int,
+    in_mask: np.ndarray,
+) -> np.ndarray:
+    """Native C++ bounded Dijkstra fan-out: (src, dst, dist) triples.
+
+    The host half of the hybrid search: the device kernel handles the bulk
+    of sources; the heavy tail (capacity overflows) and small jobs run
+    here.  Also the reference-design baseline (heap + sparse map) used by
+    the benchmark.
+    """
+    from .. import native
+
+    lib = native.load()
+    sources = np.ascontiguousarray(sources, dtype=np.int64)
+    mask = np.zeros(dg.n_nodes + 1, dtype=np.int8)
+    mask[: len(in_mask)] = in_mask
+    nbr = np.ascontiguousarray(dg.nbr, dtype=np.int32)
+    nw = np.ascontiguousarray(dg.nw, dtype=np.int32)
+    cap = max(1024, 64 * len(sources))
+    while True:
+        out_src = np.empty(cap, dtype=np.int64)
+        out_dst = np.empty(cap, dtype=np.int64)
+        out_dist = np.empty(cap, dtype=np.int64)
+        p = native.as_ll_ptr
+        n = lib.bounded_dijkstra_candidates(
+            dg.n_nodes,
+            dg.deg_pad,
+            native.as_i32_ptr(nbr),
+            native.as_i32_ptr(nw),
+            len(sources),
+            p(sources),
+            max_weight,
+            native.as_i8_ptr(mask),
+            cap,
+            p(out_src),
+            p(out_dst),
+            p(out_dist),
+        )
+        if n >= 0:
+            return np.stack([out_src[:n], out_dst[:n], out_dist[:n]], axis=1)
+        cap *= 4
+
+
 def sssp_reference_host(
     dg: DeviceGraph, source: int, max_weight: int
 ) -> dict[int, int]:

@@ -13,6 +13,8 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <queue>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -114,5 +116,58 @@ i64 spell_walks(const i64* walks, const i64* walk_offsets, i64 n_walks,
     w_start = w_end;
   }
   return pos;
+}
+
+// Bounded multi-target Dijkstra over the padded adjacency, host fallback
+// for capacity-overflow sources and the reference-design baseline
+// (traitgraph-algo Dijkstra analog: binary heap + sparse distance map,
+// /root/reference call sites greedytigs/mod.rs:324-341).
+// Emits candidate triples (source, target, dist) for targets with
+// in_mask set and 1 <= dist <= max_weight.  Returns the number of triples
+// written, or -1 if out_cap would be exceeded.
+i64 bounded_dijkstra_candidates(i64 n_nodes, i64 deg_pad, const int* nbr,
+                                const int* nw, i64 n_sources,
+                                const i64* sources, i64 max_weight,
+                                const signed char* in_mask, i64 out_cap,
+                                i64* out_src, i64* out_dst, i64* out_dist) {
+  i64 n_out = 0;
+  std::unordered_map<i64, i64> dist;
+  using QE = std::pair<i64, i64>;  // (dist, node)
+  std::priority_queue<QE, std::vector<QE>, std::greater<QE>> heap;
+  for (i64 s = 0; s < n_sources; ++s) {
+    i64 src = sources[s];
+    dist.clear();
+    dist[src] = 0;
+    heap.push({0, src});
+    while (!heap.empty()) {
+      auto [d, u] = heap.top();
+      heap.pop();
+      auto it = dist.find(u);
+      if (it == dist.end() || d != it->second) continue;  // stale or settled
+      it->second = -d - 1;  // mark settled (negative: never re-relaxed)
+      if (u != src && d >= 1 && in_mask[u]) {
+        if (n_out >= out_cap) return -1;
+        out_src[n_out] = src;
+        out_dst[n_out] = u;
+        out_dist[n_out] = d;
+        ++n_out;
+      }
+      const int* row = nbr + u * deg_pad;
+      const int* wrow = nw + u * deg_pad;
+      for (i64 j = 0; j < deg_pad; ++j) {
+        i64 v = row[j];
+        if (v == n_nodes) continue;
+        i64 nd = d + wrow[j];
+        if (nd > max_weight) continue;
+        auto f = dist.find(v);
+        if (f == dist.end() || nd < f->second) {
+          dist[v] = nd;
+          heap.push({nd, v});
+        }
+      }
+    }
+    while (!heap.empty()) heap.pop();
+  }
+  return n_out;
 }
 }
