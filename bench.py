@@ -54,8 +54,8 @@ N_STRAINS = 7
 MUTATION_RATE = 0.01
 SEED = 0
 CAPACITY = 16
-BATCH_SIZE = 65536
-BASELINE_SAMPLE = 65536
+BATCH_SIZE = 8192
+BASELINE_SAMPLE = 65536  # C++ MT baseline sample
 DATA_CACHE = str(Path(__file__).parent / ".bench_data")
 
 

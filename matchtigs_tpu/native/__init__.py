@@ -89,6 +89,10 @@ def load() -> ctypes.CDLL:
     lib.bounded_dijkstra_candidates.argtypes = [
         ll, ll, ip, ip, ll, llp, ll, i8p, ll, llp, llp, llp,
     ]
+    lib.bounded_dijkstra_candidates_mt.restype = ll
+    lib.bounded_dijkstra_candidates_mt.argtypes = [
+        ll, ll, ip, ip, ll, llp, ll, i8p, ll, llp, llp, llp, ll, llp,
+    ]
     _lib = lib
     return lib
 

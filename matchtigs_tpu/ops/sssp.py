@@ -210,29 +210,35 @@ def host_dijkstra_candidates(
     sources: np.ndarray,
     max_weight: int,
     in_mask: np.ndarray,
+    n_threads: int | None = None,
 ) -> np.ndarray:
     """Native C++ bounded Dijkstra fan-out: (src, dst, dist) triples.
 
     The host half of the hybrid search: the device kernel handles the bulk
     of sources; the heavy tail (capacity overflows) and small jobs run
-    here.  Also the reference-design baseline (heap + sparse map) used by
-    the benchmark.
+    here.  Also the reference-design baseline (heap + sparse map, one
+    chunk per thread) used by the benchmark.
     """
+    import os
+
     from .. import native
 
     lib = native.load()
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, max(1, len(sources) // 256))
     sources = np.ascontiguousarray(sources, dtype=np.int64)
     mask = np.zeros(dg.n_nodes + 1, dtype=np.int8)
     mask[: len(in_mask)] = in_mask
     nbr = np.ascontiguousarray(dg.nbr, dtype=np.int32)
     nw = np.ascontiguousarray(dg.nw, dtype=np.int32)
-    cap = max(1024, 64 * len(sources))
+    cap = max(4096, 64 * len(sources))
+    p = native.as_ll_ptr
     while True:
         out_src = np.empty(cap, dtype=np.int64)
         out_dst = np.empty(cap, dtype=np.int64)
         out_dist = np.empty(cap, dtype=np.int64)
-        p = native.as_ll_ptr
-        n = lib.bounded_dijkstra_candidates(
+        seg_counts = np.empty(max(1, n_threads), dtype=np.int64)
+        lib.bounded_dijkstra_candidates_mt(
             dg.n_nodes,
             dg.deg_pad,
             native.as_i32_ptr(nbr),
@@ -245,9 +251,26 @@ def host_dijkstra_candidates(
             p(out_src),
             p(out_dst),
             p(out_dist),
+            n_threads,
+            p(seg_counts),
         )
-        if n >= 0:
-            return np.stack([out_src[:n], out_dst[:n], out_dist[:n]], axis=1)
+        if np.all(seg_counts >= 0):
+            seg_cap = cap // max(1, n_threads)
+            parts = []
+            for t in range(max(1, n_threads)):
+                n = int(seg_counts[t])
+                s = t * seg_cap
+                parts.append(
+                    np.stack(
+                        [
+                            out_src[s : s + n],
+                            out_dst[s : s + n],
+                            out_dist[s : s + n],
+                        ],
+                        axis=1,
+                    )
+                )
+            return np.concatenate(parts)
         cap *= 4
 
 

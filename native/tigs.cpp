@@ -14,6 +14,7 @@
 #include <cstddef>
 #include <cstdint>
 #include <queue>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -123,18 +124,20 @@ i64 spell_walks(const i64* walks, const i64* walk_offsets, i64 n_walks,
 // (traitgraph-algo Dijkstra analog: binary heap + sparse distance map,
 // /root/reference call sites greedytigs/mod.rs:324-341).
 // Emits candidate triples (source, target, dist) for targets with
-// in_mask set and 1 <= dist <= max_weight.  Returns the number of triples
-// written, or -1 if out_cap would be exceeded.
-i64 bounded_dijkstra_candidates(i64 n_nodes, i64 deg_pad, const int* nbr,
-                                const int* nw, i64 n_sources,
-                                const i64* sources, i64 max_weight,
-                                const signed char* in_mask, i64 out_cap,
-                                i64* out_src, i64* out_dst, i64* out_dist) {
+// in_mask set and 1 <= dist <= max_weight into the [seg_start, seg_end)
+// region of the output buffers.  Returns triples written or -1 on
+// segment overflow.
+static i64 dijkstra_range(i64 n_nodes, i64 deg_pad, const int* nbr,
+                          const int* nw, const i64* sources, i64 s_begin,
+                          i64 s_end, i64 max_weight,
+                          const signed char* in_mask, i64 seg_start,
+                          i64 seg_cap, i64* out_src, i64* out_dst,
+                          i64* out_dist) {
   i64 n_out = 0;
   std::unordered_map<i64, i64> dist;
   using QE = std::pair<i64, i64>;  // (dist, node)
   std::priority_queue<QE, std::vector<QE>, std::greater<QE>> heap;
-  for (i64 s = 0; s < n_sources; ++s) {
+  for (i64 s = s_begin; s < s_end; ++s) {
     i64 src = sources[s];
     dist.clear();
     dist[src] = 0;
@@ -146,10 +149,10 @@ i64 bounded_dijkstra_candidates(i64 n_nodes, i64 deg_pad, const int* nbr,
       if (it == dist.end() || d != it->second) continue;  // stale or settled
       it->second = -d - 1;  // mark settled (negative: never re-relaxed)
       if (u != src && d >= 1 && in_mask[u]) {
-        if (n_out >= out_cap) return -1;
-        out_src[n_out] = src;
-        out_dst[n_out] = u;
-        out_dist[n_out] = d;
+        if (n_out >= seg_cap) return -1;
+        out_src[seg_start + n_out] = src;
+        out_dst[seg_start + n_out] = u;
+        out_dist[seg_start + n_out] = d;
         ++n_out;
       }
       const int* row = nbr + u * deg_pad;
@@ -169,5 +172,43 @@ i64 bounded_dijkstra_candidates(i64 n_nodes, i64 deg_pad, const int* nbr,
     while (!heap.empty()) heap.pop();
   }
   return n_out;
+}
+
+i64 bounded_dijkstra_candidates(i64 n_nodes, i64 deg_pad, const int* nbr,
+                                const int* nw, i64 n_sources,
+                                const i64* sources, i64 max_weight,
+                                const signed char* in_mask, i64 out_cap,
+                                i64* out_src, i64* out_dst, i64* out_dist) {
+  return dijkstra_range(n_nodes, deg_pad, nbr, nw, sources, 0, n_sources,
+                        max_weight, in_mask, 0, out_cap, out_src, out_dst,
+                        out_dist);
+}
+
+// Multithreaded variant: sources split into n_threads contiguous chunks,
+// each writing its own out-buffer segment of size out_cap / n_threads.
+// seg_counts[t] receives the triples written by thread t (-1 on that
+// thread's segment overflow).  Returns 0.
+i64 bounded_dijkstra_candidates_mt(i64 n_nodes, i64 deg_pad, const int* nbr,
+                                   const int* nw, i64 n_sources,
+                                   const i64* sources, i64 max_weight,
+                                   const signed char* in_mask, i64 out_cap,
+                                   i64* out_src, i64* out_dst, i64* out_dist,
+                                   i64 n_threads, i64* seg_counts) {
+  if (n_threads < 1) n_threads = 1;
+  i64 seg_cap = out_cap / n_threads;
+  std::vector<std::thread> threads;
+  for (i64 t = 0; t < n_threads; ++t) {
+    i64 s_begin = n_sources * t / n_threads;
+    i64 s_end = n_sources * (t + 1) / n_threads;
+    i64 seg_start = seg_cap * t;
+    threads.emplace_back([=]() {
+      seg_counts[t] =
+          dijkstra_range(n_nodes, deg_pad, nbr, nw, sources, s_begin, s_end,
+                         max_weight, in_mask, seg_start, seg_cap, out_src,
+                         out_dst, out_dist);
+    });
+  }
+  for (auto& th : threads) th.join();
+  return 0;
 }
 }
