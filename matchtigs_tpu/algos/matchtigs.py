@@ -52,30 +52,77 @@ class MatchtigConfig:
 
 def _matching_node_ids(g: Bigraph, diff: np.ndarray):
     """Assign |imbalance| consecutive matching ids per unbalanced binode
-    class (shared between a node and its mirror)."""
+    class (shared between a node and its mirror), vectorized.
+
+    Returns (ids_start [N], ids_count [N], total, reps, offsets): for node
+    v its matching ids are ids_start[v] .. ids_start[v]+ids_count[v]-1.
+    """
     mirror = g.mirror_node
     nodes = np.arange(g.n_nodes, dtype=np.int64)
     canon = np.minimum(nodes, mirror.astype(np.int64))
-    counts = np.abs(diff)
-    # class representative carries the count
+    counts = np.abs(diff).astype(np.int64)
+    # both members of a class carry the same |diff|; scatter to the rep
     class_counts = np.zeros(g.n_nodes, dtype=np.int64)
-    class_counts[canon] = np.maximum(class_counts[canon], 0)  # touch
-    for v in np.flatnonzero(counts):
-        c = int(canon[v])
-        class_counts[c] = max(class_counts[c], int(counts[v]))
+    class_counts[canon] = counts  # either member writes the same value
     reps = np.flatnonzero(class_counts)
     offsets = np.zeros(len(reps) + 1, dtype=np.int64)
     np.cumsum(class_counts[reps], out=offsets[1:])
-    rep_to_slot = {int(r): i for i, r in enumerate(reps)}
-    total = int(offsets[-1])
+    rep_start = np.full(g.n_nodes, -1, dtype=np.int64)
+    rep_start[reps] = offsets[:-1]
+    ids_start = rep_start[canon]
+    ids_count = class_counts[canon]
+    return ids_start, ids_count, int(offsets[-1]), reps, offsets
 
-    def ids_of(v: int) -> range:
-        slot = rep_to_slot.get(int(canon[v]))
-        if slot is None:
-            return range(0)
-        return range(int(offsets[slot]), int(offsets[slot + 1]))
 
-    return ids_of, total, canon, reps, offsets
+def _collapse_candidates(
+    g: Bigraph,
+    candidates: np.ndarray,
+    ids_start: np.ndarray,
+    ids_count: np.ndarray,
+    n_ids: int,
+):
+    """Expand candidate (u, v, w) triples into deduplicated matching-id
+    pair edges, vectorized (the GraphMatchingNodeMap product expansion,
+    /root/reference/src/implementation/matchtigs/mod.rs:273-305).
+
+    Returns (keys_a, keys_b, w, u, v) arrays, one row per unique id pair.
+    """
+    if len(candidates) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, e, e
+    u = candidates[:, 0]
+    v = candidates[:, 1]
+    w = candidates[:, 2]
+    assert np.all(w >= 1), "zero-weight candidate path"
+    cu = ids_count[u]
+    cv = ids_count[v]
+    max_c = int(max(cu.max(initial=1), cv.max(initial=1)))
+    parts = []
+    for i in range(max_c):
+        for j in range(max_c):
+            mask = (i < cu) & (j < cv)
+            if not mask.any():
+                continue
+            a = ids_start[u[mask]] + i
+            b = ids_start[v[mask]] + j
+            keep = a != b  # same-id self-loops only from mirror biedges
+            parts.append(
+                np.stack(
+                    [
+                        np.minimum(a, b)[keep],
+                        np.maximum(a, b)[keep],
+                        w[mask][keep],
+                        u[mask][keep],
+                        v[mask][keep],
+                    ],
+                    axis=1,
+                )
+            )
+    allp = np.concatenate(parts)
+    key = allp[:, 0] * n_ids + allp[:, 1]
+    _, first = np.unique(key, return_index=True)
+    rows = allp[first]
+    return rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3], rows[:, 4]
 
 
 def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
@@ -100,26 +147,13 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
     logger.info("Found %d candidate shortest paths", len(candidates))
 
     # Expand binodes into matching ids and collapse candidates to id pairs.
-    ids_of, n_ids, canon, reps, offsets = _matching_node_ids(g, diff)
+    ids_start, ids_count, n_ids, reps, offsets = _matching_node_ids(g, diff)
     logger.info("Matching instance has %d expanded nodes", n_ids)
 
-    edges: dict[tuple[int, int], tuple[int, int, int]] = {}
-    mirror = g.mirror_node
-    for u, v, w in candidates.tolist():
-        assert w >= 1, "zero-weight candidate path"
-        is_mirror_biedge = (u == int(mirror[v])) and u != v
-        for a in ids_of(u):
-            for b in ids_of(v):
-                if a == b:
-                    assert is_mirror_biedge, "self-loop not from a mirror biedge"
-                    continue
-                key = (min(a, b), max(a, b))
-                prev = edges.get(key)
-                if prev is None:
-                    edges[key] = (w, u, v)
-                else:
-                    assert prev[0] == w, "conflicting weights for id pair"
-    logger.info("Collapsed to %d matching edges", len(edges))
+    ka, kb, kw, ku, kv = _collapse_candidates(
+        g, candidates, ids_start, ids_count, n_ids
+    )
+    logger.info("Collapsed to %d matching edges", len(ka))
 
     # Components of the bidirected graph (doubled edges + mirror pairing);
     # each component's Eulerian tour needs >= 1 break, granted free by the
@@ -130,9 +164,9 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
         id_comp[int(offsets[i]) : int(offsets[i + 1])] = comp[r]
 
     matched_pairs: list[tuple[int, int]] = []
-    edge_arr = np.asarray(
-        [(a, b, w) for (a, b), (w, _, _) in edges.items()], dtype=np.int64
-    ).reshape(-1, 3)
+    edge_arr = np.stack([ka, kb, kw], axis=1) if len(ka) else np.empty(
+        (0, 3), dtype=np.int64
+    )
     for c in np.unique(id_comp):
         members = np.flatnonzero(id_comp == c)
         if len(members) == 0:
@@ -150,8 +184,8 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
     if config.matching_file_prefix is not None:
         inst = f"{config.matching_file_prefix}.matching"
         with open(inst, "w") as f:
-            f.write(f"{n_ids} {len(edges)}\n")
-            for (a, b), (w, _, _) in sorted(edges.items()):
+            f.write(f"{n_ids} {len(ka)}\n")
+            for a, b, w in np.stack([ka, kb, kw], axis=1).tolist():
                 f.write(f"{a} {b} {w}\n")
         with open(inst + ".solution", "w") as f:
             f.write(f"{n_ids} {len(matched_pairs)}\n")
@@ -159,12 +193,25 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
                 f.write(f"{a} {b}\n")
         logger.info("Wrote matching instance and solution to %s[.solution]", inst)
 
-    # Apply matching: insert cheap dummy biedges.
+    # Apply matching: insert cheap dummy biedges (lookup matched id pairs
+    # back to their (u, v, w) via the sorted pair keys).
+    pair_keys = ka * n_ids + kb
+    key_order = np.argsort(pair_keys)
+    sorted_keys = pair_keys[key_order]
     dummy_edge_id = 0
     for a, b in matched_pairs:
-        w, u, v = edges[(min(a, b), max(a, b))]
+        key = min(a, b) * n_ids + max(a, b)
+        idx = int(key_order[np.searchsorted(sorted_keys, key)])
+        assert pair_keys[idx] == key, "matched pair has no edge"
         dummy_edge_id += 1
-        g.add_biedge_pair(u, v, weight=w, handle=-1, forward=True, dummy_id=dummy_edge_id)
+        g.add_biedge_pair(
+            int(ku[idx]),
+            int(kv[idx]),
+            weight=int(kw[idx]),
+            handle=-1,
+            forward=True,
+            dummy_id=dummy_edge_id,
+        )
 
     assert g.verify_node_pairing()
     assert g.verify_edge_mirror_property()
