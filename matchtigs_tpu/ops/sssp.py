@@ -177,8 +177,19 @@ def batched_bounded_sssp(
     # Dispatch all batches asynchronously, then materialize: JAX queues the
     # programs so device round-trip latency overlaps across batches (the
     # axon tunnel has high per-call latency).
+    import logging
+
+    _logger = logging.getLogger(__name__)
+    n_batches = -(-S // batch_size)
     pending = []
     for start in range(0, S, batch_size):
+        if start // batch_size in (n_batches // 4, n_batches // 2, 3 * n_batches // 4):
+            _logger.info(
+                "%d%%, dispatched %d/%d source batches",
+                100 * start // S,
+                start // batch_size,
+                n_batches,
+            )
         chunk = sources[start : start + batch_size]
         n = len(chunk)
         pad = batch_size - n
