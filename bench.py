@@ -69,6 +69,7 @@ def _load_dataset():
 
 def device_run() -> None:
     """Subprocess entry: timed device greedytigs; writes RESULT_FILE."""
+    logging.getLogger("matchtigs_tpu").setLevel(logging.INFO)
     import jax
 
     cache = Path(__file__).parent / ".jax_cache"

@@ -196,6 +196,9 @@ def collect_candidates(
 
 def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> list[np.ndarray]:
     """Mutates `g` (adds dummy biedges) and returns edge walks."""
+    import time
+
+    t_start = time.monotonic()
     k = config.k
     out_nodes, in_mask, mult = unbalanced_nodes(g)
     logger.info(
@@ -204,13 +207,24 @@ def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> list[np.ndarray]:
         int(in_mask.sum()),
     )
 
+    t0 = time.monotonic()
     stats = SearchStats()
     candidates = collect_candidates(g, out_nodes, in_mask, k, config, stats)
     stats.log()
-    logger.info("Found %d candidate shortest paths", len(candidates))
+    logger.info(
+        "Found %d candidate shortest paths in %.2fs (scan %.2fs)",
+        len(candidates),
+        time.monotonic() - t0,
+        t0 - t_start,
+    )
 
+    t0 = time.monotonic()
     accepted = greedy_accept(g, candidates, mult)
-    logger.info("Accepted %d paths as cheap dummy edges", len(accepted))
+    logger.info(
+        "Accepted %d paths as cheap dummy edges in %.2fs",
+        len(accepted),
+        time.monotonic() - t0,
+    )
 
     dummy_edge_id = 0
     if len(accepted):
@@ -229,14 +243,22 @@ def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> list[np.ndarray]:
     assert g.verify_node_pairing()
     assert g.verify_edge_mirror_property()
 
+    t0 = time.monotonic()
     logger.info("Making graph Eulerian by adding breaking dummy edges")
     euler.make_eulerian_with_breaking_edges(g, k, dummy_edge_id)
     if not euler.decomposes_into_eulerian_bicycles(g):
         raise AssertionError("Failed to make the graph Eulerian")
     euler.assert_no_consecutive_dummy_edges(g, k)
+    logger.info("Balancing took %.2fs", time.monotonic() - t0)
 
+    t0 = time.monotonic()
     cycles = euler.eulerian_bicycle_decomposition(g)
     logger.info("Found %d Eulerian bicycles", len(cycles))
     tigs = euler.break_cycles(g, cycles, k)
-    logger.info("Found %d greedytigs", len(tigs))
+    logger.info(
+        "Found %d greedytigs (euler+break %.2fs, total %.2fs)",
+        len(tigs),
+        time.monotonic() - t0,
+        time.monotonic() - t_start,
+    )
     return tigs
