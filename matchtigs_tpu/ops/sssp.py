@@ -147,6 +147,49 @@ def _can_pack(dg: DeviceGraph, max_weight: int) -> bool:
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("capacity", "max_rounds", "deg_pad", "packed", "batch"),
+    donate_argnums=(4, 5, 6),
+)
+def _sssp_step_into(
+    nbr,
+    nw,
+    sources_all,  # int32 [S_pad] resident on device
+    batch_index,  # int32 scalar
+    nodes_buf,  # int32 [S_pad, C] (donated)
+    dist_buf,  # int32 [S_pad, C] (donated)
+    over_buf,  # bool [S_pad]    (donated)
+    max_weight,
+    capacity: int,
+    max_rounds: int,
+    deg_pad: int,
+    packed: bool,
+    batch: int,
+):
+    """Run one batch of the search and write results into the device
+    buffers.  One compiled program serves every batch (the index is an
+    operand), host<->device traffic is a single upload and download."""
+    start = batch_index * batch
+    chunk = jax.lax.dynamic_slice_in_dim(sources_all, start, batch)
+    nodes, dist, overflow, _ = _sssp_kernel(
+        nbr,
+        nw,
+        chunk,
+        max_weight,
+        capacity=capacity,
+        max_rounds=max_rounds,
+        deg_pad=deg_pad,
+        packed=packed,
+    )
+    nodes_buf = jax.lax.dynamic_update_slice_in_dim(nodes_buf, nodes, start, 0)
+    dist_buf = jax.lax.dynamic_update_slice_in_dim(dist_buf, dist, start, 0)
+    over_buf = jax.lax.dynamic_update_slice_in_dim(
+        over_buf, overflow, start, 0
+    )
+    return nodes_buf, dist_buf, over_buf
+
+
 def batched_bounded_sssp(
     dg: DeviceGraph,
     sources: np.ndarray,
@@ -159,6 +202,11 @@ def batched_bounded_sssp(
     Returns (nodes [S, C], dist [S, C], overflow [S]): per source the set
     of reachable nodes with distance <= max_weight (sentinel-padded, dist
     INF), and whether the search hit the capacity limit (incomplete).
+
+    All batches run device-resident: sources go up once, per-batch results
+    accumulate into donated device buffers, and the three result arrays
+    come down once — the per-batch host round-trips that dominate on
+    high-latency links are eliminated.
     """
     sources = np.asarray(sources, dtype=np.int32)
     S = len(sources)
@@ -170,49 +218,41 @@ def batched_bounded_sssp(
         )
     if batch_size is None:
         batch_size = S
+    batch_size = min(batch_size, max(1, S))
     nbr = jnp.asarray(dg.nbr)
     nw = jnp.asarray(dg.nw)
     packed = _can_pack(dg, max_weight)
 
-    # Dispatch all batches asynchronously, then materialize: JAX queues the
-    # programs so device round-trip latency overlaps across batches (the
-    # axon tunnel has high per-call latency).
-    import logging
-
-    _logger = logging.getLogger(__name__)
     n_batches = -(-S // batch_size)
-    pending = []
-    for start in range(0, S, batch_size):
-        if start // batch_size in (n_batches // 4, n_batches // 2, 3 * n_batches // 4):
-            _logger.info(
-                "%d%%, dispatched %d/%d source batches",
-                100 * start // S,
-                start // batch_size,
-                n_batches,
-            )
-        chunk = sources[start : start + batch_size]
-        n = len(chunk)
-        pad = batch_size - n
-        if pad:
-            chunk = np.concatenate([chunk, np.full(pad, dg.n_nodes, np.int32)])
-        nodes, dist, overflow, _ = _sssp_kernel(
+    S_pad = n_batches * batch_size
+    padded = np.full(S_pad, dg.n_nodes, dtype=np.int32)
+    padded[:S] = sources
+    sources_d = jnp.asarray(padded)
+    nodes_buf = jnp.zeros((S_pad, capacity), dtype=jnp.int32)
+    dist_buf = jnp.zeros((S_pad, capacity), dtype=jnp.int32)
+    over_buf = jnp.zeros((S_pad,), dtype=bool)
+    mw = jnp.int32(max_weight)
+
+    for i in range(n_batches):
+        nodes_buf, dist_buf, over_buf = _sssp_step_into(
             nbr,
             nw,
-            jnp.asarray(chunk),
-            jnp.int32(max_weight),
+            sources_d,
+            jnp.int32(i),
+            nodes_buf,
+            dist_buf,
+            over_buf,
+            mw,
             capacity=capacity,
             max_rounds=int(max_weight),
             deg_pad=dg.deg_pad,
             packed=packed,
+            batch=batch_size,
         )
-        pending.append((nodes, dist, overflow, n))
-    out_nodes = [np.asarray(nodes)[:n] for nodes, _, _, n in pending]
-    out_dist = [np.asarray(dist)[:n] for _, dist, _, n in pending]
-    out_over = [np.asarray(overflow)[:n] for _, _, overflow, n in pending]
     return (
-        np.concatenate(out_nodes),
-        np.concatenate(out_dist),
-        np.concatenate(out_over),
+        np.asarray(nodes_buf)[:S],
+        np.asarray(dist_buf)[:S],
+        np.asarray(over_buf)[:S],
     )
 
 
