@@ -147,10 +147,12 @@ def _can_pack(dg: DeviceGraph, max_weight: int) -> bool:
     )
 
 
+# NOTE: no donate_argnums — XLA's donation/aliasing analysis through the
+# inner while_loop inflates compile time ~100x on this backend; the
+# on-device buffer copies it avoids cost only a few ms per step.
 @functools.partial(
     jax.jit,
     static_argnames=("capacity", "max_rounds", "deg_pad", "packed", "batch"),
-    donate_argnums=(4, 5, 6),
 )
 def _sssp_step_into(
     nbr,
