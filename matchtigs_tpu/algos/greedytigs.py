@@ -100,6 +100,8 @@ def collect_candidates(
     stats: SearchStats | None = None,
 ) -> np.ndarray:
     """Run the batched bounded SSSP and extract (out, in, dist) triples."""
+    import time
+
     dg = build_device_graph(g)
     sentinel = dg.sentinel
     stats = stats if stats is not None else SearchStats()
@@ -112,11 +114,19 @@ def collect_candidates(
     triples: list[np.ndarray] = []
 
     pending = np.asarray(out_nodes, dtype=np.int32)
+    # Order sources by a difficulty proxy (their minimum incident edge
+    # weight: small weights mean deep multi-hop balls) so each batch's
+    # while-loop converges uniformly instead of every batch paying for its
+    # single hardest source.  Results carry source ids, so no inverse
+    # permutation is needed, and downstream acceptance re-sorts globally.
+    difficulty = dg.nw.min(axis=1)[pending]
+    pending = pending[np.argsort(-difficulty, kind="stable")]
     capacity = config.initial_capacity
     batch_size = config.batch_size
     while len(pending) > 0:
         stats.stage_sources.append(len(pending))
         stats.capacity_final = capacity
+        t_dev = time.monotonic()
         if use_mesh:
             nodes, dist, overflow, _ = sharded_bounded_sssp(
                 dg,
@@ -138,6 +148,9 @@ def collect_candidates(
                 batch_size=batch_size,
             )
             valid_mask_applied = False
+        logger.info(
+            "Device stage: %d sources in %.2fs", len(pending), time.monotonic() - t_dev
+        )
         done = ~overflow
         if np.any(done):
             dn = nodes[done]
@@ -167,10 +180,13 @@ def collect_candidates(
 
                 stats.retries += 1
                 stats.stage_sources.append(len(pending))
-                logger.info(
-                    "Finishing %d overflowed sources on host", len(pending)
-                )
+                t_tail = time.monotonic()
                 tail = host_dijkstra_candidates(dg, pending, k - 1, in_mask)
+                logger.info(
+                    "Finished %d overflowed sources on host in %.2fs",
+                    len(pending),
+                    time.monotonic() - t_tail,
+                )
                 if len(tail):
                     triples.append(tail)
                 break
