@@ -58,6 +58,12 @@ class GreedytigConfig:
     # tiny fraction of sources); "ladder" retries on device with 4x
     # capacity per stage (one compiled shape per stage).
     overflow_mode: str = "host"
+    # Sources whose minimum incident edge weight is <= this threshold are
+    # routed straight to the native host Dijkstra, running concurrently
+    # with the device batches (they sit in dense tangles with deep
+    # multi-hop balls, exactly the ones that overflow the device working
+    # set and gate batch convergence).  -1 disables the split.
+    host_route_threshold: int = 2
 
 
 @dataclass
@@ -120,6 +126,31 @@ def collect_candidates(
     # single hardest source.  Results carry source ids, so no inverse
     # permutation is needed, and downstream acceptance re-sorts globally.
     difficulty = dg.nw.min(axis=1)[pending]
+    host_thread = None
+    host_result: list[np.ndarray] = []
+    if config.host_route_threshold >= 0:
+        hard = difficulty <= config.host_route_threshold
+        if hard.any() and not hard.all():
+            import threading
+
+            from ..ops.sssp import host_dijkstra_candidates
+
+            hard_sources = pending[hard]
+            pending = pending[~hard]
+            difficulty = difficulty[~hard]
+            logger.info(
+                "Routing %d dense-tangle sources to the host Dijkstra "
+                "(concurrent with device batches)",
+                len(hard_sources),
+            )
+
+            def run_host():
+                host_result.append(
+                    host_dijkstra_candidates(dg, hard_sources, k - 1, in_mask)
+                )
+
+            host_thread = threading.Thread(target=run_host)
+            host_thread.start()
     pending = pending[np.argsort(-difficulty, kind="stable")]
     capacity = config.initial_capacity
     batch_size = config.batch_size
@@ -202,6 +233,11 @@ def collect_candidates(
                 len(pending),
                 capacity,
             )
+
+    if host_thread is not None:
+        host_thread.join()
+        if host_result and len(host_result[0]):
+            triples.append(host_result[0])
 
     if not triples:
         return np.empty((0, 3), dtype=np.int64)
