@@ -20,7 +20,7 @@ from .algos.eulertigs import EulertigConfig, compute_eulertigs
 from .algos.greedytigs import GreedytigConfig, compute_greedytigs
 from .algos.matchtigs import MatchtigConfig, compute_matchtigs
 from .algos.pathtigs import compute_pathtigs
-from .graph.build import build_bigraph_from_unitigs
+from .graph.build import build_bigraph_from_links, build_bigraph_from_unitigs
 from .io.readers import load_unitigs
 from .io.writers import (
     write_duplication_bitvector,
@@ -63,13 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--sssp-initial-capacity",
         type=int,
-        default=128,
+        default=16,
         help="initial per-source working-set capacity of the batched search",
     )
     p.add_argument(
         "--sssp-batch-size",
         type=int,
-        default=1024,
+        default=8192,
         help="number of sources relaxed per device batch",
     )
     p.add_argument(
@@ -114,10 +114,14 @@ def main(argv: list[str] | None = None) -> int:
     logger.info("matchtigs-tpu starting")
 
     load_start = time.monotonic()
-    store, k, gfa_header = load_unitigs(
+    store, k, gfa_header, links = load_unitigs(
         gfa_in=opts.gfa_in, fa_in=opts.fa_in, bcalm_in=opts.bcalm_in, k=opts.k
     )
-    graph = build_bigraph_from_unitigs(store, k)
+    if links:
+        logger.info("Building graph from %d explicit topology links", len(links))
+        graph = build_bigraph_from_links(store, links, k)
+    else:
+        graph = build_bigraph_from_unitigs(store, k)
     logger.info("Loading took %.1f seconds", time.monotonic() - load_start)
     logger.info("k = %d", k)
     logger.info(

@@ -2,11 +2,12 @@
 
 Capability-equivalent of ``genome-graph::io`` (call sites
 /root/reference/src/bin.rs:31-43,874-915).  All three formats produce a
-:class:`SequenceStore` plus the topology source; the graph itself is always
-reconstructed by vectorized (k-1)-overlap deduplication
-(:func:`matchtigs_tpu.graph.build.build_bigraph_from_unitigs`), which for
-compacted de Bruijn unitig sets is equivalent to following the explicit
-BCALM2/GFA link annotations.
+:class:`SequenceStore` plus a topology source: GFA L-lines and BCALM2
+header annotations yield explicit links (built with the union-find
+link builder, the reference's fast path); plain fasta falls back to
+vectorized (k-1)-overlap deduplication
+(:func:`matchtigs_tpu.graph.build.build_bigraph_from_unitigs`).  For true
+compacted de Bruijn unitig sets the two constructions agree.
 
 Gzip is sniffed by the ``.gz`` extension, like the reference
 (/root/reference/src/bin.rs:877,894,905).
@@ -150,11 +151,13 @@ def load_unitigs(
     fa_in: str | None = None,
     bcalm_in: str | None = None,
     k: int | None = None,
-) -> tuple[SequenceStore, int, str | None]:
-    """CLI-style loader: exactly one input source; returns (store, k, gfa_header).
+) -> tuple[SequenceStore, int, str | None, list | None]:
+    """CLI-style loader: exactly one input source.
 
-    Mirrors the input-selection logic of ``main``
-    (/root/reference/src/bin.rs:874-915).
+    Returns (store, k, gfa_header, links): links is the explicit topology
+    (GFA L-lines / BCALM2 header annotations) when the format provides one
+    — the reference builds the graph from it instead of overlap hashing
+    (/root/reference/src/bin.rs:874-915) — else None (plain fasta).
     """
     given = [x for x in (gfa_in, fa_in, bcalm_in) if x is not None]
     if len(given) != 1:
@@ -168,8 +171,11 @@ def load_unitigs(
             raise ValueError("GFA file does not declare k; pass k explicitly")
         if k is not None and file_k is not None and k != file_k:
             raise ValueError(f"GFA file k={file_k} conflicts with k={k}")
-        return store, int(k if file_k is None else file_k), props.header
+        return store, int(k if file_k is None else file_k), props.header, props.links
     if k is None:
         raise ValueError("k is required for fasta/bcalm input")
-    store, _headers = read_fasta(fa_in if fa_in is not None else bcalm_in)
-    return store, int(k), None
+    if bcalm_in is not None:
+        store, links = read_bcalm2(bcalm_in)
+        return store, int(k), None, links
+    store, _headers = read_fasta(fa_in)
+    return store, int(k), None, None
