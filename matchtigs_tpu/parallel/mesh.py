@@ -25,10 +25,52 @@ from ..ops.sssp import INF, _can_pack, _sssp_kernel
 SOURCE_AXIS = "sources"
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host setup: call once per host before any jax use.
+
+    Thin wrapper over ``jax.distributed.initialize``; afterwards
+    ``make_mesh()`` spans the whole pod slice and
+    :func:`sharded_bounded_sssp` runs SPMD across hosts (every host feeds
+    the same deterministic global source array; candidate results are
+    allgathered back to every host so matching and Euler stitching stay
+    replicated-deterministic).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (SOURCE_AXIS,))
+
+
+def _make_global(mesh: Mesh, spec: P, host_value: np.ndarray):
+    """Build a (possibly multi-host) global array from the host-replicated
+    numpy value: every process holds the same full array and contributes
+    its addressable shards."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(host_value, sharding)
+    return jax.make_array_from_callback(
+        host_value.shape, sharding, lambda idx: host_value[idx]
+    )
+
+
+def _to_host_global(x) -> np.ndarray:
+    """Fetch a global array to host numpy on every process."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 @functools.partial(
@@ -117,11 +159,9 @@ def sharded_bounded_sssp(
     mask = np.zeros(dg.n_nodes + 1, dtype=bool)
     mask[: len(in_mask)] = in_mask
 
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(SOURCE_AXIS))
-    nbr = jax.device_put(dg.nbr, repl)
-    nw = jax.device_put(dg.nw, repl)
-    mask_d = jax.device_put(mask, repl)
+    nbr = _make_global(mesh, P(), dg.nbr)
+    nw = _make_global(mesh, P(), dg.nw)
+    mask_d = _make_global(mesh, P(), mask)
 
     all_nodes, all_dist, all_over = [], [], []
     total = 0
@@ -135,7 +175,7 @@ def sharded_bounded_sssp(
             chunk = np.concatenate(
                 [chunk, np.full(pad, dg.n_nodes, dtype=np.int32)]
             )
-        sources_d = jax.device_put(chunk, shard)
+        sources_d = _make_global(mesh, P(SOURCE_AXIS), chunk)
         nodes, cand_dist, overflow, count = _sharded_sssp_step(
             nbr,
             nw,
@@ -148,9 +188,9 @@ def sharded_bounded_sssp(
             packed=_can_pack(dg, max_weight),
             mesh=mesh,
         )
-        all_nodes.append(np.asarray(nodes)[:n_real])
-        all_dist.append(np.asarray(cand_dist)[:n_real])
-        all_over.append(np.asarray(overflow)[:n_real])
+        all_nodes.append(_to_host_global(nodes)[:n_real])
+        all_dist.append(_to_host_global(cand_dist)[:n_real])
+        all_over.append(_to_host_global(overflow)[:n_real])
         total += int(count)
     return (
         np.concatenate(all_nodes),
