@@ -31,7 +31,6 @@ import numpy as np
 from ..graph.bigraph import Bigraph
 from ..ops import euler
 from ..ops.matching import unbalanced_nodes
-from ..ops.perfect_matching import optimal_component_matching
 from .greedytigs import GreedytigConfig, collect_candidates
 
 logger = logging.getLogger(__name__)
@@ -159,26 +158,10 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
     # each component's Eulerian tour needs >= 1 break, granted free by the
     # per-component gadget (the reference's 4-extra-nodes-per-WCC).
     comp = _bidirected_components(g)
-    id_comp = np.empty(n_ids, dtype=np.int64)
-    for i, r in enumerate(reps.tolist()):
-        id_comp[int(offsets[i]) : int(offsets[i + 1])] = comp[r]
+    rep_counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    id_comp = np.repeat(comp[reps].astype(np.int64), rep_counts)
 
-    matched_pairs: list[tuple[int, int]] = []
-    edge_arr = np.stack([ka, kb, kw], axis=1) if len(ka) else np.empty(
-        (0, 3), dtype=np.int64
-    )
-    for c in np.unique(id_comp):
-        members = np.flatnonzero(id_comp == c)
-        if len(members) == 0:
-            continue
-        if len(edge_arr):
-            sel = id_comp[edge_arr[:, 0]] == c
-            comp_edges = edge_arr[sel]
-        else:
-            comp_edges = edge_arr
-        matched_pairs.extend(
-            optimal_component_matching(members, comp_edges, k)
-        )
+    matched_pairs = _allocate_and_match(ka, kb, kw, n_ids, id_comp, k)
     logger.info("Matched %d id pairs", len(matched_pairs))
 
     if config.matching_file_prefix is not None:
@@ -227,6 +210,159 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
     tigs = euler.break_cycles(g, cycles, k)
     logger.info("Found %d matchtigs", len(tigs))
     return tigs
+
+
+def _allocate_and_match(
+    ka: np.ndarray,
+    kb: np.ndarray,
+    kw: np.ndarray,
+    n_ids: int,
+    id_comp: np.ndarray,  # input-graph component per matching id
+    k: int,
+) -> list[tuple[int, int]]:
+    """Exact optimal matching, decomposed by *candidate-graph* components.
+
+    The matching constraints only bind within connected components of the
+    candidate (id-pair) graph, which stay small even when the input graph
+    is one giant component.  The only coupling is the reference's
+    4-extra-nodes-per-WCC construction: each input component donates
+    exactly two zero-cost unmatched slots (its mandatory cycle's two tig
+    ends).  Those slots go to zero-cost absorbers first (ids with no
+    candidate edges, or odd-size components, where one member is unmatched
+    anyway); only when an input component lacks two such absorbers are the
+    forced-deletion variants solved and allocated exactly (a 2-unit
+    knapsack over per-component deltas, which are always <= 0).
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    from ..ops.perfect_matching import (
+        ComponentTooLarge,
+        component_matching_variants,
+    )
+
+    if n_ids == 0:
+        return []
+    if len(ka):
+        adj = coo_matrix(
+            (np.ones(len(ka), np.int8), (ka, kb)), shape=(n_ids, n_ids)
+        )
+        _, cc = connected_components(adj, directed=False)
+    else:
+        cc = np.arange(n_ids)
+    has_edge = np.zeros(n_ids, dtype=bool)
+    has_edge[ka] = True
+    has_edge[kb] = True
+
+    # bucket edges by candidate component
+    edge_cc = cc[ka]
+    order = np.argsort(edge_cc, kind="stable")
+    edges_sorted = np.stack([ka, kb, kw], axis=1)[order] if len(ka) else None
+    cc_sorted = edge_cc[order] if len(ka) else np.empty(0, dtype=np.int64)
+    cc_labels, cc_starts = (
+        np.unique(cc_sorted, return_index=True)
+        if len(ka)
+        else (np.empty(0, np.int64), np.empty(0, np.int64))
+    )
+    cc_to_slot = {int(c): i for i, c in enumerate(cc_labels)}
+    cc_ends = np.append(cc_starts[1:], len(cc_sorted))
+
+    # members per candidate component
+    ids = np.arange(n_ids)
+    member_order = np.argsort(cc[has_edge], kind="stable")
+    members_sorted = ids[has_edge][member_order]
+    mcc_sorted = cc[has_edge][member_order]
+    m_labels, m_starts = np.unique(mcc_sorted, return_index=True)
+    m_ends = np.append(m_starts[1:], len(mcc_sorted))
+    m_slot = {int(c): i for i, c in enumerate(m_labels)}
+
+    def comp_members(c: int) -> np.ndarray:
+        i = m_slot[int(c)]
+        return members_sorted[m_starts[i] : m_ends[i]]
+
+    def comp_edges(c: int) -> np.ndarray:
+        i = cc_to_slot[int(c)]
+        return edges_sorted[cc_starts[i] : cc_ends[i]]
+
+    matched_pairs: list[tuple[int, int]] = []
+    for w in np.unique(id_comp):
+        in_w = id_comp == w
+        singles = int((in_w & ~has_edge).sum())
+        comp_ids = np.unique(cc[in_w & has_edge])
+        sizes = {int(c): len(comp_members(c)) for c in comp_ids}
+        zero_absorbers = singles + sum(1 for c in comp_ids if sizes[int(c)] % 2 == 1)
+        need = max(0, 2 - zero_absorbers)
+
+        def solve(c, deletions):
+            try:
+                return component_matching_variants(
+                    comp_members(c), comp_edges(c), k, deletions
+                )
+            except ComponentTooLarge as e:
+                logger.warning(
+                    "candidate component with %d ids exceeds the exact "
+                    "solver limit; using greedy matching there",
+                    e.size,
+                )
+                return {
+                    j: _greedy_component_matching(comp_edges(c), k)
+                    for j in deletions
+                }
+
+        if need == 0 or not len(comp_ids):
+            for c in comp_ids:
+                matched_pairs.extend(solve(c, (0,))[0][1])
+            continue
+
+        # forced deletions must land on even components: solve variants
+        deletions = (0, 1) if need == 1 else (0, 1, 2)
+        variants = {int(c): solve(c, deletions) for c in comp_ids}
+        deltas = {
+            c: v[1][0] - v[0][0] for c, v in variants.items() if 1 in v
+        }
+        chosen: dict[int, int] = {c: 0 for c in variants}
+        if need == 1:
+            best = max(deltas, key=deltas.get, default=None)
+            if best is not None:
+                chosen[best] = 1
+        else:
+            # best single comp taking both vs best two comps taking one each
+            single = {
+                c: v[2][0] - v[0][0] for c, v in variants.items() if 2 in v
+            }
+            best_single = max(single, key=single.get, default=None)
+            top2 = sorted(deltas, key=deltas.get, reverse=True)[:2]
+            two_val = (
+                sum(deltas[c] for c in top2) if len(top2) == 2 else None
+            )
+            if best_single is not None and (
+                two_val is None or single[best_single] >= two_val
+            ):
+                chosen[best_single] = 2
+            elif two_val is not None:
+                for c in top2:
+                    chosen[c] = 1
+        for c, j in chosen.items():
+            matched_pairs.extend(variants[c][j][1])
+    return matched_pairs
+
+
+def _greedy_component_matching(
+    edges: np.ndarray, k: int
+) -> tuple[int, list[tuple[int, int]]]:
+    """Fallback for oversized components: greedy max-profit matching."""
+    order = np.argsort(edges[:, 2], kind="stable")  # cheapest joins first
+    used: set[int] = set()
+    pairs: list[tuple[int, int]] = []
+    profit = 0
+    for a, b, w in edges[order].tolist():
+        if a in used or b in used:
+            continue
+        used.add(a)
+        used.add(b)
+        pairs.append((a, b))
+        profit += k - 1 - w
+    return profit, pairs
 
 
 def _bidirected_components(g: Bigraph) -> np.ndarray:

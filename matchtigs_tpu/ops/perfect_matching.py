@@ -33,6 +33,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 DENSE_LIMIT = 12000  # max gadget nodes per component for the dense solver
+COUNT_SCALE = 1 << 20  # global (length, count) lexicographic profit scale
 
 
 def max_weight_matching_dense(weights: np.ndarray) -> tuple[np.ndarray, int]:
@@ -83,45 +84,60 @@ def _mwm_networkx(w: np.ndarray) -> tuple[np.ndarray, int]:
     return mate, total
 
 
-def optimal_component_matching(
+def component_matching_variants(
     members: np.ndarray,
     edges: np.ndarray,  # int64 [M, 3]: (id_a, id_b, weight) within component
     k: int,
-) -> list[tuple[int, int]]:
-    """Solve one component's constrained matching; returns matched id pairs.
+    deletions: tuple[int, ...] = (0,),
+) -> dict[int, tuple[int, list[tuple[int, int]]]]:
+    """Solve one candidate component's matching for each forced-deletion
+    count j in `deletions`.
 
-    `members` are the component's matching ids; two gadget nodes absorb the
-    component's two mandatory tig ends for free.
+    A forced deletion models one of the input component's two free tig
+    ends landing here (the reference's zero-cost extra-node marriages):
+    j gadget nodes each absorb one member at a dominating profit.
+    Returns {j: (total_profit_excluding_gadgets, matched_id_pairs)}.
     """
     m = len(members)
+    out: dict[int, tuple[int, list[tuple[int, int]]]] = {}
     if m == 0:
-        return []
+        return {j: (0, []) for j in deletions}
     if m + 2 > DENSE_LIMIT:
-        raise RuntimeError(
-            f"matching component with {m} nodes exceeds dense solver limit "
-            f"{DENSE_LIMIT}; use greedy matchtigs for this input"
-        )
+        raise ComponentTooLarge(m)
     local = {int(x): i for i, x in enumerate(members)}
-    n = m + 2  # + 2 gadget nodes
-    big = np.int64(m + 2)
-    w = np.zeros((n, n), dtype=np.int64)
+    # Global profit scale so deltas are comparable ACROSS components in
+    # the free-end allocation: length savings dominate the +1-per-join
+    # count bonus (joins per component < DENSE_LIMIT/2 < COUNT_SCALE).
+    big = np.int64(COUNT_SCALE)
+    p_big = (np.int64(k) * big) * np.int64(m + 1) + np.int64(1)
+    base = np.zeros((m, m), dtype=np.int64)
     for a, b, wt in edges.tolist():
         ia, ib = local[int(a)], local[int(b)]
         profit = (k - 1 - int(wt)) * int(big) + 1
         assert profit >= 1
-        w[ia, ib] = max(w[ia, ib], profit)
-        w[ib, ia] = w[ia, ib]
-    # gadget profit dominates any achievable join total
-    p_big = (np.int64(k) * big) * np.int64(m + 1) + np.int64(1)
-    w[:m, m] = p_big
-    w[m, :m] = p_big
-    w[:m, m + 1] = p_big
-    w[m + 1, :m] = p_big
+        base[ia, ib] = max(base[ia, ib], profit)
+        base[ib, ia] = base[ia, ib]
+    for j in deletions:
+        j_eff = min(j, m)
+        n = m + j_eff
+        w = np.zeros((n, n), dtype=np.int64)
+        w[:m, :m] = base
+        for g in range(j_eff):
+            w[:m, m + g] = p_big
+            w[m + g, :m] = p_big
+        mate, total = max_weight_matching_dense(w)
+        pairs = []
+        profit = 0
+        for i in range(m):
+            p = int(mate[i])
+            if 0 <= p < m and i < p:
+                pairs.append((int(members[i]), int(members[p])))
+                profit += int(base[i, p])
+        out[j] = (profit, pairs)
+    return out
 
-    mate, _ = max_weight_matching_dense(w)
-    pairs = []
-    for i in range(m):
-        j = int(mate[i])
-        if j >= 0 and j < m and i < j:
-            pairs.append((int(members[i]), int(members[j])))
-    return pairs
+
+class ComponentTooLarge(Exception):
+    def __init__(self, size: int) -> None:
+        super().__init__(f"matching component with {size} nodes exceeds {DENSE_LIMIT}")
+        self.size = size

@@ -72,3 +72,57 @@ def test_matchtigs_walks_valid(case):
             seen[e] = True
             seen[e ^ 1] = True
     assert np.all(seen[: g.n_edges][~dummies])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_decomposed_allocation_matches_monolithic(seed):
+    """The candidate-component decomposition + free-end knapsack must give
+    the same objective as solving each input component whole with its two
+    gadget nodes (the reference's doubled-graph construction)."""
+    from matchtigs_tpu.algos.greedytigs import GreedytigConfig, collect_candidates
+    from matchtigs_tpu.algos.matchtigs import (
+        _allocate_and_match,
+        _bidirected_components,
+        _collapse_candidates,
+        _matching_node_ids,
+    )
+    from matchtigs_tpu.ops.matching import unbalanced_nodes
+    from matchtigs_tpu.ops.perfect_matching import component_matching_variants
+
+    store, _, k = testing.make_unitig_store(
+        genome_length=2500, k=9, seed=seed + 50
+    )
+    g = build_bigraph_from_unitigs(store, k)
+    out_nodes, in_mask, _ = unbalanced_nodes(g)
+    diff = g.imbalances()
+    cands = collect_candidates(g, out_nodes, in_mask, k, GreedytigConfig(k=k))
+    ids_start, ids_count, n_ids, reps, offsets = _matching_node_ids(g, diff)
+    ka, kb, kw, ku, kv = _collapse_candidates(g, cands, ids_start, ids_count, n_ids)
+    if n_ids == 0:
+        pytest.skip("balanced graph")
+    comp = _bidirected_components(g)
+    rep_counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    id_comp = np.repeat(comp[reps].astype(np.int64), rep_counts)
+
+    pairs = _allocate_and_match(ka, kb, kw, n_ids, id_comp, k)
+
+    # monolithic oracle: per input component, all ids + edges, 2 gadgets
+    edge_arr = np.stack([ka, kb, kw], axis=1) if len(ka) else np.empty((0, 3), np.int64)
+    mono_pairs = []
+    for c in np.unique(id_comp):
+        members = np.flatnonzero(id_comp == c)
+        sel = id_comp[edge_arr[:, 0]] == c if len(edge_arr) else np.empty(0, bool)
+        v = component_matching_variants(members, edge_arr[sel], k, (2,))
+        mono_pairs.extend(v[2][1])
+
+    def profit(ps):
+        wmap = {(int(a), int(b)): int(w) for a, b, w in edge_arr.tolist()}
+        tot = 0
+        for a, b in ps:
+            tot += (k - 1 - wmap[(min(a, b), max(a, b))]) * 1000 + 1
+        return tot
+
+    assert profit(pairs) == profit(mono_pairs), (
+        len(pairs),
+        len(mono_pairs),
+    )
