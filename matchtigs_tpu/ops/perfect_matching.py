@@ -104,6 +104,31 @@ def component_matching_variants(
         return {j: (0, []) for j in deletions}
     if m + 2 > DENSE_LIMIT:
         raise ComponentTooLarge(m)
+
+    # Fast paths for the overwhelmingly common tiny components.
+    if m == 2:
+        # single possible (deduplicated) pair; a forced deletion kills it
+        a, b, wt = int(edges[0, 0]), int(edges[0, 1]), int(edges[0, 2])
+        p = (k - 1 - wt) * COUNT_SCALE + 1
+        for j in deletions:
+            out[j] = (p, [(a, b)]) if j == 0 else (0, [])
+        return out
+    if m == 3 and len(edges) <= 3:
+        # odd: one member is unmatched regardless; best single edge.
+        # with dedup the best pair survives any single deletion only if
+        # the deleted member is the unmatched one -- j<=1 keeps the best
+        # edge, j=2 keeps nothing... except deleting both endpoints of
+        # no edge: with 3 members and j=2, at most one member remains.
+        profits = (k - 1 - edges[:, 2]) * COUNT_SCALE + 1
+        bi = int(np.argmax(profits))
+        best = (int(profits[bi]), [(int(edges[bi, 0]), int(edges[bi, 1]))])
+        for j in deletions:
+            if j == 0 or j == 1:
+                out[j] = best
+            else:
+                out[j] = (0, [])
+        return out
+
     local = {int(x): i for i, x in enumerate(members)}
     # Global profit scale so deltas are comparable ACROSS components in
     # the free-end allocation: length savings dominate the +1-per-join
