@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench native clean
+.PHONY: test test-fast bench native cabi clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -17,6 +17,12 @@ bench:
 native:
 	rm -f matchtigs_tpu/native/_native.so
 	$(PY) -c "from matchtigs_tpu import native; native.load(); print('native build ok')"
+
+# Embeddable C ABI (reference clib.rs equivalent) for non-Python hosts
+cabi:
+	gcc -shared -fPIC -O2 native/capi_embed.c \
+	  $$(python3-config --includes) -o libmatchtigs_tpu.so \
+	  $$(python3-config --ldflags --embed)
 
 clean:
 	rm -rf matchtigs_tpu/native/_native.so .jax_cache .bench_data \
