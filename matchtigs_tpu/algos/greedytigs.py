@@ -64,6 +64,8 @@ class GreedytigConfig:
     # multi-hop balls, exactly the ones that overflow the device working
     # set and gate batch convergence).  -1 disables the split.
     host_route_threshold: int = 2
+    # Reverse-Cuthill-McKee node renumbering for HBM gather locality.
+    renumber: bool = True
 
 
 @dataclass
@@ -108,8 +110,10 @@ def collect_candidates(
     """Run the batched bounded SSSP and extract (out, in, dist) triples."""
     import time
 
-    dg = build_device_graph(g)
+    dg = build_device_graph(g, renumber=config.renumber)
     sentinel = dg.sentinel
+    if dg.to_orig is not None:
+        in_mask = np.asarray(in_mask)[dg.to_orig]
     stats = stats if stats is not None else SearchStats()
     stats.sources = len(out_nodes)
     use_mesh = _want_mesh(config)
@@ -119,7 +123,7 @@ def collect_candidates(
         mesh = make_mesh()
     triples: list[np.ndarray] = []
 
-    pending = np.asarray(out_nodes, dtype=np.int32)
+    pending = dg.map_sources(np.asarray(out_nodes, dtype=np.int32))
     # Order sources by a difficulty proxy (their minimum incident edge
     # weight: small weights mean deep multi-hop balls) so each batch's
     # while-loop converges uniformly instead of every batch paying for its
@@ -145,13 +149,16 @@ def collect_candidates(
             )
 
             def run_host():
-                host_result.append(
-                    host_dijkstra_candidates(dg, hard_sources, k - 1, in_mask)
-                )
+                res = host_dijkstra_candidates(dg, hard_sources, k - 1, in_mask)
+                if len(res):
+                    res[:, 0] = dg.unmap_nodes(res[:, 0])
+                    res[:, 1] = dg.unmap_nodes(res[:, 1])
+                host_result.append(res)
 
             host_thread = threading.Thread(target=run_host)
             host_thread.start()
-    pending = pending[np.argsort(-difficulty, kind="stable")]
+    # primary: difficulty; secondary: device node id (gather locality)
+    pending = pending[np.lexsort((pending, -difficulty))]
     capacity = config.initial_capacity
     batch_size = config.batch_size
     while len(pending) > 0:
@@ -195,8 +202,8 @@ def collect_candidates(
                 triples.append(
                     np.stack(
                         [
-                            srcs[s_idx].astype(np.int64),
-                            dn[s_idx, c_idx].astype(np.int64),
+                            dg.unmap_nodes(srcs[s_idx]).astype(np.int64),
+                            dg.unmap_nodes(dn[s_idx, c_idx]).astype(np.int64),
                             dd[s_idx, c_idx].astype(np.int64),
                         ],
                         axis=1,
@@ -219,6 +226,8 @@ def collect_candidates(
                     time.monotonic() - t_tail,
                 )
                 if len(tail):
+                    tail[:, 0] = dg.unmap_nodes(tail[:, 0])
+                    tail[:, 1] = dg.unmap_nodes(tail[:, 1])
                     triples.append(tail)
                 break
             if capacity >= config.max_capacity:

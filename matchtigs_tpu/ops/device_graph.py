@@ -25,24 +25,58 @@ MAX_DEGREE = 4
 @dataclass
 class DeviceGraph:
     """Padded adjacency: nbr[v, j] = j-th successor node (or N = sentinel),
-    nw[v, j] = edge weight (or a large sentinel weight)."""
+    nw[v, j] = edge weight (or a large sentinel weight).
+
+    When built with ``renumber=True`` the rows are in reverse-Cuthill-McKee
+    order (HBM gather locality: neighboring nodes sit in neighboring rows);
+    `to_dev` / `to_orig` translate node ids in and out of that order.
+    """
 
     n_nodes: int
     nbr: np.ndarray  # int32 [N + 1, deg_pad]; row N is the sentinel row
     nw: np.ndarray  # int32 [N + 1, deg_pad]
     deg_pad: int
+    to_dev: np.ndarray | None = None  # int32 [N]: original -> device id
+    to_orig: np.ndarray | None = None  # int32 [N]: device -> original id
 
     @property
     def sentinel(self) -> int:
         return self.n_nodes
 
+    def map_sources(self, sources: np.ndarray) -> np.ndarray:
+        return sources if self.to_dev is None else self.to_dev[sources]
 
-def build_device_graph(g: Bigraph, weight_cap: int = 1 << 20) -> DeviceGraph:
+    def unmap_nodes(self, nodes: np.ndarray) -> np.ndarray:
+        """Map device node ids (incl. the sentinel) back to original ids."""
+        if self.to_orig is None:
+            return nodes
+        ext = np.append(self.to_orig, np.int32(self.n_nodes))
+        return ext[nodes]
+
+
+def build_device_graph(
+    g: Bigraph, weight_cap: int = 1 << 20, renumber: bool = False
+) -> DeviceGraph:
     """Pack the (original-edge) adjacency into padded [N+1, deg] arrays."""
     n = g.n_nodes
     src = g.srcs()
     dst = g.dsts()
     w = np.minimum(g.weights(), weight_cap).astype(np.int32)
+
+    to_dev = to_orig = None
+    if renumber and n > 1 and len(src):
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        adj = coo_matrix(
+            (np.ones(len(src), np.int8), (src, dst)), shape=(n, n)
+        ).tocsr()
+        perm = reverse_cuthill_mckee(adj, symmetric_mode=False)
+        to_orig = perm.astype(np.int32)
+        to_dev = np.empty(n, dtype=np.int32)
+        to_dev[to_orig] = np.arange(n, dtype=np.int32)
+        src = to_dev[src]
+        dst = to_dev[dst]
 
     deg = np.bincount(src, minlength=n)
     deg_pad = max(MAX_DEGREE, int(deg.max(initial=0)))
@@ -55,4 +89,11 @@ def build_device_graph(g: Bigraph, weight_cap: int = 1 << 20) -> DeviceGraph:
     )
     nbr[src[order], slot] = dst[order]
     nw[src[order], slot] = w[order]
-    return DeviceGraph(n_nodes=n, nbr=nbr, nw=nw, deg_pad=deg_pad)
+    return DeviceGraph(
+        n_nodes=n,
+        nbr=nbr,
+        nw=nw,
+        deg_pad=deg_pad,
+        to_dev=to_dev,
+        to_orig=to_orig,
+    )
