@@ -77,3 +77,40 @@ def test_greedytigs_walks_valid():
             seen[e ^ 1] = True
     orig = ~dummies
     assert np.all(seen[: g.n_edges][orig])
+
+
+def test_overflow_ladder_mode():
+    """The on-device capacity-ladder retry path (overflow_mode='ladder')
+    must agree with the host-tail default."""
+    store, kmers, k = testing.make_unitig_store(genome_length=4000, k=9, seed=11)
+    g1 = build_bigraph_from_unitigs(store, k)
+    t1 = compute_greedytigs(
+        g1,
+        GreedytigConfig(
+            k=k, initial_capacity=4, batch_size=64, overflow_mode="ladder"
+        ),
+    )
+    g2 = build_bigraph_from_unitigs(store, k)
+    t2 = compute_greedytigs(
+        g2,
+        GreedytigConfig(
+            k=k, initial_capacity=4, batch_size=64, overflow_mode="host"
+        ),
+    )
+    assert len(t1) == len(t2)
+    l1 = sum(spelled_length(g1, t, k) for t in t1)
+    l2 = sum(spelled_length(g2, t, k) for t in t2)
+    assert l1 == l2
+    testing.assert_tigs_spell_kmer_set(g1, t1, store, k, kmers, allow_duplicates=True)
+
+
+def test_renumber_off_matches_on():
+    store, _, k = testing.make_unitig_store(genome_length=5000, k=11, seed=12)
+    g1 = build_bigraph_from_unitigs(store, k)
+    t1 = compute_greedytigs(g1, GreedytigConfig(k=k, renumber=True))
+    g2 = build_bigraph_from_unitigs(store, k)
+    t2 = compute_greedytigs(g2, GreedytigConfig(k=k, renumber=False))
+    assert len(t1) == len(t2)
+    assert sum(spelled_length(g1, t, k) for t in t1) == sum(
+        spelled_length(g2, t, k) for t in t2
+    )
