@@ -92,7 +92,7 @@ def read_gfa(path: str | Path) -> tuple[SequenceStore, GfaProperties]:
     header: str | None = None
     k: int | None = None
     name_to_id: dict[bytes, int] = {}
-    links: list[tuple[int, bool, int, bool]] = []
+    raw_links: list[tuple[bytes, bool, bytes, bool]] = []
     with _open_maybe_gz(path) as f:
         for line in f:
             line = line.rstrip(b"\r\n")
@@ -114,13 +114,16 @@ def read_gfa(path: str | Path) -> tuple[SequenceStore, GfaProperties]:
                     if m:
                         k = int(m.group(1)) + 1
                 if len(fields) >= 5:
-                    a = name_to_id.get(fields[1])
-                    b = name_to_id.get(fields[3])
-                    if a is not None and b is not None:
-                        links.append(
-                            (a, fields[2] == b"+", b, fields[4] == b"+")
-                        )
+                    raw_links.append(
+                        (fields[1], fields[2] == b"+", fields[3], fields[4] == b"+")
+                    )
     store.finalize()
+    # Resolve names after the full pass: L-lines may precede their S-lines.
+    links = [
+        (name_to_id[a], sa, name_to_id[b], sb)
+        for a, sa, b, sb in raw_links
+        if a in name_to_id and b in name_to_id
+    ]
     return store, GfaProperties(k=k, header=header, links=links)
 
 

@@ -92,3 +92,24 @@ def test_bcalm2_links_roundtrip(tmp_path):
     store2, links2 = read_bcalm2(path)
     g2 = build_bigraph_from_links(store2, links2, k)
     assert sorted(g2.imbalances().tolist()) == sorted(g.imbalances().tolist())
+
+
+def test_gfa_links_before_segments(tmp_path):
+    """L-lines may precede S-lines; name resolution is deferred."""
+    store, _, k = testing.make_unitig_store(genome_length=3000, k=9, seed=4)
+    g = build_bigraph_from_unitigs(store, k)
+    links = _links_from_overlap_graph(g)
+    path = tmp_path / "links_first.gfa"
+    with open(path, "wb") as f:
+        f.write(b"H\tKL:Z:%d\n" % k)
+        for a, sa, b, sb in links:
+            f.write(
+                b"L\t%d\t%s\t%d\t%s\t%dM\n"
+                % (a, b"+" if sa else b"-", b, b"+" if sb else b"-", k - 1)
+            )
+        for i in range(len(store)):
+            f.write(b"S\t%d\t%s\n" % (i, store.get_ascii(i)))
+    store2, props = read_gfa(path)
+    assert len(props.links) == len(links)
+    g2 = build_bigraph_from_links(store2, props.links, k)
+    assert sorted(g2.imbalances().tolist()) == sorted(g.imbalances().tolist())
