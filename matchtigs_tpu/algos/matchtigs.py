@@ -47,6 +47,10 @@ class MatchtigConfig:
     # intermediate analog of the reference's blossom5 files
     # (<prefix>.minimalperfectmatching[.solution], matchtigs/mod.rs:600-603).
     matching_file_prefix: str | None = None
+    # Largest candidate component solved with the exact dense blossom;
+    # bigger components use greedy matching (warned).  Raise for exactness
+    # at O(n^3) cost per giant component (None = library default).
+    dense_limit: int | None = None
 
 
 def _matching_node_ids(g: Bigraph, diff: np.ndarray):
@@ -161,7 +165,9 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
     rep_counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
     id_comp = np.repeat(comp[reps].astype(np.int64), rep_counts)
 
-    matched_pairs = _allocate_and_match(ka, kb, kw, n_ids, id_comp, k)
+    matched_pairs = _allocate_and_match(
+        ka, kb, kw, n_ids, id_comp, k, dense_limit=config.dense_limit
+    )
     logger.info("Matched %d id pairs", len(matched_pairs))
 
     if config.matching_file_prefix is not None:
@@ -219,6 +225,7 @@ def _allocate_and_match(
     n_ids: int,
     id_comp: np.ndarray,  # input-graph component per matching id
     k: int,
+    dense_limit: int | None = None,
 ) -> list[tuple[int, int]]:
     """Exact optimal matching, decomposed by *candidate-graph* components.
 
@@ -296,7 +303,7 @@ def _allocate_and_match(
         def solve(c, deletions):
             try:
                 return component_matching_variants(
-                    comp_members(c), comp_edges(c), k, deletions
+                    comp_members(c), comp_edges(c), k, deletions, dense_limit
                 )
             except ComponentTooLarge as e:
                 logger.warning(

@@ -93,6 +93,7 @@ def component_matching_variants(
     edges: np.ndarray,  # int64 [M, 3]: (id_a, id_b, weight) within component
     k: int,
     deletions: tuple[int, ...] = (0,),
+    dense_limit: int | None = None,
 ) -> dict[int, tuple[int, list[tuple[int, int]]]]:
     """Solve one candidate component's matching for each forced-deletion
     count j in `deletions`.
@@ -103,10 +104,11 @@ def component_matching_variants(
     Returns {j: (total_profit_excluding_gadgets, matched_id_pairs)}.
     """
     m = len(members)
+    limit = DENSE_LIMIT if dense_limit is None else dense_limit
     out: dict[int, tuple[int, list[tuple[int, int]]]] = {}
     if m == 0:
         return {j: (0, []) for j in deletions}
-    if m + 2 > DENSE_LIMIT:
+    if m + 2 > limit:
         raise ComponentTooLarge(m)
 
     # Fast paths for the overwhelmingly common tiny components.
@@ -168,5 +170,5 @@ def component_matching_variants(
 
 class ComponentTooLarge(Exception):
     def __init__(self, size: int) -> None:
-        super().__init__(f"matching component with {size} nodes exceeds {DENSE_LIMIT}")
+        super().__init__(f"matching component with {size} nodes exceeds the dense solver limit")
         self.size = size
