@@ -76,6 +76,8 @@ def load() -> ctypes.CDLL:
     lib.euler_decompose.argtypes = [ll, ll] + [llp] * 7
     lib.biwalk_cover.restype = ll
     lib.biwalk_cover.argtypes = [ll, ll] + [llp] * 8
+    lib.balance_breaking_edges.restype = ll
+    lib.balance_breaking_edges.argtypes = [ll, llp, llp, llp]
     i8p = ctypes.POINTER(ctypes.c_byte)
     u8p = ctypes.POINTER(ctypes.c_ubyte)
     lib.greedy_accept_scan.restype = ll

@@ -103,8 +103,50 @@ def make_eulerian_with_breaking_edges(
     """Add breaking dummy biedges (weight k) until every binode balances.
 
     Returns the updated dummy edge id counter.  Deterministic order matches
-    the reference balancer exactly (see module docstring).
+    the reference balancer exactly (see module docstring).  Dispatches to
+    the native C++ pass; this python implementation is the fallback and
+    test oracle.
     """
+    try:
+        return _make_eulerian_native(g, k, dummy_edge_id)
+    except ImportError:
+        logger.warning("native balancer unavailable; using python fallback")
+        return make_eulerian_with_breaking_edges_py(g, k, dummy_edge_id)
+
+
+def _make_eulerian_native(g: Bigraph, k: int, dummy_edge_id: int) -> int:
+    from .. import native
+
+    lib = native.load()
+    n = g.n_nodes
+    diff = np.ascontiguousarray(g.imbalances(), dtype=np.int64)
+    mirror = np.ascontiguousarray(g.mirror_node, dtype=np.int64)
+    pairs = np.empty(2 * max(1, n), dtype=np.int64)
+    p = native.as_ll_ptr
+    n_pairs = lib.balance_breaking_edges(n, p(diff), p(mirror), p(pairs))
+    if n_pairs < 0:
+        raise AssertionError("balancer inconsistency (unbalanced totals)")
+    if n_pairs:
+        out_nodes = pairs[0 : 2 * n_pairs : 2]
+        in_nodes = pairs[1 : 2 * n_pairs : 2]
+        dummy_ids = np.arange(
+            dummy_edge_id + 1, dummy_edge_id + n_pairs + 1, dtype=np.int64
+        )
+        g.add_biedge_pairs(
+            src=out_nodes.astype(np.int32),
+            dst=in_nodes.astype(np.int32),
+            weight=np.full(n_pairs, k, dtype=np.int64),
+            handle=np.full(n_pairs, -1, dtype=np.int64),
+            forward=np.ones(n_pairs, dtype=bool),
+            dummy_id=dummy_ids,
+        )
+    return dummy_edge_id + int(n_pairs)
+
+
+def make_eulerian_with_breaking_edges_py(
+    g: Bigraph, k: int, dummy_edge_id: int
+) -> int:
+    """Pure-python balancer (oracle for the native pass)."""
     diff = g.imbalances()
     sm = g.self_mirror_mask()
     node_ids = np.arange(g.n_nodes, dtype=np.int64)

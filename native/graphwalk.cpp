@@ -9,6 +9,7 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <map>
 #include <vector>
 
 namespace {
@@ -226,5 +227,91 @@ i64 biwalk_cover(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
     walk_offsets[n_walks++] = pos;
   }
   return n_walks;
+}
+
+// Deterministic breaking-edge balancer
+// (make_graph_eulerian_with_breaking_edges,
+// /root/reference/src/implementation/mod.rs:392-649).  Orders replicate
+// the reference's BTreeMap iteration: self-mirror odd nodes paired in
+// ascending scan order (odd leftover consumes the smallest in-node),
+// then out-nodes in DESCENDING node order x in-nodes ASCENDING with the
+// choose_in_node_from_iterator skip rules.  diff[]: per-node imbalance
+// (self-mirror parity included); mirror[]: mirror node map.
+// pairs_out: capacity >= n entries of (out_node, in_node); returns the
+// number of pairs, or -1 on inconsistency.
+i64 balance_breaking_edges(i64 n_nodes, const i64* diff, const i64* mirror,
+                           i64* pairs_out) {
+  std::map<i64, i64> out_diff;  // ascending; iterate rbegin for descending
+  std::map<i64, i64> in_diff;
+  std::vector<i64> self_mirror_odd;
+  for (i64 v = 0; v < n_nodes; ++v) {
+    if (mirror[v] == v) {
+      if (diff[v] != 0) self_mirror_odd.push_back(v);
+    } else if (diff[v] < 0) {
+      out_diff[v] = diff[v];
+    } else if (diff[v] > 0) {
+      in_diff[v] = diff[v];
+    }
+  }
+
+  i64 n_pairs = 0;
+  auto emit = [&](i64 out_node, i64 in_node) {
+    pairs_out[2 * n_pairs] = out_node;
+    pairs_out[2 * n_pairs + 1] = in_node;
+    ++n_pairs;
+  };
+
+  // Phase 1: pair unbalanced self-mirrors in scan order.
+  size_t i = 0;
+  for (; i + 1 < self_mirror_odd.size(); i += 2)
+    emit(self_mirror_odd[i], self_mirror_odd[i + 1]);
+  if (i < self_mirror_odd.size()) {
+    if (in_diff.empty()) return -1;
+    auto it = in_diff.begin();  // smallest in-node
+    i64 in_node = it->first;
+    emit(self_mirror_odd[i], in_node);
+    i64 mo = mirror[in_node];
+    if (--(it->second) == 0) {
+      in_diff.erase(it);
+      out_diff.erase(mo);
+    } else {
+      out_diff[mo] += 1;
+    }
+  }
+
+  // Phase 2: out-nodes descending x in-nodes ascending.
+  while (!out_diff.empty()) {
+    auto oit = std::prev(out_diff.end());  // largest out-node
+    i64 out_node = oit->first;
+    i64 d_out = oit->second;
+    if (in_diff.empty()) return -1;
+    auto iit = in_diff.begin();
+    i64 in_node = iit->first;
+    // choose_in_node_from_iterator skip rules
+    if ((in_node == mirror[out_node] && d_out > -2) || in_node == out_node) {
+      auto second = std::next(iit);
+      if (second == in_diff.end()) return -1;
+      in_node = second->first;
+    }
+    emit(out_node, in_node);
+
+    out_diff[out_node] += 1;
+    in_diff[in_node] -= 1;
+    if (out_diff[out_node] == 0) out_diff.erase(out_node);
+    if (in_diff.count(in_node) && in_diff[in_node] == 0) in_diff.erase(in_node);
+
+    i64 mirror_out = mirror[in_node];
+    i64 mirror_in = mirror[out_node];
+    auto mo = out_diff.find(mirror_out);
+    if (mo != out_diff.end()) {
+      if (++(mo->second) == 0) out_diff.erase(mo);
+    }
+    auto mi = in_diff.find(mirror_in);
+    if (mi != in_diff.end()) {
+      if (--(mi->second) == 0) in_diff.erase(mi);
+    }
+  }
+  if (!in_diff.empty()) return -1;
+  return n_pairs;
 }
 }

@@ -84,3 +84,38 @@ def test_speller_native_matches_python(case):
         expected = spell_walk(g, tig, store, k)
         assert np.array_equal(flat[prev:end], expected)
         prev = end
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_balancer_native_matches_python(case):
+    store, _, k = testing.make_unitig_store(**case)
+    g1 = build_bigraph_from_unitigs(store, k)
+    euler._make_eulerian_native(g1, k, 0)
+    g2 = build_bigraph_from_unitigs(store, k)
+    euler.make_eulerian_with_breaking_edges_py(g2, k, 0)
+    assert g1.n_edges == g2.n_edges
+    e1 = np.stack([g1.srcs(), g1.dsts(), g1.weights(), g1.dummy_ids()], axis=1)
+    e2 = np.stack([g2.srcs(), g2.dsts(), g2.weights(), g2.dummy_ids()], axis=1)
+    assert np.array_equal(e1, e2)
+    assert euler.decomposes_into_eulerian_bicycles(g1)
+
+
+def test_balancer_native_self_mirror_unit():
+    """The reference's unit-test graph through the native balancer."""
+    from matchtigs_tpu.graph.bigraph import Bigraph
+
+    mirror = np.array([1, 0, 2, 3, 5, 4, 6, 7], dtype=np.int32)
+    g1 = Bigraph(8, mirror)
+    g2 = Bigraph(8, mirror.copy())
+    for g in (g1, g2):
+        g.add_biedge_pair(0, 3, 0, 1, True, 1)
+        g.add_biedge_pair(2, 0, 0, 2, True, 2)
+        g.add_biedge_pair(6, 4, 0, 3, True, 3)
+        g.add_biedge_pair(7, 4, 0, 4, True, 4)
+    euler._make_eulerian_native(g1, 4, 5)
+    euler.make_eulerian_with_breaking_edges_py(g2, 4, 5)
+    assert np.array_equal(
+        np.stack([g1.srcs(), g1.dsts()], axis=1),
+        np.stack([g2.srcs(), g2.dsts()], axis=1),
+    )
+    assert euler.decomposes_into_eulerian_bicycles(g1)
