@@ -57,9 +57,18 @@ def greedy_accept(
     """
     if len(candidates) == 0:
         return candidates.reshape(0, 3)
-    order = np.lexsort(
-        (candidates[:, 1], candidates[:, 0], candidates[:, 2])
-    )
+    if g.n_nodes < (1 << 28):
+        # single packed int64 key: (dist, out, in) lexicographic
+        key = (
+            (candidates[:, 2] << 56)
+            | (candidates[:, 0] << 28)
+            | candidates[:, 1]
+        )
+        order = np.argsort(key)
+    else:
+        order = np.lexsort(
+            (candidates[:, 1], candidates[:, 0], candidates[:, 2])
+        )
     cands = np.ascontiguousarray(candidates[order])
     try:
         return _greedy_accept_native(g, cands, multiplicities)
