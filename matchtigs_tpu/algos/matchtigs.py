@@ -357,18 +357,102 @@ def _allocate_and_match(
 def _greedy_component_matching(
     edges: np.ndarray, k: int
 ) -> tuple[int, list[tuple[int, int]]]:
-    """Fallback for oversized components: greedy max-profit matching."""
+    """Fallback for oversized components: greedy max-profit matching
+    followed by local-augmentation improvement passes (flip a matched
+    endpoint to a better partner; swap two pairs for two better pairs).
+    Monotone in total profit, so it terminates; typically recovers most of
+    the greedy-vs-optimal gap."""
     order = np.argsort(edges[:, 2], kind="stable")  # cheapest joins first
-    used: set[int] = set()
-    pairs: list[tuple[int, int]] = []
-    profit = 0
-    for a, b, w in edges[order].tolist():
-        if a in used or b in used:
-            continue
-        used.add(a)
-        used.add(b)
-        pairs.append((a, b))
-        profit += k - 1 - w
+    rows = edges[order].tolist()
+    mate: dict[int, int] = {}
+    profit_of: dict[tuple[int, int], int] = {}
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for a, b, w in rows:
+        p = k - 1 - w
+        key = (min(a, b), max(a, b))
+        if key not in profit_of:
+            profit_of[key] = p
+            adj.setdefault(a, []).append((b, p))
+            adj.setdefault(b, []).append((a, p))
+        if a not in mate and b not in mate:
+            mate[a] = b
+            mate[b] = a
+
+    def pkey(a, b):
+        return profit_of[(min(a, b), max(a, b))]
+
+    for _ in range(5):
+        improved = False
+        for a, b, w in rows:
+            p_ab = k - 1 - w
+            ma = mate.get(a)
+            mb = mate.get(b)
+            if ma == b:
+                continue
+            if ma is None and mb is None:
+                mate[a] = b
+                mate[b] = a
+                improved = True
+            elif ma is None and mb is not None:
+                if p_ab > pkey(b, mb):  # flip b from mb to a
+                    del mate[mb]
+                    mate[a] = b
+                    mate[b] = a
+                    improved = True
+            elif mb is None and ma is not None:
+                if p_ab > pkey(a, ma):
+                    del mate[ma]
+                    mate[a] = b
+                    mate[b] = a
+                    improved = True
+            else:
+                # both matched elsewhere: try the 2-swap (a,b)+(ma,mb)
+                key = (min(ma, mb), max(ma, mb))
+                if key in profit_of:
+                    gain = p_ab + profit_of[key] - pkey(a, ma) - pkey(b, mb)
+                    if gain > 0:
+                        mate[a] = b
+                        mate[b] = a
+                        mate[ma] = mb
+                        mate[mb] = ma
+                        improved = True
+        # length-3 augmentations: split a matched pair (a,b) into
+        # (c,a) + (b,d) with unmatched c, d -- the cardinality move greedy
+        # never finds.
+        for a in list(mate.keys()):
+            b = mate.get(a)
+            if b is None or a > b:
+                continue
+            best_c = best_d = None
+            c_p = d_p = 0
+            for c, p in adj.get(a, ()):  # best unmatched neighbor of a
+                if c != b and c not in mate and p > c_p:
+                    best_c, c_p = c, p
+            for d, p in adj.get(b, ()):
+                if d != a and d not in mate and p > d_p:
+                    best_d, d_p = d, p
+            if best_c is not None and best_d is not None and best_c != best_d:
+                if c_p + d_p > pkey(a, b):
+                    mate[best_c] = a
+                    mate[a] = best_c
+                    mate[b] = best_d
+                    mate[best_d] = b
+                    improved = True
+            elif best_c is not None and best_d is None and c_p > pkey(a, b):
+                del mate[b]
+                mate[best_c] = a
+                mate[a] = best_c
+                improved = True
+            elif best_d is not None and best_c is None and d_p > pkey(a, b):
+                del mate[a]
+                mate[best_d] = b
+                mate[b] = best_d
+                improved = True
+        if not improved:
+            break
+
+    pairs = [(a, b) for a, b in mate.items() if a < b]
+    profit = sum(pkey(a, b) for a, b in pairs)
     return profit, pairs
 
 
