@@ -66,6 +66,8 @@ class GreedytigConfig:
     host_route_threshold: int = 2
     # Reverse-Cuthill-McKee node renumbering for HBM gather locality.
     renumber: bool = True
+    # Threads for the native host Dijkstra (None = all cores).
+    host_threads: int | None = None
 
 
 @dataclass
@@ -149,7 +151,9 @@ def collect_candidates(
             )
 
             def run_host():
-                res = host_dijkstra_candidates(dg, hard_sources, k - 1, in_mask)
+                res = host_dijkstra_candidates(
+                    dg, hard_sources, k - 1, in_mask, n_threads=config.host_threads
+                )
                 if len(res):
                     res[:, 0] = dg.unmap_nodes(res[:, 0])
                     res[:, 1] = dg.unmap_nodes(res[:, 1])
@@ -219,7 +223,9 @@ def collect_candidates(
                 stats.retries += 1
                 stats.stage_sources.append(len(pending))
                 t_tail = time.monotonic()
-                tail = host_dijkstra_candidates(dg, pending, k - 1, in_mask)
+                tail = host_dijkstra_candidates(
+                    dg, pending, k - 1, in_mask, n_threads=config.host_threads
+                )
                 logger.info(
                     "Finished %d overflowed sources on host in %.2fs",
                     len(pending),

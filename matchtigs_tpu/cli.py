@@ -57,8 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
         "-t",
         "--threads",
         type=int,
-        default=1,
-        help="accepted for reference-CLI compatibility; parallelism is device-batched",
+        default=None,
+        help="host threads for the native Dijkstra (default: all cores); "
+        "device parallelism is batch-based",
     )
     p.add_argument(
         "--sssp-initial-capacity",
@@ -186,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
                     k=k,
                     initial_capacity=opts.sssp_initial_capacity,
                     batch_size=opts.sssp_batch_size,
+                    host_threads=opts.threads,
                 ),
             )
         else:
