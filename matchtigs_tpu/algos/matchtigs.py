@@ -13,10 +13,16 @@ Capability-equivalent of ``MatchtigAlgorithm``
    /root/reference/src/implementation/mod.rs:188-250); candidate paths
    collapse to deduplicated id-pair edges (mod.rs:273-305);
 4. the min-cost perfect matching on the doubled graph + 4 extra nodes per
-   WCC (mod.rs:600-719) is solved as an equivalent per-component
-   maximum-weight matching with a 2-gadget-node constraint
-   (:mod:`matchtigs_tpu.ops.perfect_matching`) using the in-process native
-   blossom instead of the external blossom5 subprocess (mod.rs:724-746);
+   WCC (mod.rs:600-719) is solved equivalently but decomposed: matching
+   constraints only bind within *candidate-graph* components (tiny even
+   when the input graph is one giant component), and the per-input-WCC
+   two free tig ends (what the 4 extras encode) are allocated across them
+   exactly — zero-cost absorbers first, else a 2-unit knapsack over
+   forced-deletion deltas (``_allocate_and_match``).  Components are
+   solved with the in-process native blossom
+   (:mod:`matchtigs_tpu.ops.perfect_matching`) instead of the external
+   blossom5 subprocess (mod.rs:724-746); components beyond the dense
+   limit use an augmented greedy matcher (warned, configurable);
 5. matched pairs become cheap dummy biedges; balancing, Eulerian
    decomposition and cycle breaking finish as usual (mod.rs:828-928).
 """
