@@ -85,3 +85,47 @@ def test_cli_gfa_roundtrip(unitig_fa, tmp_path):
 def test_cli_no_outputs(unitig_fa):
     path, _, k = unitig_fa
     assert main(["--fa-in", str(path), "-k", str(k), "--log-level", "Warning"]) == 0
+
+
+def test_cli_compression_levels(unitig_fa, tmp_path):
+    path, kmers, k = unitig_fa
+    for level in (0, 9):
+        out = tmp_path / f"e{level}.fa.gz"
+        rc = main(
+            [
+                "--fa-in",
+                str(path),
+                "-k",
+                str(k),
+                "--eulertigs-fa-out",
+                str(out),
+                "--compression-level",
+                str(level),
+                "--log-level",
+                "Warning",
+            ]
+        )
+        assert rc == 0
+        store, _ = read_fasta(out)
+        seqs = [store.get(i) for i in range(len(store))]
+        ms = testing.kmer_multiset_of_walk_seqs(seqs, k)
+        assert np.all(np.unique(ms) == kmers)
+
+
+def test_cli_threads_flag(unitig_fa, tmp_path):
+    path, kmers, k = unitig_fa
+    rc = main(
+        [
+            "--fa-in",
+            str(path),
+            "-k",
+            str(k),
+            "-t",
+            "2",
+            "--greedytigs-fa-out",
+            str(tmp_path / "g.fa"),
+            "--log-level",
+            "Warning",
+        ]
+    )
+    assert rc == 0
