@@ -19,9 +19,9 @@ pulls from ``bigraph::algo::eulerian`` and first-party balancing code:
   (/root/reference/src/implementation/eulertigs/mod.rs:126-186).
 
 These stages are O(E) pointer walks over tiny data relative to the
-shortest-path phase; they run on host (C++ planned for the tour walk),
-while imbalance scans are vectorized numpy and have jit twins in
-:mod:`matchtigs_tpu.ops.device_graph`.
+shortest-path phase; the balancer and the tour walk dispatch to native
+C++ passes (native/graphwalk.cpp) with the python implementations kept
+as fallbacks and test oracles; imbalance scans are vectorized numpy.
 """
 
 from __future__ import annotations
