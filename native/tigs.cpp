@@ -133,43 +133,51 @@ static i64 dijkstra_range(i64 n_nodes, i64 deg_pad, const int* nbr,
                           const signed char* in_mask, i64 seg_start,
                           i64 seg_cap, i64* out_src, i64* out_dst,
                           i64* out_dist) {
+  // Dial's bucket queue (distances bounded by max_weight) over
+  // epoch-stamped dense distance arrays: O(1) relaxation, no hashing, no
+  // per-source reinitialization (the reference's EpochNodeWeightArray,
+  // traitgraph-algo, upgraded with the bounded-distance bucket queue).
   i64 n_out = 0;
-  std::unordered_map<i64, i64> dist;
-  using QE = std::pair<i64, i64>;  // (dist, node)
-  std::priority_queue<QE, std::vector<QE>, std::greater<QE>> heap;
+  std::vector<int> dist(n_nodes, 0);
+  std::vector<int> epoch(n_nodes, -1);
+  std::vector<std::vector<int>> buckets((size_t)max_weight + 1);
   for (i64 s = s_begin; s < s_end; ++s) {
     i64 src = sources[s];
-    dist.clear();
+    int ep = (int)(s - s_begin);
     dist[src] = 0;
-    heap.push({0, src});
-    while (!heap.empty()) {
-      auto [d, u] = heap.top();
-      heap.pop();
-      auto it = dist.find(u);
-      if (it == dist.end() || d != it->second) continue;  // stale or settled
-      it->second = -d - 1;  // mark settled (negative: never re-relaxed)
-      if (u != src && d >= 1 && in_mask[u]) {
-        if (n_out >= seg_cap) return -1;
-        out_src[seg_start + n_out] = src;
-        out_dst[seg_start + n_out] = u;
-        out_dist[seg_start + n_out] = d;
-        ++n_out;
-      }
-      const int* row = nbr + u * deg_pad;
-      const int* wrow = nw + u * deg_pad;
-      for (i64 j = 0; j < deg_pad; ++j) {
-        i64 v = row[j];
-        if (v == n_nodes) continue;
-        i64 nd = d + wrow[j];
-        if (nd > max_weight) continue;
-        auto f = dist.find(v);
-        if (f == dist.end() || nd < f->second) {
-          dist[v] = nd;
-          heap.push({nd, v});
+    epoch[src] = ep;
+    buckets[0].push_back((int)src);
+    for (i64 d = 0; d <= max_weight; ++d) {
+      auto& bucket = buckets[d];
+      for (size_t bi = 0; bi < bucket.size(); ++bi) {
+        i64 u = bucket[bi];
+        if (epoch[u] != ep || dist[u] != d) continue;  // stale entry
+        if (u != src && in_mask[u]) {
+          if (n_out >= seg_cap) {
+            for (auto& b : buckets) b.clear();
+            return -1;
+          }
+          out_src[seg_start + n_out] = src;
+          out_dst[seg_start + n_out] = u;
+          out_dist[seg_start + n_out] = d;
+          ++n_out;
+        }
+        const int* row = nbr + u * deg_pad;
+        const int* wrow = nw + u * deg_pad;
+        for (i64 j = 0; j < deg_pad; ++j) {
+          i64 v = row[j];
+          if (v == n_nodes) continue;
+          i64 nd = d + wrow[j];
+          if (nd > max_weight) continue;
+          if (epoch[v] != ep || nd < dist[v]) {
+            epoch[v] = ep;
+            dist[v] = (int)nd;
+            buckets[nd].push_back((int)v);
+          }
         }
       }
+      bucket.clear();
     }
-    while (!heap.empty()) heap.pop();
   }
   return n_out;
 }
