@@ -92,3 +92,34 @@ def test_greedytigs_on_balanced_graph():
     assert np.all(g.imbalances() == 0)
     tigs = compute_greedytigs(g, GreedytigConfig(k=k, batch_size=8))
     assert len(tigs) == 1
+
+
+def test_unitig_with_both_palindromic_endpoints():
+    """A unitig whose prefix and suffix (k-1)-mers are both reverse-
+    complement palindromes forms an isolated component of two unbalanced
+    self-mirror nodes; the balancer pairs them and the bicycle breaks
+    back into the single unitig."""
+    seq = b"ACGTTGCA"  # k=5: prefix ACGT and suffix TGCA are palindromes
+    store = _store([seq])
+    k = 5
+    g = build_bigraph_from_unitigs(store, k)
+    sm = g.self_mirror_mask()
+    assert sm.sum() == 2
+    diff = g.imbalances()
+    assert np.all(diff[np.flatnonzero(sm)] == 1)  # both odd parity
+    tigs = compute_eulertigs(g, EulertigConfig(k=k))
+    assert len(tigs) == 1
+    spelled = spell_walk(g, tigs[0], store, k)
+    assert (
+        np.array_equal(spelled, dna.encode_ascii(seq))
+        or np.array_equal(spelled, dna.revcomp(dna.encode_ascii(seq)))
+    )
+
+
+def test_greedytigs_with_palindromic_endpoints():
+    seq = b"ACGTTGCA"
+    store = _store([seq])
+    k = 5
+    g = build_bigraph_from_unitigs(store, k)
+    tigs = compute_greedytigs(g, GreedytigConfig(k=k, batch_size=8))
+    assert len(tigs) == 1
