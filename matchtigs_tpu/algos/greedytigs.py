@@ -134,7 +134,20 @@ def collect_candidates(
     difficulty = dg.nw.min(axis=1)[pending]
     host_thread = None
     host_result: list[np.ndarray] = []
-    if config.host_route_threshold >= 0:
+    host_error: list[BaseException] = []
+    host_available = True
+    if config.host_route_threshold >= 0 or config.overflow_mode == "host":
+        try:
+            from .. import native
+
+            native.load()
+        except ImportError:
+            host_available = False
+            logger.warning(
+                "native host Dijkstra unavailable; disabling host routing "
+                "and using the on-device capacity ladder"
+            )
+    if config.host_route_threshold >= 0 and host_available:
         hard = difficulty <= config.host_route_threshold
         if hard.any() and not hard.all():
             import threading
@@ -151,13 +164,16 @@ def collect_candidates(
             )
 
             def run_host():
-                res = host_dijkstra_candidates(
-                    dg, hard_sources, k - 1, in_mask, n_threads=config.host_threads
-                )
-                if len(res):
-                    res[:, 0] = dg.unmap_nodes(res[:, 0])
-                    res[:, 1] = dg.unmap_nodes(res[:, 1])
-                host_result.append(res)
+                try:
+                    res = host_dijkstra_candidates(
+                        dg, hard_sources, k - 1, in_mask, n_threads=config.host_threads
+                    )
+                    if len(res):
+                        res[:, 0] = dg.unmap_nodes(res[:, 0])
+                        res[:, 1] = dg.unmap_nodes(res[:, 1])
+                    host_result.append(res)
+                except BaseException as e:  # re-raised on the main thread
+                    host_error.append(e)
 
             host_thread = threading.Thread(target=run_host)
             host_thread.start()
@@ -215,7 +231,7 @@ def collect_candidates(
                 )
         pending = pending[overflow]
         if len(pending) > 0:
-            if config.overflow_mode == "host":
+            if config.overflow_mode == "host" and host_available:
                 # Finish the heavy tail with the native host Dijkstra
                 # (keeps a single compiled device program shape).
                 from ..ops.sssp import host_dijkstra_candidates
@@ -251,6 +267,8 @@ def collect_candidates(
 
     if host_thread is not None:
         host_thread.join()
+        if host_error:
+            raise host_error[0]
         if host_result and len(host_result[0]):
             triples.append(host_result[0])
 

@@ -298,10 +298,15 @@ def _allocate_and_match(
         return edges_sorted[cc_starts[i] : cc_ends[i]]
 
     matched_pairs: list[tuple[int, int]] = []
-    for w in np.unique(id_comp):
-        in_w = id_comp == w
-        singles = int((in_w & ~has_edge).sum())
-        comp_ids = np.unique(cc[in_w & has_edge])
+    # Bucket matching ids by input component once (sorted slices) instead
+    # of a full boolean scan per component.
+    wcc_order = np.argsort(id_comp, kind="stable")
+    w_labels, w_starts = np.unique(id_comp[wcc_order], return_index=True)
+    w_ends = np.append(w_starts[1:], n_ids)
+    for wi in range(len(w_labels)):
+        ids_w = wcc_order[w_starts[wi] : w_ends[wi]]
+        singles = int((~has_edge[ids_w]).sum())
+        comp_ids = np.unique(cc[ids_w[has_edge[ids_w]]])
         sizes = {int(c): len(comp_members(c)) for c in comp_ids}
         zero_absorbers = singles + sum(1 for c in comp_ids if sizes[int(c)] % 2 == 1)
         need = max(0, 2 - zero_absorbers)

@@ -325,7 +325,6 @@ def eulerian_bicycle_decomposition_py(g: Bigraph) -> list[np.ndarray]:
     # occ[node] = an edge in a merged cycle with dst == node (splice anchor).
     occ: dict[int, int] = {}
     heads: list[int] = []  # one representative edge per merged cycle
-    cycle_of: dict[int, int] = {}  # head edge -> cycle index in `heads`
     edge_cycle: dict[int, int] = {}  # anchor edge -> cycle index
 
     def flip_chain(edges: list[int]) -> list[int]:
@@ -389,7 +388,6 @@ def eulerian_bicycle_decomposition_py(g: Bigraph) -> list[np.ndarray]:
         if anchor_edge < 0:
             ci = len(heads)
             heads.append(tour[0])
-            cycle_of[tour[0]] = ci
             for e in tour:
                 v = int(dst[e])
                 occ.setdefault(v, e)

@@ -22,9 +22,13 @@ protocol exactly:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from ..graph.bigraph import Bigraph
+
+logger = logging.getLogger(__name__)
 
 
 def unbalanced_nodes(g: Bigraph):
@@ -57,7 +61,7 @@ def greedy_accept(
     """
     if len(candidates) == 0:
         return candidates.reshape(0, 3)
-    if g.n_nodes < (1 << 28):
+    if g.n_nodes < (1 << 28) and int(candidates[:, 2].max(initial=0)) < 128:
         # single packed int64 key: (dist, out, in) lexicographic
         key = (
             (candidates[:, 2] << 56)

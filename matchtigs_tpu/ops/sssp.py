@@ -58,7 +58,11 @@ def _sssp_kernel(
     S = sources.shape[0]
     C = capacity
     sentinel = jnp.int32(nbr.shape[0] - 1)
-    dist_cap = jnp.int32((1 << DIST_BITS) - 1)  # dists clamp here; > max_weight
+    # Empty-slot sentinel distance; must exceed max_weight.  In packed mode
+    # _can_pack guarantees max_weight < 2^DIST_BITS - 1; in the unpacked
+    # fallback (k >= 128 or huge graphs) it is derived from max_rounds,
+    # which callers always set to int(max_weight).
+    dist_cap = jnp.int32((1 << DIST_BITS) - 1 if packed else max_rounds + 1)
 
     def sort2(a_nodes, a_dist, by_node_first: bool):
         """Sort (node, dist) pairs along axis 1 by (node, dist) or
@@ -220,7 +224,7 @@ def batched_bounded_sssp(
         )
     if batch_size is None:
         batch_size = S
-    batch_size = min(batch_size, max(1, S))
+    batch_size = max(1, min(batch_size, S))
     nbr = jnp.asarray(dg.nbr)
     nw = jnp.asarray(dg.nw)
     packed = _can_pack(dg, max_weight)

@@ -73,3 +73,25 @@ def test_empty_sources():
     dg = build_device_graph(g)
     nodes, dist, over = batched_bounded_sssp(dg, np.empty(0, np.int32), 8)
     assert nodes.shape[0] == 0 and over.shape[0] == 0
+
+
+def test_unpacked_mode_large_max_weight():
+    """k >= 128 uses the two-key sort fallback; results must still match
+    the host oracle (regression: dist_cap used to clamp at 127)."""
+    store, _, k = testing.make_unitig_store(genome_length=3000, k=9, seed=6)
+    g = build_bigraph_from_unitigs(store, k)
+    dg = build_device_graph(g)
+    max_w = 200  # > 127: forces packed=False
+    sources = np.arange(min(8, g.n_nodes), dtype=np.int32)
+    nodes, dist, over = batched_bounded_sssp(
+        dg, sources, max_weight=max_w, capacity=512, batch_size=8
+    )
+    assert not over.any()
+    for i, s in enumerate(sources):
+        expected = sssp_reference_host(dg, int(s), max_w)
+        got = {
+            int(n): int(d)
+            for n, d in zip(nodes[i], dist[i])
+            if n != dg.sentinel
+        }
+        assert got == expected
