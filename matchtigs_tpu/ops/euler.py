@@ -289,8 +289,10 @@ def _eulerian_bicycle_decomposition_native(g: Bigraph) -> list[np.ndarray]:
         p(cycles_out),
         p(offsets_out),
     )
-    if n_cycles < 0:
+    if n_cycles == -1:
         raise AssertionError("open walk in balanced bidirected graph")
+    if n_cycles < 0:
+        raise AssertionError(f"euler_decompose internal error {n_cycles}")
     res = []
     prev = 0
     for i in range(n_cycles):
@@ -301,7 +303,17 @@ def _eulerian_bicycle_decomposition_native(g: Bigraph) -> list[np.ndarray]:
 
 
 def eulerian_bicycle_decomposition_py(g: Bigraph) -> list[np.ndarray]:
-    """Pure-python reference implementation (oracle for the native pass)."""
+    """Pure-python reference implementation (oracle for the native pass).
+
+    Three phases: (A) raw closed Hierholzer subtours (mirror consumption);
+    (B) group subtours by shared binodes (union-find over min(v, mirror v)
+    keys) — this is the mirror-connected-component relation; (C) stitch
+    each group into ONE bicycle, merging subtours in BFS order and
+    flipping the *incoming* subtour to its mirror representation when it
+    only shares the mirror side.  Phase B/C guarantee the minimum
+    one-bicycle-per-component decomposition even when a subtour bridges
+    several previously separate subtours.
+    """
     E = g.n_edges
     if E == 0:
         return []
@@ -312,7 +324,6 @@ def eulerian_bicycle_decomposition_py(g: Bigraph) -> list[np.ndarray]:
 
     used = np.zeros(E, dtype=bool)
     cursor = out_off[:-1].copy()
-    nxt = np.full(E, -1, dtype=np.int64)  # circular successor within a cycle
 
     def next_unused_out(v: int) -> int:
         c = cursor[v]
@@ -322,41 +333,17 @@ def eulerian_bicycle_decomposition_py(g: Bigraph) -> list[np.ndarray]:
         cursor[v] = c
         return int(out_edges[c]) if c < end else -1
 
-    # occ[node] = an edge in a merged cycle with dst == node (splice anchor).
-    occ: dict[int, int] = {}
-    heads: list[int] = []  # one representative edge per merged cycle
-    edge_cycle: dict[int, int] = {}  # anchor edge -> cycle index
-
-    def flip_chain(edges: list[int]) -> list[int]:
-        """Mirror representation of a closed walk: reverse order, e -> e^1."""
-        return [e ^ 1 for e in reversed(edges)]
-
+    # -- Phase A: raw closed subtours
+    tours: list[list[int]] = []
     for e0 in range(E):
         if used[e0]:
             continue
-        # -- grow one closed subtour starting with e0
         tour = [e0]
         used[e0] = True
         used[e0 ^ 1] = True
         start = int(src[e0])
         cur = int(dst[e0])
-        while cur != start:
-            e = next_unused_out(cur)
-            assert e >= 0, "open walk in balanced bidirected graph"
-            tour.append(e)
-            used[e] = True
-            used[e ^ 1] = True
-            cur = int(dst[e])
-        # keep extending from start while possible (pure Hierholzer closes
-        # only when start has no unused out-edge)
         while True:
-            e = next_unused_out(start)
-            if e < 0:
-                break
-            tour.append(e)
-            used[e] = True
-            used[e ^ 1] = True
-            cur = int(dst[e])
             while cur != start:
                 e = next_unused_out(cur)
                 assert e >= 0, "open walk in balanced bidirected graph"
@@ -364,60 +351,93 @@ def eulerian_bicycle_decomposition_py(g: Bigraph) -> list[np.ndarray]:
                 used[e] = True
                 used[e ^ 1] = True
                 cur = int(dst[e])
+            e = next_unused_out(start)
+            if e < 0:
+                break
+            tour.append(e)
+            used[e] = True
+            used[e ^ 1] = True
+            cur = int(dst[e])
+        tours.append(tour)
 
-        # -- find an anchor in an existing cycle (direct or mirror node)
-        anchor_edge = -1
-        flipped = False
+    # -- Phase B: group subtours by shared binodes
+    binode_tours: dict[int, list[int]] = {}
+    for ti, tour in enumerate(tours):
         for e in tour:
             v = int(dst[e])
-            if v in occ:
-                anchor_edge = occ[v]
-                break
-            if int(mirror[v]) in occ:
-                anchor_edge = occ[int(mirror[v])]
-                flipped = True
-                break
-        if flipped:
-            tour = flip_chain(tour)
+            b = min(v, int(mirror[v]))
+            lst = binode_tours.setdefault(b, [])
+            if not lst or lst[-1] != ti:
+                lst.append(ti)
 
-        # link the subtour into a circular chain
-        for a, b in zip(tour, tour[1:]):
-            nxt[a] = b
-        nxt[tour[-1]] = tour[0]
-
-        if anchor_edge < 0:
-            ci = len(heads)
-            heads.append(tour[0])
-            for e in tour:
-                v = int(dst[e])
-                occ.setdefault(v, e)
-                edge_cycle[e] = ci
-        else:
-            # splice: anchor_edge ends at node v; find the subtour edge
-            # ending at v and swap successors (circular list union).
-            v = int(dst[anchor_edge])
-            sub_anchor = next(e for e in tour if int(dst[e]) == v)
-            nxt[anchor_edge], nxt[sub_anchor] = nxt[sub_anchor], nxt[anchor_edge]
-            ci = edge_cycle[anchor_edge]
-            for e in tour:
-                u = int(dst[e])
-                occ.setdefault(u, e)
-                edge_cycle[e] = ci
-
-    # -- materialize cycles from the circular chains
+    # -- Phase C: stitch each group into one bicycle (BFS order)
+    nxt = np.full(E, -1, dtype=np.int64)
+    visited = [False] * len(tours)
     cycles: list[np.ndarray] = []
-    emitted = np.zeros(E, dtype=bool)
-    for head in heads:
-        if emitted[head]:
+    for t0 in range(len(tours)):
+        if visited[t0]:
             continue
-        chain = [head]
-        emitted[head] = True
-        e = int(nxt[head])
-        while e != head:
-            chain.append(e)
-            emitted[e] = True
+        visited[t0] = True
+        acc = tours[t0]
+        for a, b in zip(acc, acc[1:]):
+            nxt[a] = b
+        nxt[acc[-1]] = acc[0]
+        occ: dict[int, int] = {}
+        for e in acc:
+            occ.setdefault(int(dst[e]), e)
+        total_len = len(acc)
+        head = acc[0]
+
+        # BFS over the shared-binode relation
+        queue = [t0]
+        qi = 0
+        while qi < len(queue):
+            t = queue[qi]
+            qi += 1
+            for e in tours[t]:
+                v = int(dst[e])
+                b = min(v, int(mirror[v]))
+                for tn in binode_tours.get(b, ()):
+                    if visited[tn]:
+                        continue
+                    visited[tn] = True
+                    queue.append(tn)
+                    sub = tours[tn]
+                    # find the splice node: a node of `sub` (direct or via
+                    # the mirror representation) present in `occ`
+                    anchor = -1
+                    for se in sub:
+                        u = int(dst[se])
+                        if u in occ:
+                            anchor = occ[u]
+                            break
+                        if int(mirror[u]) in occ:
+                            # flip the incoming subtour: reverse + e^1
+                            sub = [x ^ 1 for x in reversed(sub)]
+                            anchor = occ[int(mirror[u])]
+                            break
+                    assert anchor >= 0, "BFS neighbor without shared node"
+                    av = int(dst[anchor])
+                    sub_anchor = next(x for x in sub if int(dst[x]) == av)
+                    for a2, b2 in zip(sub, sub[1:]):
+                        nxt[a2] = b2
+                    nxt[sub[-1]] = sub[0]
+                    nxt[anchor], nxt[sub_anchor] = (
+                        nxt[sub_anchor],
+                        nxt[anchor],
+                    )
+                    for x in sub:
+                        occ.setdefault(int(dst[x]), x)
+                    tours[tn] = sub  # flipped representation for later BFS
+                    total_len += len(sub)
+
+        chain = np.empty(total_len, dtype=np.int64)
+        e = head
+        for i in range(total_len):
+            chain[i] = e
             e = int(nxt[e])
-        cycles.append(np.asarray(chain, dtype=np.int64))
+        assert e == head, "stitched chain is not circular"
+        cycles.append(chain)
     return cycles
 
 

@@ -72,10 +72,6 @@ i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
                     i64* cycle_offsets) {
   std::vector<char> used(n_edges, 0);
   std::vector<i64> cursor(out_off, out_off + n_nodes);
-  std::vector<i64> nxt(n_edges, -1);
-  std::vector<i64> occ(n_nodes, -1);
-  std::vector<i64> heads;
-  std::vector<i64> tour;
 
   auto next_unused_out = [&](i64 v) -> i64 {
     i64 c = cursor[v];
@@ -85,9 +81,11 @@ i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
     return c < end ? out_edges[c] : -1;
   };
 
+  // Phase A: raw closed Hierholzer subtours (mirror consumption).
+  std::vector<std::vector<i64>> tours;
   for (i64 e0 = 0; e0 < n_edges; ++e0) {
     if (used[e0]) continue;
-    tour.clear();
+    std::vector<i64> tour;
     tour.push_back(e0);
     used[e0] = 1;
     used[e0 ^ 1] = 1;
@@ -109,61 +107,109 @@ i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
       used[e ^ 1] = 1;
       cur = dst[e];
     }
+    tours.push_back(std::move(tour));
+  }
 
-    // find an anchor in an existing cycle, directly or via mirror
-    i64 anchor = -1;
-    bool flipped = false;
-    for (i64 e : tour) {
+  // Phase B: group subtours by shared binode keys min(v, mirror(v)).
+  std::map<i64, std::vector<i64>> binode_tours;
+  for (std::size_t ti = 0; ti < tours.size(); ++ti) {
+    for (i64 e : tours[ti]) {
       i64 v = dst[e];
-      if (occ[v] >= 0) {
-        anchor = occ[v];
-        break;
-      }
-      i64 mv = mirror_node[v];
-      if (occ[mv] >= 0) {
-        anchor = occ[mv];
-        flipped = true;
-        break;
-      }
-    }
-    if (flipped) {
-      // mirror representation: reverse order, e -> e^1
-      std::vector<i64> rev(tour.rbegin(), tour.rend());
-      for (auto& e : rev) e ^= 1;
-      tour.swap(rev);
-    }
-    for (std::size_t i = 0; i + 1 < tour.size(); ++i) nxt[tour[i]] = tour[i + 1];
-    nxt[tour.back()] = tour.front();
-
-    if (anchor < 0) {
-      heads.push_back(tour.front());
-    } else {
-      i64 v = dst[anchor];
-      i64 sub_anchor = -1;
-      for (i64 e : tour)
-        if (dst[e] == v) {
-          sub_anchor = e;
-          break;
-        }
-      i64 t = nxt[anchor];
-      nxt[anchor] = nxt[sub_anchor];
-      nxt[sub_anchor] = t;
-    }
-    for (i64 e : tour) {
-      i64 v = dst[e];
-      if (occ[v] < 0) occ[v] = e;
+      i64 b = v < mirror_node[v] ? v : mirror_node[v];
+      auto& lst = binode_tours[b];
+      if (lst.empty() || lst.back() != (i64)ti) lst.push_back((i64)ti);
     }
   }
 
+  // Phase C: stitch each shared-binode group into one bicycle, merging
+  // subtours in BFS order; an incoming subtour sharing only the mirror
+  // side is flipped (reverse + e^1) before splicing.
+  std::vector<i64> nxt(n_edges, -1);
+  std::vector<char> visited(tours.size(), 0);
+  std::vector<i64> occ(n_nodes, -1);
+  std::vector<i64> occ_touched;
   i64 pos = 0;
   i64 n_cycles = 0;
-  for (i64 head : heads) {
+  for (std::size_t t0 = 0; t0 < tours.size(); ++t0) {
+    if (visited[t0]) continue;
+    visited[t0] = 1;
+    occ_touched.clear();
+    auto& acc = tours[t0];
+    for (std::size_t i = 0; i + 1 < acc.size(); ++i) nxt[acc[i]] = acc[i + 1];
+    nxt[acc.back()] = acc.front();
+    for (i64 e : acc) {
+      i64 v = dst[e];
+      if (occ[v] < 0) {
+        occ[v] = e;
+        occ_touched.push_back(v);
+      }
+    }
+    i64 total_len = (i64)acc.size();
+    i64 head = acc.front();
+
+    std::vector<i64> queue{(i64)t0};
+    for (std::size_t qi = 0; qi < queue.size(); ++qi) {
+      i64 t = queue[qi];
+      for (i64 e : tours[t]) {
+        i64 v = dst[e];
+        i64 b = v < mirror_node[v] ? v : mirror_node[v];
+        auto it = binode_tours.find(b);
+        if (it == binode_tours.end()) continue;
+        for (i64 tn : it->second) {
+          if (visited[tn]) continue;
+          visited[tn] = 1;
+          queue.push_back(tn);
+          std::vector<i64>& sub = tours[tn];
+          i64 anchor = -1;
+          for (i64 se : sub) {
+            i64 u = dst[se];
+            if (occ[u] >= 0) {
+              anchor = occ[u];
+              break;
+            }
+            i64 mu = mirror_node[u];
+            if (occ[mu] >= 0) {
+              std::vector<i64> rev(sub.rbegin(), sub.rend());
+              for (auto& x : rev) x ^= 1;
+              sub.swap(rev);
+              anchor = occ[mu];
+              break;
+            }
+          }
+          if (anchor < 0) return -2;  // BFS neighbor without shared node
+          i64 av = dst[anchor];
+          i64 sub_anchor = -1;
+          for (i64 x : sub)
+            if (dst[x] == av) {
+              sub_anchor = x;
+              break;
+            }
+          for (std::size_t i = 0; i + 1 < sub.size(); ++i)
+            nxt[sub[i]] = sub[i + 1];
+          nxt[sub.back()] = sub.front();
+          i64 tmp = nxt[anchor];
+          nxt[anchor] = nxt[sub_anchor];
+          nxt[sub_anchor] = tmp;
+          for (i64 x : sub) {
+            i64 u = dst[x];
+            if (occ[u] < 0) {
+              occ[u] = x;
+              occ_touched.push_back(u);
+            }
+          }
+          total_len += (i64)sub.size();
+        }
+      }
+    }
+
     i64 e = head;
-    do {
+    for (i64 i = 0; i < total_len; ++i) {
       cycles_out[pos++] = e;
       e = nxt[e];
-    } while (e != head);
+    }
+    if (e != head) return -3;  // stitched chain not circular
     cycle_offsets[n_cycles++] = pos;
+    for (i64 v : occ_touched) occ[v] = -1;  // reset for the next group
   }
   return n_cycles;
 }

@@ -119,3 +119,43 @@ def test_balancer_native_self_mirror_unit():
         np.stack([g2.srcs(), g2.dsts()], axis=1),
     )
     assert euler.decomposes_into_eulerian_bicycles(g1)
+
+
+def _bridge_graph():
+    """Two 2-biedge cycles A (nodes 0,1) and B (2,3) plus a bridge cycle
+    (1<->3).  Hierholzer discovery order yields three separate subtours
+    where the bridge shares nodes with BOTH A and B; the decomposition
+    must stitch everything into ONE bicycle (regression: only the first
+    anchor used to be spliced)."""
+    from matchtigs_tpu.graph.bigraph import Bigraph
+
+    mirror = np.array([4, 5, 6, 7, 0, 1, 2, 3], dtype=np.int32)
+    g = Bigraph(8, mirror)
+    g.add_biedge_pair(0, 1, 1, 0, True, 0)  # P1
+    g.add_biedge_pair(1, 0, 1, 1, True, 0)  # P2
+    g.add_biedge_pair(2, 3, 1, 2, True, 0)  # P3
+    g.add_biedge_pair(3, 2, 1, 3, True, 0)  # P4
+    g.add_biedge_pair(1, 3, 1, 4, True, 0)  # P5 (bridge)
+    g.add_biedge_pair(3, 1, 1, 5, True, 0)  # P6 (bridge)
+    assert g.verify_node_pairing() and g.verify_edge_mirror_property()
+    assert euler.decomposes_into_eulerian_bicycles(g)
+    return g
+
+
+def test_bridging_subtour_single_bicycle_python():
+    g = _bridge_graph()
+    cycles = euler.eulerian_bicycle_decomposition_py(g)
+    assert len(cycles) == 1, [c.tolist() for c in cycles]
+    assert len(cycles[0]) == 6  # six biedges, one traversal each
+    # valid circular walk
+    c = cycles[0]
+    assert np.all(g.dsts()[c[:-1]] == g.srcs()[c[1:]])
+    assert g.dsts()[c[-1]] == g.srcs()[c[0]]
+
+
+def test_bridging_subtour_single_bicycle_native():
+    g = _bridge_graph()
+    cycles = euler._eulerian_bicycle_decomposition_native(g)
+    py = euler.eulerian_bicycle_decomposition_py(_bridge_graph())
+    assert len(cycles) == 1
+    assert np.array_equal(cycles[0], py[0])
