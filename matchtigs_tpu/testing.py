@@ -61,8 +61,10 @@ def random_genome_with_repeats(
     # searches expand large balls
     unit_len = 171
     n_arrays = max(1, length // 2_000_000)
-    array_copies = 400
+    array_copies = min(400, max(0, (length - 1) // unit_len))
     for _ in range(n_arrays):
+        if array_copies < 2:
+            break
         unit = rng.integers(0, 4, size=unit_len, dtype=np.uint8)
         arr_len = unit_len * array_copies
         pos = int(rng.integers(0, max(1, length - arr_len)))
@@ -142,21 +144,53 @@ def make_pangenome_store(
     return store, kmers, k
 
 
+def _pairs_to_void(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """(hi, lo) uint64 pairs -> void16 keys whose memcmp order is the
+    numeric lexicographic order (big-endian fields)."""
+    a = np.empty(len(hi), dtype=[("h", ">u8"), ("l", ">u8")])
+    a["h"] = hi
+    a["l"] = lo
+    return a.view("V16").reshape(-1)
+
+
+def _void_to_pairs(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    a = v.view([("h", ">u8"), ("l", ">u8")])
+    return a["h"].astype(np.uint64), a["l"].astype(np.uint64)
+
+
 def kmer_set_of_codes(codes: np.ndarray, k: int) -> np.ndarray:
-    """Sorted unique canonical packed k-mers of one sequence."""
-    packed = dna.pack_kmers_u64(codes, k)
-    return np.unique(dna.canonical_packed_u64(packed, k))
+    """Sorted unique canonical packed k-mers of one sequence.
+
+    k <= 31: 1-D uint64; 31 < k <= 63: 1-D void16 keys (two-word packing).
+    """
+    if k <= 31:
+        packed = dna.pack_kmers_u64(codes, k)
+        return np.unique(dna.canonical_packed_u64(packed, k))
+    hi, lo = dna.pack_kmers_2x64(codes, k)
+    chi, clo = dna.canonical_packed_2x64(hi, lo, k)
+    return np.unique(_pairs_to_void(chi, clo))
 
 
 def kmer_multiset_of_walk_seqs(seqs: list[np.ndarray], k: int) -> np.ndarray:
     """Sorted canonical packed k-mers (with duplicates) over sequences."""
-    parts = [
-        dna.canonical_packed_u64(dna.pack_kmers_u64(s, k), k)
-        for s in seqs
-        if len(s) >= k
-    ]
+    if k <= 31:
+        parts = [
+            dna.canonical_packed_u64(dna.pack_kmers_u64(s, k), k)
+            for s in seqs
+            if len(s) >= k
+        ]
+        if not parts:
+            return np.empty(0, dtype=np.uint64)
+        return np.sort(np.concatenate(parts))
+    parts = []
+    for s in seqs:
+        if len(s) < k:
+            continue
+        hi, lo = dna.pack_kmers_2x64(s, k)
+        chi, clo = dna.canonical_packed_2x64(hi, lo, k)
+        parts.append(_pairs_to_void(chi, clo))
     if not parts:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype="V16")
     return np.sort(np.concatenate(parts))
 
 
@@ -165,7 +199,10 @@ def unitigs_from_kmers(kmers: np.ndarray, k: int) -> list[np.ndarray]:
 
     Returns a list of code arrays, one per unitig, canonical orientation
     (seq <= revcomp(seq) lexicographically on the packed form).
+    k <= 31 takes the uint64 fast path; 31 < k <= 63 the two-word path.
     """
+    if k > 31:
+        return _unitigs_from_kmers_2x64(kmers, k)
     kmers = np.unique(kmers.astype(np.uint64))
     rc = dna.revcomp_packed_u64(kmers, k)
     oriented = np.unique(np.concatenate([kmers, rc]))  # all oriented k-mers
@@ -223,6 +260,85 @@ def unitigs_from_kmers(kmers: np.ndarray, k: int) -> list[np.ndarray]:
     for end in offsets.tolist():
         first = oriented[order[prev]]
         head = ((first >> shifts) & np.uint64(3)).astype(np.uint8)
+        arr = np.concatenate([head, last_bases[prev + 1 : end]])
+        prev = end
+        fwd = arr.tobytes()
+        rc = dna.revcomp(arr)
+        bwd = rc.tobytes()
+        key = min(fwd, bwd)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(arr if fwd <= bwd else rc)
+    return out
+
+
+def _unitigs_from_kmers_2x64(kmers: np.ndarray, k: int) -> list[np.ndarray]:
+    """Two-word-packed unitig extraction for 31 < k <= 63 (same contraction
+    rules as the uint64 path, incl. the BCALM2 palindrome stop)."""
+    assert 31 < k <= 63
+    k_lo, k_hi = 32, k - 32
+    mask_hi = np.uint64((1 << (2 * k_hi)) - 1)
+    kv = np.unique(np.asarray(kmers).view("V16").reshape(-1))
+    hi, lo = _void_to_pairs(kv)
+    rhi, rlo = dna.revcomp_packed_2x64(hi, lo, k)
+    oriented_v = np.unique(
+        np.concatenate([_pairs_to_void(hi, lo), _pairs_to_void(rhi, rlo)])
+    )
+    ohi, olo = _void_to_pairs(oriented_v)
+    n = len(oriented_v)
+
+    def find(vh: np.ndarray, vl: np.ndarray) -> np.ndarray:
+        vv = _pairs_to_void(vh, vl)
+        idx = np.searchsorted(oriented_v, vv)
+        idx_c = np.clip(idx, 0, n - 1)
+        ok = oriented_v[idx_c] == vv
+        return np.where(ok, idx_c, -1).astype(np.int64)
+
+    out_deg = np.zeros(n, dtype=np.uint8)
+    in_deg = np.zeros(n, dtype=np.uint8)
+    succ_sum = np.zeros(n, dtype=np.int64)
+    two = np.uint64(2)
+    for c in range(4):
+        cc = np.uint64(c)
+        # successor: shift left 2 within 2k bits, append base c
+        sh = ((ohi << two) | (olo >> np.uint64(62))) & mask_hi
+        sl = (olo << two) | cc
+        idx = find(sh, sl)
+        hit = idx >= 0
+        out_deg += hit
+        succ_sum += np.where(hit, idx, 0)
+        # predecessor: shift right 2, prepend base c
+        pl = (olo >> two) | ((ohi & np.uint64(3)) << np.uint64(62))
+        ph = (ohi >> two) | (cc << np.uint64(2 * (k_hi - 1)))
+        in_deg += find(ph, pl) >= 0
+    rc_ohi, rc_olo = dna.revcomp_packed_2x64(ohi, olo, k)
+    rc_idx = find(rc_ohi, rc_olo)
+    assert np.all(rc_idx >= 0)
+
+    uniq_succ = np.where(out_deg == 1, succ_sum, -1)
+    contracted = (
+        (uniq_succ >= 0)
+        & (in_deg[np.clip(uniq_succ, 0, n - 1)] == 1)
+        & (uniq_succ != rc_idx)
+    )
+    nxt = np.where(contracted, uniq_succ, -1).astype(np.int64)
+    has_in = np.zeros(n, dtype=bool)
+    has_in[nxt[nxt >= 0]] = True
+    starts = np.flatnonzero(~has_in).astype(np.int64)
+    order, offsets = _follow_chains(n, nxt, starts)
+
+    last_bases = (olo[order] & np.uint64(3)).astype(np.uint8)
+    out: list[np.ndarray] = []
+    seen: set[bytes] = set()
+    prev = 0
+    for end in offsets.tolist():
+        fh, fl = int(ohi[order[prev]]), int(olo[order[prev]])
+        head = np.empty(k, dtype=np.uint8)
+        for j in range(k_hi):
+            head[j] = (fh >> (2 * (k_hi - 1 - j))) & 3
+        for j in range(k_lo):
+            head[k_hi + j] = (fl >> (2 * (k_lo - 1 - j))) & 3
         arr = np.concatenate([head, last_bases[prev + 1 : end]])
         prev = end
         fwd = arr.tobytes()
@@ -310,7 +426,11 @@ def assert_tigs_spell_kmer_set(
 ) -> None:
     got = spelled_kmers(g, tigs, store, k)
     got_set = np.unique(got)
-    expected = np.unique(kmers.astype(np.uint64))
+    expected = (
+        np.unique(kmers.astype(np.uint64))
+        if k <= 31
+        else np.unique(np.asarray(kmers).view("V16").reshape(-1))
+    )
     assert got_set.shape == expected.shape and np.all(got_set == expected), (
         f"spelled kmer set mismatch: got {len(got_set)} expected {len(expected)}"
     )

@@ -89,3 +89,58 @@ def canonical_packed_u64(vals: np.ndarray, k: int) -> np.ndarray:
     """Canonical form (elementwise min of fwd and rc) of packed k-mers."""
     rc = revcomp_packed_u64(vals, k)
     return np.minimum(vals.astype(np.uint64), rc)
+
+
+# -- two-word packing for 31 < k <= 63 (2k bits across hi/lo uint64) ------
+
+def pack_kmers_2x64(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All overlapping k-mers packed into (hi, lo) uint64 pairs, first base
+    most significant.  lo holds the last 32 bases, hi the first k-32."""
+    assert 31 < k <= 63
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    c = codes.astype(np.uint64)
+    lo = np.zeros(n, dtype=np.uint64)
+    hi = np.zeros(n, dtype=np.uint64)
+    k_lo = 32
+    k_hi = k - k_lo
+    for j in range(k_hi):  # bases 0 .. k_hi-1 -> hi
+        hi |= c[j : j + n] << np.uint64(2 * (k_hi - 1 - j))
+    for j in range(k_lo):  # bases k_hi .. k-1 -> lo
+        lo |= c[k_hi + j : k_hi + j + n] << np.uint64(2 * (k_lo - 1 - j))
+    return hi, lo
+
+
+def revcomp_packed_2x64(
+    hi: np.ndarray, lo: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reverse complement of (hi, lo)-packed k-mers."""
+    assert 31 < k <= 63
+    k_lo = 32
+    k_hi = k - k_lo
+    chi = ~hi.astype(np.uint64)
+    clo = ~lo.astype(np.uint64)
+    # reversed base j of the result comes from base k-1-j of the input
+    rhi = np.zeros_like(hi)
+    rlo = np.zeros_like(lo)
+    for j in range(k):
+        src = k - 1 - j  # input base index feeding output base j
+        if src >= k_hi:  # input base in lo
+            base = (clo >> np.uint64(2 * (k_lo - 1 - (src - k_hi)))) & np.uint64(3)
+        else:
+            base = (chi >> np.uint64(2 * (k_hi - 1 - src))) & np.uint64(3)
+        if j < k_hi:
+            rhi |= base << np.uint64(2 * (k_hi - 1 - j))
+        else:
+            rlo |= base << np.uint64(2 * (k_lo - 1 - (j - k_hi)))
+    return rhi, rlo
+
+
+def canonical_packed_2x64(
+    hi: np.ndarray, lo: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical (lexicographic min of fwd/rc) of (hi, lo)-packed k-mers."""
+    rhi, rlo = revcomp_packed_2x64(hi, lo, k)
+    take_rc = (rhi < hi) | ((rhi == hi) & (rlo < lo))
+    return np.where(take_rc, rhi, hi), np.where(take_rc, rlo, lo)
