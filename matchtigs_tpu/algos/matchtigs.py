@@ -57,6 +57,10 @@ class MatchtigConfig:
     # bigger components use greedy matching (warned).  Raise for exactness
     # at O(n^3) cost per giant component (None = library default).
     dense_limit: int | None = None
+    # Threads for the native host Dijkstra (None = all cores), forwarded
+    # to the internal GreedytigConfig (the reference's --threads reaches
+    # both matchtig variants, src/bin.rs:147-149).
+    host_threads: int | None = None
 
 
 def _matching_node_ids(g: Bigraph, diff: np.ndarray):
@@ -129,6 +133,12 @@ def _collapse_candidates(
             )
     allp = np.concatenate(parts)
     key = allp[:, 0] * n_ids + allp[:, 1]
+    # The same id pair can arise with different weights (unbalanced
+    # self-mirror endpoints where d(u->v) != d(v->u)); keep the minimum
+    # weight per pair so the matching never uses the longer path.
+    order = np.lexsort((allp[:, 2], key))
+    allp = allp[order]
+    key = key[order]
     _, first = np.unique(key, return_index=True)
     rows = allp[first]
     return rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3], rows[:, 4]
@@ -151,6 +161,7 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
         initial_capacity=config.initial_capacity,
         max_capacity=config.max_capacity,
         batch_size=config.batch_size,
+        host_threads=config.host_threads,
     )
     candidates = collect_candidates(g, out_nodes, in_mask, k, gt_config)
     logger.info("Found %d candidate shortest paths", len(candidates))

@@ -74,6 +74,39 @@ def build_parser() -> argparse.ArgumentParser:
         help="number of sources relaxed per device batch",
     )
     p.add_argument(
+        "--sssp-overflow-mode",
+        choices=("host", "ladder"),
+        default="host",
+        help="finish capacity-overflow sources on the host (native Dijkstra) "
+        "or retry on device with 4x capacity per stage",
+    )
+    p.add_argument(
+        "--host-route-threshold",
+        type=int,
+        default=2,
+        help="route sources whose min incident edge weight is <= this to the "
+        "concurrent host Dijkstra (-1 disables the split)",
+    )
+    p.add_argument(
+        "--use-mesh",
+        choices=("auto", "true", "false"),
+        default="auto",
+        help="shard source batches over the device mesh (auto: when >1 device)",
+    )
+    p.add_argument(
+        "--matching-dense-limit",
+        type=int,
+        default=None,
+        help="largest candidate component solved with the dense exact blossom "
+        "(bigger ones use the sparse exact solver)",
+    )
+    p.add_argument(
+        "--matching-file-prefix",
+        help="write the matchtigs matching instance/solution to "
+        "<prefix>.matching[.solution] (durable intermediate, analog of the "
+        "reference's .minimalperfectmatching files)",
+    )
+    p.add_argument(
         "--debug-print-graph",
         action="store_true",
         help="print the de Bruijn graph constructed from the input unitigs",
@@ -188,6 +221,11 @@ def main(argv: list[str] | None = None) -> int:
                     initial_capacity=opts.sssp_initial_capacity,
                     batch_size=opts.sssp_batch_size,
                     host_threads=opts.threads,
+                    overflow_mode=opts.sssp_overflow_mode,
+                    host_route_threshold=opts.host_route_threshold,
+                    use_mesh={"auto": "auto", "true": True, "false": False}[
+                        opts.use_mesh
+                    ],
                 ),
             )
         else:
@@ -197,6 +235,9 @@ def main(argv: list[str] | None = None) -> int:
                     k=k,
                     initial_capacity=opts.sssp_initial_capacity,
                     batch_size=opts.sssp_batch_size,
+                    host_threads=opts.threads,
+                    dense_limit=opts.matching_dense_limit,
+                    matching_file_prefix=opts.matching_file_prefix,
                 ),
             )
         compute_time = time.monotonic() - t0

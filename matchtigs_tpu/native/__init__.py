@@ -10,15 +10,25 @@ package (no toolchain at runtime -> ImportError with a clear message).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 from pathlib import Path
 
 _SRC_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = Path(__file__).resolve().parent / "_native.so"
+_HASH_PATH = Path(__file__).resolve().parent / "_native.so.srchash"
 _SOURCES = ["blossom.cpp", "graphwalk.cpp", "tigs.cpp"]
 
 _lib: ctypes.CDLL | None = None
 _load_error: Exception | None = None
+
+
+def _src_hash() -> str:
+    h = hashlib.sha256()
+    for s in _SOURCES:
+        h.update(s.encode())
+        h.update((_SRC_DIR / s).read_bytes())
+    return h.hexdigest()
 
 
 def _build() -> None:
@@ -30,6 +40,7 @@ def _build() -> None:
         "-shared",
         "-fPIC",
         "-std=c++17",
+        "-pthread",
         "-o",
         str(_LIB_PATH),
         *srcs,
@@ -39,13 +50,15 @@ def _build() -> None:
         raise ImportError(
             f"native build failed: {proc.stderr[-2000:]}"
         )
+    _HASH_PATH.write_text(_src_hash())
 
 
 def _needs_rebuild() -> bool:
-    if not _LIB_PATH.exists():
+    # Content-hash trigger, not mtimes: a fresh checkout gives sources and a
+    # (foreign, possibly -march=native-incompatible) .so identical mtimes.
+    if not _LIB_PATH.exists() or not _HASH_PATH.exists():
         return True
-    lib_mtime = _LIB_PATH.stat().st_mtime
-    return any((_SRC_DIR / s).stat().st_mtime > lib_mtime for s in _SOURCES)
+    return _HASH_PATH.read_text().strip() != _src_hash()
 
 
 def load() -> ctypes.CDLL:
@@ -77,7 +90,7 @@ def load() -> ctypes.CDLL:
     lib.biwalk_cover.restype = ll
     lib.biwalk_cover.argtypes = [ll, ll] + [llp] * 8
     lib.balance_breaking_edges.restype = ll
-    lib.balance_breaking_edges.argtypes = [ll, llp, llp, llp]
+    lib.balance_breaking_edges.argtypes = [ll, llp, llp, llp, ll]
     i8p = ctypes.POINTER(ctypes.c_byte)
     u8p = ctypes.POINTER(ctypes.c_ubyte)
     lib.greedy_accept_scan.restype = ll

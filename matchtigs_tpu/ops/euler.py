@@ -121,9 +121,22 @@ def _make_eulerian_native(g: Bigraph, k: int, dummy_edge_id: int) -> int:
     n = g.n_nodes
     diff = np.ascontiguousarray(g.imbalances(), dtype=np.int64)
     mirror = np.ascontiguousarray(g.mirror_node, dtype=np.int64)
-    pairs = np.empty(2 * max(1, n), dtype=np.int64)
+    # Exact pair-count bound: phase 2 emits at most one pair per unit of
+    # positive imbalance (bounded by edge count, NOT node count — parallel
+    # biedges between one binode pair each contribute a unit); phase 1 emits
+    # ceil(#odd-self-mirrors / 2) and its odd leftover consumes one in-unit
+    # already counted in the positive sum.
+    sm = g.self_mirror_mask()
+    bound = int(np.sum(diff[(diff > 0) & ~sm]))
+    bound += (int(np.count_nonzero(sm & (diff != 0))) + 1) // 2
+    capacity = max(1, bound)
+    pairs = np.empty(2 * capacity, dtype=np.int64)
     p = native.as_ll_ptr
-    n_pairs = lib.balance_breaking_edges(n, p(diff), p(mirror), p(pairs))
+    n_pairs = lib.balance_breaking_edges(n, p(diff), p(mirror), p(pairs), capacity)
+    while n_pairs == -2:  # defensive grow-and-retry; unreachable if bound holds
+        capacity *= 2
+        pairs = np.empty(2 * capacity, dtype=np.int64)
+        n_pairs = lib.balance_breaking_edges(n, p(diff), p(mirror), p(pairs), capacity)
     if n_pairs < 0:
         raise AssertionError("balancer inconsistency (unbalanced totals)")
     if n_pairs:

@@ -286,7 +286,7 @@ i64 biwalk_cover(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
 // pairs_out: capacity >= n entries of (out_node, in_node); returns the
 // number of pairs, or -1 on inconsistency.
 i64 balance_breaking_edges(i64 n_nodes, const i64* diff, const i64* mirror,
-                           i64* pairs_out) {
+                           i64* pairs_out, i64 pairs_capacity) {
   std::map<i64, i64> out_diff;  // ascending; iterate rbegin for descending
   std::map<i64, i64> in_diff;
   std::vector<i64> self_mirror_odd;
@@ -301,7 +301,12 @@ i64 balance_breaking_edges(i64 n_nodes, const i64* diff, const i64* mirror,
   }
 
   i64 n_pairs = 0;
+  bool overflow = false;
   auto emit = [&](i64 out_node, i64 in_node) {
+    if (n_pairs >= pairs_capacity) {  // total imbalance bounds pairs by
+      overflow = true;                // edge count, not node count
+      return;
+    }
     pairs_out[2 * n_pairs] = out_node;
     pairs_out[2 * n_pairs + 1] = in_node;
     ++n_pairs;
@@ -357,6 +362,7 @@ i64 balance_breaking_edges(i64 n_nodes, const i64* diff, const i64* mirror,
       if (--(mi->second) == 0) in_diff.erase(mi);
     }
   }
+  if (overflow) return -2;  // caller must grow pairs_out and retry
   if (!in_diff.empty()) return -1;
   return n_pairs;
 }

@@ -159,3 +159,45 @@ def test_bridging_subtour_single_bicycle_native():
     py = euler.eulerian_bicycle_decomposition_py(_bridge_graph())
     assert len(cycles) == 1
     assert np.array_equal(cycles[0], py[0])
+
+
+def test_balancer_native_parallel_biedges():
+    """Imbalance is bounded by EDGE count, not node count: 10 parallel
+    biedges between one binode pair need 10 breaking pairs on a 4-node
+    graph (regression: the native output buffer was sized 2*n_nodes and
+    overflowed / segfaulted here)."""
+    from matchtigs_tpu.graph.bigraph import Bigraph
+
+    mirror = np.array([1, 0, 3, 2], dtype=np.int32)
+    g1 = Bigraph(4, mirror)
+    g2 = Bigraph(4, mirror.copy())
+    for g in (g1, g2):
+        for i in range(10):
+            g.add_biedge_pair(0, 2, 1, i, True, 0)
+    euler._make_eulerian_native(g1, 5, 0)
+    euler.make_eulerian_with_breaking_edges_py(g2, 5, 0)
+    assert g1.n_edges == g2.n_edges == 40  # 10 original + 10 breaking pairs
+    assert np.array_equal(
+        np.stack([g1.srcs(), g1.dsts(), g1.weights()], axis=1),
+        np.stack([g2.srcs(), g2.dsts(), g2.weights()], axis=1),
+    )
+    assert euler.decomposes_into_eulerian_bicycles(g1)
+
+
+def test_balancer_native_capacity_sentinel():
+    """Passing an undersized buffer returns -2 (grow-and-retry) instead of
+    writing out of bounds."""
+    from matchtigs_tpu import native
+    from matchtigs_tpu.graph.bigraph import Bigraph
+
+    mirror = np.array([1, 0, 3, 2], dtype=np.int32)
+    g = Bigraph(4, mirror)
+    for i in range(10):
+        g.add_biedge_pair(0, 2, 1, i, True, 0)
+    lib = native.load()
+    diff = np.ascontiguousarray(g.imbalances(), dtype=np.int64)
+    mirror64 = np.ascontiguousarray(g.mirror_node, dtype=np.int64)
+    pairs = np.empty(2 * 4, dtype=np.int64)
+    p = native.as_ll_ptr
+    rc = lib.balance_breaking_edges(4, p(diff), p(mirror64), p(pairs), 4)
+    assert rc == -2
