@@ -108,6 +108,17 @@ def load() -> ctypes.CDLL:
     lib.bounded_dijkstra_candidates_mt.argtypes = [
         ll, ll, ip, ip, ll, llp, ll, i8p, ll, llp, llp, llp, ll, llp,
     ]
+    llpp = ctypes.POINTER(llp)
+    lib.bounded_dijkstra_candidates_auto.restype = ll
+    lib.bounded_dijkstra_candidates_auto.argtypes = [
+        ll, ll, ip, ip, ll, llp, ll, i8p, ll, llpp,
+    ]
+    lib.reference_dijkstra_candidates.restype = ll
+    lib.reference_dijkstra_candidates.argtypes = [
+        ll, ll, ip, ip, ll, llp, ll, i8p, ll, llpp,
+    ]
+    lib.free_i64_buffer.restype = None
+    lib.free_i64_buffer.argtypes = [llp]
     _lib = lib
     return lib
 

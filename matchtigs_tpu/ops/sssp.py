@@ -276,6 +276,19 @@ def host_dijkstra_candidates(
     here.  Also the reference-design baseline (heap + sparse map, one
     chunk per thread) used by the benchmark.
     """
+    return _native_dijkstra_candidates(
+        dg, sources, max_weight, in_mask, n_threads,
+        fn_name="bounded_dijkstra_candidates_auto",
+    )
+
+
+def _native_dijkstra_candidates(
+    dg, sources, max_weight, in_mask, n_threads, fn_name: str
+) -> np.ndarray:
+    """Shared driver for the growable-buffer native Dijkstra variants:
+    triples are collected in thread-local C++ vectors (exact memory, no
+    preallocation or overflow retry) and returned as one (M, 3) array."""
+    import ctypes
     import os
 
     from .. import native
@@ -283,52 +296,55 @@ def host_dijkstra_candidates(
     lib = native.load()
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, max(1, len(sources) // 256))
+    n_threads = max(1, n_threads)
     sources = np.ascontiguousarray(sources, dtype=np.int64)
     mask = np.zeros(dg.n_nodes + 1, dtype=np.int8)
     mask[: len(in_mask)] = in_mask
     nbr = np.ascontiguousarray(dg.nbr, dtype=np.int32)
     nw = np.ascontiguousarray(dg.nw, dtype=np.int32)
-    cap = max(4096, 64 * len(sources))
-    p = native.as_ll_ptr
-    while True:
-        out_src = np.empty(cap, dtype=np.int64)
-        out_dst = np.empty(cap, dtype=np.int64)
-        out_dist = np.empty(cap, dtype=np.int64)
-        seg_counts = np.empty(max(1, n_threads), dtype=np.int64)
-        lib.bounded_dijkstra_candidates_mt(
+    buf_ptr = ctypes.POINTER(ctypes.c_longlong)()
+    n = int(
+        getattr(lib, fn_name)(
             dg.n_nodes,
             dg.deg_pad,
             native.as_i32_ptr(nbr),
             native.as_i32_ptr(nw),
             len(sources),
-            p(sources),
+            native.as_ll_ptr(sources),
             max_weight,
             native.as_i8_ptr(mask),
-            cap,
-            p(out_src),
-            p(out_dst),
-            p(out_dist),
             n_threads,
-            p(seg_counts),
+            ctypes.byref(buf_ptr),
         )
-        if np.all(seg_counts >= 0):
-            seg_cap = cap // max(1, n_threads)
-            parts = []
-            for t in range(max(1, n_threads)):
-                n = int(seg_counts[t])
-                s = t * seg_cap
-                parts.append(
-                    np.stack(
-                        [
-                            out_src[s : s + n],
-                            out_dst[s : s + n],
-                            out_dist[s : s + n],
-                        ],
-                        axis=1,
-                    )
-                )
-            return np.concatenate(parts)
-        cap *= 4
+    )
+    try:
+        flat = np.ctypeslib.as_array(buf_ptr, shape=(3 * n + 1,))
+        out = np.empty((n, 3), dtype=np.int64)
+        out[:, 0] = flat[0:n]
+        out[:, 1] = flat[n : 2 * n]
+        out[:, 2] = flat[2 * n : 3 * n]
+    finally:
+        lib.free_i64_buffer(buf_ptr)
+    return out
+
+
+def reference_dijkstra_candidates(
+    dg: DeviceGraph,
+    sources: np.ndarray,
+    max_weight: int,
+    in_mask: np.ndarray,
+    n_threads: int | None = None,
+) -> np.ndarray:
+    """Independent reference-design baseline: per-source binary heap +
+    hashmap distance map (the reference's default StdBinaryHeap +
+    HashbrownHashMap pair, /root/reference/src/implementation/mod.rs:62-103).
+
+    ONLY for benchmarking — the framework's own paths never call this.
+    """
+    return _native_dijkstra_candidates(
+        dg, sources, max_weight, in_mask, n_threads,
+        fn_name="reference_dijkstra_candidates",
+    )
 
 
 def sssp_reference_host(

@@ -11,11 +11,13 @@
 // minus a k-1 overlap (k-1-w after a cheap dummy of weight w), reverse
 // complement taken from the tail for backward edges.
 
+#include <algorithm>
 #include <cstddef>
 #include <cstdint>
 #include <queue>
 #include <thread>
 #include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -190,6 +192,181 @@ i64 bounded_dijkstra_candidates(i64 n_nodes, i64 deg_pad, const int* nbr,
   return dijkstra_range(n_nodes, deg_pad, nbr, nw, sources, 0, n_sources,
                         max_weight, in_mask, 0, out_cap, out_src, out_dst,
                         out_dist);
+}
+
+// Growable-buffer multithreaded variant: each thread collects its triples
+// into thread-local vectors (no preallocation, no overflow/retry); the
+// results are concatenated into one heap buffer returned via *out_ptr
+// (layout [src..., dst..., dist...]), to be released with free_i64_buffer.
+// Returns the triple count.
+static void dijkstra_collect(i64 n_nodes, i64 deg_pad, const int* nbr,
+                             const int* nw, const i64* sources, i64 s_begin,
+                             i64 s_end, i64 max_weight,
+                             const signed char* in_mask,
+                             std::vector<i64>& v_src, std::vector<i64>& v_dst,
+                             std::vector<i64>& v_dist) {
+  std::vector<int> dist(n_nodes, 0);
+  std::vector<int> epoch(n_nodes, -1);
+  std::vector<std::vector<int>> buckets((size_t)max_weight + 1);
+  for (i64 s = s_begin; s < s_end; ++s) {
+    i64 src = sources[s];
+    int ep = (int)(s - s_begin);
+    dist[src] = 0;
+    epoch[src] = ep;
+    buckets[0].push_back((int)src);
+    for (i64 d = 0; d <= max_weight; ++d) {
+      auto& bucket = buckets[d];
+      for (size_t bi = 0; bi < bucket.size(); ++bi) {
+        i64 u = bucket[bi];
+        if (epoch[u] != ep || dist[u] != d) continue;
+        if (u != src && in_mask[u]) {
+          v_src.push_back(src);
+          v_dst.push_back(u);
+          v_dist.push_back(d);
+        }
+        const int* row = nbr + u * deg_pad;
+        const int* wrow = nw + u * deg_pad;
+        for (i64 j = 0; j < deg_pad; ++j) {
+          i64 v = row[j];
+          if (v == n_nodes) continue;
+          i64 nd = d + wrow[j];
+          if (nd > max_weight) continue;
+          if (epoch[v] != ep || nd < dist[v]) {
+            epoch[v] = ep;
+            dist[v] = (int)nd;
+            buckets[nd].push_back((int)v);
+          }
+        }
+      }
+      bucket.clear();
+    }
+  }
+}
+
+i64 bounded_dijkstra_candidates_auto(i64 n_nodes, i64 deg_pad, const int* nbr,
+                                     const int* nw, i64 n_sources,
+                                     const i64* sources, i64 max_weight,
+                                     const signed char* in_mask, i64 n_threads,
+                                     i64** out_ptr) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::vector<i64>> srcs(n_threads), dsts(n_threads),
+      dists(n_threads);
+  std::vector<std::thread> threads;
+  for (i64 t = 0; t < n_threads; ++t) {
+    i64 s_begin = n_sources * t / n_threads;
+    i64 s_end = n_sources * (t + 1) / n_threads;
+    threads.emplace_back([=, &srcs, &dsts, &dists]() {
+      dijkstra_collect(n_nodes, deg_pad, nbr, nw, sources, s_begin, s_end,
+                       max_weight, in_mask, srcs[t], dsts[t], dists[t]);
+    });
+  }
+  for (auto& th : threads) th.join();
+  i64 total = 0;
+  for (auto& v : srcs) total += (i64)v.size();
+  i64* buf = new i64[(size_t)(3 * total) + 1];
+  i64 pos = 0;
+  for (auto& v : srcs) {
+    std::copy(v.begin(), v.end(), buf + pos);
+    pos += (i64)v.size();
+  }
+  for (auto& v : dsts) {
+    std::copy(v.begin(), v.end(), buf + pos);
+    pos += (i64)v.size();
+  }
+  for (auto& v : dists) {
+    std::copy(v.begin(), v.end(), buf + pos);
+    pos += (i64)v.size();
+  }
+  *out_ptr = buf;
+  return total;
+}
+
+void free_i64_buffer(i64* ptr) { delete[] ptr; }
+
+// Reference-design baseline Dijkstra: per-source std::priority_queue
+// binary heap + std::unordered_map sparse distance map — the semantics of
+// the reference's DEFAULT strategy pair (StdBinaryHeap +
+// hashbrown::HashMap NodeWeightArray,
+// /root/reference/src/implementation/mod.rs:62-103) rather than the
+// framework's Dial-bucket/epoch-array production path.  Used ONLY by
+// bench.py as the independent baseline; the framework never calls it.
+static void reference_dijkstra_collect(
+    i64 n_nodes, i64 deg_pad, const int* nbr, const int* nw,
+    const i64* sources, i64 s_begin, i64 s_end, i64 max_weight,
+    const signed char* in_mask, std::vector<i64>& v_src,
+    std::vector<i64>& v_dst, std::vector<i64>& v_dist) {
+  using QE = std::pair<int, int>;  // (dist, node), min-heap
+  for (i64 s = s_begin; s < s_end; ++s) {
+    i64 src = sources[s];
+    std::unordered_map<int, int> dist;
+    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> heap;
+    dist.emplace((int)src, 0);
+    heap.emplace(0, (int)src);
+    while (!heap.empty()) {
+      auto [d, u] = heap.top();
+      heap.pop();
+      auto it = dist.find(u);
+      if (it != dist.end() && d > it->second) continue;  // stale entry
+      if (u != (int)src && in_mask[u]) {
+        v_src.push_back(src);
+        v_dst.push_back(u);
+        v_dist.push_back(d);
+      }
+      const int* row = nbr + (i64)u * deg_pad;
+      const int* wrow = nw + (i64)u * deg_pad;
+      for (i64 j = 0; j < deg_pad; ++j) {
+        i64 v = row[j];
+        if (v == n_nodes) continue;
+        int nd = d + wrow[j];
+        if (nd > max_weight) continue;
+        auto [vit, inserted] = dist.try_emplace((int)v, nd);
+        if (!inserted) {
+          if (nd >= vit->second) continue;
+          vit->second = nd;
+        }
+        heap.emplace(nd, (int)v);
+      }
+    }
+  }
+}
+
+i64 reference_dijkstra_candidates(i64 n_nodes, i64 deg_pad, const int* nbr,
+                                  const int* nw, i64 n_sources,
+                                  const i64* sources, i64 max_weight,
+                                  const signed char* in_mask, i64 n_threads,
+                                  i64** out_ptr) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::vector<i64>> srcs(n_threads), dsts(n_threads),
+      dists(n_threads);
+  std::vector<std::thread> threads;
+  for (i64 t = 0; t < n_threads; ++t) {
+    i64 s_begin = n_sources * t / n_threads;
+    i64 s_end = n_sources * (t + 1) / n_threads;
+    threads.emplace_back([=, &srcs, &dsts, &dists]() {
+      reference_dijkstra_collect(n_nodes, deg_pad, nbr, nw, sources, s_begin,
+                                 s_end, max_weight, in_mask, srcs[t], dsts[t],
+                                 dists[t]);
+    });
+  }
+  for (auto& th : threads) th.join();
+  i64 total = 0;
+  for (auto& v : srcs) total += (i64)v.size();
+  i64* buf = new i64[(size_t)(3 * total) + 1];
+  i64 pos = 0;
+  for (auto& v : srcs) {
+    std::copy(v.begin(), v.end(), buf + pos);
+    pos += (i64)v.size();
+  }
+  for (auto& v : dsts) {
+    std::copy(v.begin(), v.end(), buf + pos);
+    pos += (i64)v.size();
+  }
+  for (auto& v : dists) {
+    std::copy(v.begin(), v.end(), buf + pos);
+    pos += (i64)v.size();
+  }
+  *out_ptr = buf;
+  return total;
 }
 
 // Multithreaded variant: sources split into n_threads contiguous chunks,

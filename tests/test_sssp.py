@@ -95,3 +95,27 @@ def test_unpacked_mode_large_max_weight():
             if n != dg.sentinel
         }
         assert got == expected
+
+
+def test_reference_design_baseline_matches_production_dijkstra():
+    """The bench baseline (binary heap + hashmap, reference default
+    semantics) must produce the same candidate set as the framework's
+    Dial-bucket production Dijkstra — independent code, same answers."""
+    from matchtigs_tpu import testing
+    from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+    from matchtigs_tpu.ops.device_graph import build_device_graph
+    from matchtigs_tpu.ops.matching import unbalanced_nodes
+    from matchtigs_tpu.ops.sssp import (
+        host_dijkstra_candidates,
+        reference_dijkstra_candidates,
+    )
+
+    store, _, k = testing.make_unitig_store(genome_length=6000, k=11, seed=3)
+    g = build_bigraph_from_unitigs(store, k)
+    out_nodes, in_mask, _ = unbalanced_nodes(g)
+    dg = build_device_graph(g)
+    a = host_dijkstra_candidates(dg, out_nodes, k - 1, in_mask, n_threads=3)
+    b = reference_dijkstra_candidates(dg, out_nodes, k - 1, in_mask, n_threads=2)
+    sa = {tuple(r) for r in a.tolist()}
+    sb = {tuple(r) for r in b.tolist()}
+    assert sa == sb and len(sa) > 0
