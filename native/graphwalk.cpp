@@ -110,15 +110,34 @@ i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
     tours.push_back(std::move(tour));
   }
 
-  // Phase B: group subtours by shared binode keys min(v, mirror(v)).
-  std::map<i64, std::vector<i64>> binode_tours;
+  // Phase B: bucket tour-edge occurrences by binode key min(v, mirror(v))
+  // via counting sort (flat CSR; a std::map of vectors here cost ~6s at
+  // 3M edges from tree lookups and per-binode allocations).  Bucket
+  // entries keep tour order (ti ascending), so Phase C's BFS discovery
+  // order is identical to the python oracle's per-binode tour lists.
+  std::vector<i64> tour_of(n_edges, -1);
+  i64 n_tour_edges = 0;
   for (std::size_t ti = 0; ti < tours.size(); ++ti) {
-    for (i64 e : tours[ti]) {
+    for (i64 e : tours[ti]) tour_of[e] = (i64)ti;
+    n_tour_edges += (i64)tours[ti].size();
+  }
+  std::vector<i64> boff(n_nodes + 1, 0);
+  for (auto& tour : tours)
+    for (i64 e : tour) {
       i64 v = dst[e];
       i64 b = v < mirror_node[v] ? v : mirror_node[v];
-      auto& lst = binode_tours[b];
-      if (lst.empty() || lst.back() != (i64)ti) lst.push_back((i64)ti);
+      ++boff[b + 1];
     }
+  for (i64 v = 0; v < n_nodes; ++v) boff[v + 1] += boff[v];
+  std::vector<i64> bedges(n_tour_edges);
+  {
+    std::vector<i64> bcur(boff.begin(), boff.end() - 1);
+    for (auto& tour : tours)
+      for (i64 e : tour) {
+        i64 v = dst[e];
+        i64 b = v < mirror_node[v] ? v : mirror_node[v];
+        bedges[bcur[b]++] = e;
+      }
   }
 
   // Phase C: stitch each shared-binode group into one bicycle, merging
@@ -153,9 +172,8 @@ i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
       for (i64 e : tours[t]) {
         i64 v = dst[e];
         i64 b = v < mirror_node[v] ? v : mirror_node[v];
-        auto it = binode_tours.find(b);
-        if (it == binode_tours.end()) continue;
-        for (i64 tn : it->second) {
+        for (i64 bi = boff[b]; bi < boff[b + 1]; ++bi) {
+          i64 tn = tour_of[bedges[bi]];
           if (visited[tn]) continue;
           visited[tn] = 1;
           queue.push_back(tn);
