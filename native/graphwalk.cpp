@@ -7,13 +7,35 @@
 // pointer-chasing that is not a fit for the TPU device path but must not
 // run as per-edge Python either.  Called via ctypes on int64 arrays.
 
+#include <chrono>
 #include <cstddef>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <map>
 #include <vector>
 
 namespace {
 using i64 = long long;
+
+// MATCHTIGS_NATIVE_TRACE=1 prints per-phase wall times to stderr
+// (observability analog of the reference's --dijkstra-performance-data).
+struct PhaseTimer {
+  const char* name;
+  bool on;
+  std::chrono::steady_clock::time_point t0;
+  explicit PhaseTimer(const char* n)
+      : name(n), on(std::getenv("MATCHTIGS_NATIVE_TRACE") != nullptr) {
+    if (on) t0 = std::chrono::steady_clock::now();
+  }
+  void lap(const char* phase) {
+    if (!on) return;
+    auto t1 = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[native] %s %s: %.3fs\n", name, phase,
+                 std::chrono::duration<double>(t1 - t0).count());
+    t0 = t1;
+  }
+};
 }
 
 extern "C" {
@@ -70,6 +92,7 @@ i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
                     const i64* mirror_node, const i64* out_off,
                     const i64* out_edges, i64* cycles_out,
                     i64* cycle_offsets) {
+  PhaseTimer timer("euler_decompose");
   std::vector<char> used(n_edges, 0);
   std::vector<i64> cursor(out_off, out_off + n_nodes);
 
@@ -109,6 +132,7 @@ i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
     }
     tours.push_back(std::move(tour));
   }
+  timer.lap("A subtours");
 
   // Phase B: bucket tour-edge occurrences by binode key min(v, mirror(v))
   // via counting sort (flat CSR; a std::map of vectors here cost ~6s at
@@ -140,6 +164,7 @@ i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
       }
   }
 
+  timer.lap("B buckets");
   // Phase C: stitch each shared-binode group into one bicycle, merging
   // subtours in BFS order; an incoming subtour sharing only the mirror
   // side is flipped (reverse + e^1) before splicing.
@@ -229,6 +254,7 @@ i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
     cycle_offsets[n_cycles++] = pos;
     for (i64 v : occ_touched) occ[v] = -1;  // reset for the next group
   }
+  timer.lap("C stitch");
   return n_cycles;
 }
 
