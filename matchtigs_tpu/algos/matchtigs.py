@@ -19,10 +19,9 @@ Capability-equivalent of ``MatchtigAlgorithm``
    two free tig ends (what the 4 extras encode) are allocated across them
    exactly — zero-cost absorbers first, else a 2-unit knapsack over
    forced-deletion deltas (``_allocate_and_match``).  Components are
-   solved with the in-process native blossom
+   solved exactly at any size with the in-process native sparse blossom
    (:mod:`matchtigs_tpu.ops.perfect_matching`) instead of the external
-   blossom5 subprocess (mod.rs:724-746); components beyond the dense
-   limit use an augmented greedy matcher (warned, configurable);
+   blossom5 subprocess (mod.rs:724-746);
 5. matched pairs become cheap dummy biedges; balancing, Eulerian
    decomposition and cycle breaking finish as usual (mod.rs:828-928).
 """
@@ -53,9 +52,9 @@ class MatchtigConfig:
     # intermediate analog of the reference's blossom5 files
     # (<prefix>.minimalperfectmatching[.solution], matchtigs/mod.rs:600-603).
     matching_file_prefix: str | None = None
-    # Largest candidate component solved with the exact dense blossom;
-    # bigger components use greedy matching (warned).  Raise for exactness
-    # at O(n^3) cost per giant component (None = library default).
+    # If set, candidate components up to this size are routed through the
+    # independent dense O(n^3) blossom instead of the default sparse exact
+    # solver (a perf/cross-check knob; both are exact).
     dense_limit: int | None = None
     # Threads for the native host Dijkstra (None = all cores), forwarded
     # to the internal GreedytigConfig (the reference's --threads reaches
@@ -260,10 +259,7 @@ def _allocate_and_match(
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import connected_components
 
-    from ..ops.perfect_matching import (
-        ComponentTooLarge,
-        component_matching_variants,
-    )
+    from ..ops.perfect_matching import component_matching_variants
 
     if n_ids == 0:
         return []
@@ -323,20 +319,9 @@ def _allocate_and_match(
         need = max(0, 2 - zero_absorbers)
 
         def solve(c, deletions):
-            try:
-                return component_matching_variants(
-                    comp_members(c), comp_edges(c), k, deletions, dense_limit
-                )
-            except ComponentTooLarge as e:
-                logger.warning(
-                    "candidate component with %d ids exceeds the exact "
-                    "solver limit; using greedy matching there",
-                    e.size,
-                )
-                return {
-                    j: _greedy_component_matching(comp_edges(c), k)
-                    for j in deletions
-                }
+            return component_matching_variants(
+                comp_members(c), comp_edges(c), k, deletions, dense_limit
+            )
 
         if need == 0 or not len(comp_ids):
             for c in comp_ids:
@@ -374,108 +359,6 @@ def _allocate_and_match(
         for c, j in chosen.items():
             matched_pairs.extend(variants[c][j][1])
     return matched_pairs
-
-
-def _greedy_component_matching(
-    edges: np.ndarray, k: int
-) -> tuple[int, list[tuple[int, int]]]:
-    """Fallback for oversized components: greedy max-profit matching
-    followed by local-augmentation improvement passes (flip a matched
-    endpoint to a better partner; swap two pairs for two better pairs).
-    Monotone in total profit, so it terminates; typically recovers most of
-    the greedy-vs-optimal gap."""
-    order = np.argsort(edges[:, 2], kind="stable")  # cheapest joins first
-    rows = edges[order].tolist()
-    mate: dict[int, int] = {}
-    profit_of: dict[tuple[int, int], int] = {}
-    adj: dict[int, list[tuple[int, int]]] = {}
-    for a, b, w in rows:
-        p = k - 1 - w
-        key = (min(a, b), max(a, b))
-        if key not in profit_of:
-            profit_of[key] = p
-            adj.setdefault(a, []).append((b, p))
-            adj.setdefault(b, []).append((a, p))
-        if a not in mate and b not in mate:
-            mate[a] = b
-            mate[b] = a
-
-    def pkey(a, b):
-        return profit_of[(min(a, b), max(a, b))]
-
-    for _ in range(5):
-        improved = False
-        for a, b, w in rows:
-            p_ab = k - 1 - w
-            ma = mate.get(a)
-            mb = mate.get(b)
-            if ma == b:
-                continue
-            if ma is None and mb is None:
-                mate[a] = b
-                mate[b] = a
-                improved = True
-            elif ma is None and mb is not None:
-                if p_ab > pkey(b, mb):  # flip b from mb to a
-                    del mate[mb]
-                    mate[a] = b
-                    mate[b] = a
-                    improved = True
-            elif mb is None and ma is not None:
-                if p_ab > pkey(a, ma):
-                    del mate[ma]
-                    mate[a] = b
-                    mate[b] = a
-                    improved = True
-            else:
-                # both matched elsewhere: try the 2-swap (a,b)+(ma,mb)
-                key = (min(ma, mb), max(ma, mb))
-                if key in profit_of:
-                    gain = p_ab + profit_of[key] - pkey(a, ma) - pkey(b, mb)
-                    if gain > 0:
-                        mate[a] = b
-                        mate[b] = a
-                        mate[ma] = mb
-                        mate[mb] = ma
-                        improved = True
-        # length-3 augmentations: split a matched pair (a,b) into
-        # (c,a) + (b,d) with unmatched c, d -- the cardinality move greedy
-        # never finds.
-        for a in list(mate.keys()):
-            b = mate.get(a)
-            if b is None or a > b:
-                continue
-            best_c = best_d = None
-            c_p = d_p = 0
-            for c, p in adj.get(a, ()):  # best unmatched neighbor of a
-                if c != b and c not in mate and p > c_p:
-                    best_c, c_p = c, p
-            for d, p in adj.get(b, ()):
-                if d != a and d not in mate and p > d_p:
-                    best_d, d_p = d, p
-            if best_c is not None and best_d is not None and best_c != best_d:
-                if c_p + d_p > pkey(a, b):
-                    mate[best_c] = a
-                    mate[a] = best_c
-                    mate[b] = best_d
-                    mate[best_d] = b
-                    improved = True
-            elif best_c is not None and best_d is None and c_p > pkey(a, b):
-                del mate[b]
-                mate[best_c] = a
-                mate[a] = best_c
-                improved = True
-            elif best_d is not None and best_c is None and d_p > pkey(a, b):
-                del mate[a]
-                mate[best_d] = b
-                mate[b] = best_d
-                improved = True
-        if not improved:
-            break
-
-    pairs = [(a, b) for a, b in mate.items() if a < b]
-    profit = sum(pkey(a, b) for a, b in pairs)
-    return profit, pairs
 
 
 def _bidirected_components(g: Bigraph) -> np.ndarray:

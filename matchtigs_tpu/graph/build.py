@@ -46,7 +46,6 @@ def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
     if n_uni == 0:
         return Bigraph(0, np.empty(0, dtype=np.int32))
 
-    codes = store.codes
     offsets = store.offsets
     lengths = offsets[1:] - offsets[:-1]
     if np.any(lengths < k):
@@ -55,10 +54,10 @@ def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
             f"Unitig {bad} has length {int(lengths[bad])} < k={k}"
         )
 
-    # Gather endpoint (k-1)-mers: prefix and suffix of each unitig, vectorized.
-    rel = np.arange(km1, dtype=np.int64)
-    pref = codes[offsets[:-1, None] + rel[None, :]]  # [U, k-1]
-    suff = codes[(offsets[1:] - km1)[:, None] + rel[None, :]]  # [U, k-1]
+    # Gather endpoint (k-1)-mers: prefix and suffix of each unitig,
+    # vectorized unpack straight from the 2-bit arena.
+    pref = store.gather_windows(offsets[:-1], km1)  # [U, k-1]
+    suff = store.gather_windows(offsets[1:] - km1, km1)  # [U, k-1]
     # Oriented node keys needed: pref, suff, rc(pref), rc(suff).
     rc_pref = (3 - pref)[:, ::-1]
     rc_suff = (3 - suff)[:, ::-1]

@@ -100,7 +100,7 @@ def spell_walks_flat(
     weight = np.ascontiguousarray(g.weights()[:E], dtype=np.int64)
     forward = np.ascontiguousarray(g.forwards()[:E], dtype=np.int8)
     dummy = np.ascontiguousarray(g.is_dummy()[:E], dtype=np.int8)
-    codes = np.ascontiguousarray(store.codes, dtype=np.uint8)
+    packed = np.ascontiguousarray(store.packed, dtype=np.uint8)
     seq_off = np.ascontiguousarray(store.offsets, dtype=np.int64)
     # total spelled length = (k-1) per walk + every edge's weight
     # (cheap dummies contribute their weight through the next edge's
@@ -109,7 +109,7 @@ def spell_walks_flat(
     out = np.empty(total, dtype=np.uint8)
     out_off = np.empty(len(walks), dtype=np.int64)
     p = native.as_ll_ptr
-    written = lib.spell_walks(
+    written = lib.spell_walks_packed(
         p(flat),
         p(walk_off),
         len(walks),
@@ -117,7 +117,7 @@ def spell_walks_flat(
         p(weight),
         native.as_i8_ptr(forward),
         native.as_i8_ptr(dummy),
-        native.as_u8_ptr(codes),
+        native.as_u8_ptr(packed),
         p(seq_off),
         k,
         native.as_u8_ptr(out),

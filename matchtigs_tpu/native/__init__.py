@@ -17,7 +17,7 @@ from pathlib import Path
 _SRC_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = Path(__file__).resolve().parent / "_native.so"
 _HASH_PATH = Path(__file__).resolve().parent / "_native.so.srchash"
-_SOURCES = ["blossom.cpp", "graphwalk.cpp", "tigs.cpp"]
+_SOURCES = ["blossom.cpp", "blossom_sparse.cpp", "graphwalk.cpp", "tigs.cpp"]
 
 _lib: ctypes.CDLL | None = None
 _load_error: Exception | None = None
@@ -32,7 +32,10 @@ def _src_hash() -> str:
 
 
 def _build() -> None:
+    import os
+
     srcs = [str(_SRC_DIR / s) for s in _SOURCES]
+    tmp = _LIB_PATH.with_suffix(f".so.build{os.getpid()}")
     cmd = [
         "g++",
         "-O3",
@@ -42,14 +45,16 @@ def _build() -> None:
         "-std=c++17",
         "-pthread",
         "-o",
-        str(_LIB_PATH),
+        str(tmp),
         *srcs,
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
+        tmp.unlink(missing_ok=True)
         raise ImportError(
             f"native build failed: {proc.stderr[-2000:]}"
         )
+    os.replace(tmp, _LIB_PATH)  # atomic: concurrent builders never corrupt
     _HASH_PATH.write_text(_src_hash())
 
 
@@ -83,6 +88,10 @@ def load() -> ctypes.CDLL:
         llp,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.mwm_sparse.restype = ll
+    lib.mwm_sparse.argtypes = [
+        ll, ll, llp, llp, llp, ctypes.POINTER(ctypes.c_int),
+    ]
     lib.follow_chains.restype = ll
     lib.follow_chains.argtypes = [ll, llp, ll, llp, llp, llp]
     lib.euler_decompose.restype = ll
@@ -95,8 +104,8 @@ def load() -> ctypes.CDLL:
     u8p = ctypes.POINTER(ctypes.c_ubyte)
     lib.greedy_accept_scan.restype = ll
     lib.greedy_accept_scan.argtypes = [ll, llp, llp, llp, llp, llp, i8p, llp]
-    lib.spell_walks.restype = ll
-    lib.spell_walks.argtypes = [
+    lib.spell_walks_packed.restype = ll
+    lib.spell_walks_packed.argtypes = [
         llp, llp, ll, llp, llp, i8p, i8p, u8p, llp, ll, u8p, llp,
     ]
     ip = ctypes.POINTER(ctypes.c_int)

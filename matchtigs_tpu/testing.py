@@ -113,11 +113,7 @@ def make_pangenome_store(
         cache_path = Path(cache_dir) / f"{key}.npz"
         if cache_path.exists():
             data = np.load(cache_path)
-            store = SequenceStore()
-            store._chunks = []
-            store._lengths = (data["offsets"][1:] - data["offsets"][:-1]).tolist()
-            store._codes = data["codes"]
-            store._offsets = data["offsets"]
+            store = SequenceStore.from_flat(data["codes"], data["offsets"])
             return store, data["kmers"], k
 
     if with_repeats:

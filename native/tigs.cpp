@@ -6,10 +6,8 @@
 // to a deterministic linear scan over pre-sorted candidates with the same
 // multiplicity rules (see ops/matching.py, which holds the python oracle).
 //
-// spell_walks: the walk speller (/root/reference/src/bin.rs:486-605) over
-// flat arrays: first edge spelled fully, every following original edge
-// minus a k-1 overlap (k-1-w after a cheap dummy of weight w), reverse
-// complement taken from the tail for backward edges.
+// spell_walks_packed: the walk speller (/root/reference/src/bin.rs:486-605)
+// reading the 2-bit packed sequence arena directly.
 
 #include <algorithm>
 #include <cstddef>
@@ -68,19 +66,24 @@ i64 greedy_accept_scan(i64 n_cands, const i64* cand_u, const i64* cand_v,
   return n_acc;
 }
 
-// Spell walks into 2-bit codes.
-// walks: flat edge ids (int64 [T]); walk_offsets: per-walk end offsets
-// (int64 [n_walks]).  Edge arrays (int64 [E]): handle (-1 dummy), weight;
-// forward/dummy as int8.  Store: codes (uint8 [L]), seq_off (int64 [U+1]).
-// out: caller-allocated uint8 buffer of size sum(spelled lengths) —
-// computable as sum over walks of (k-1) + sum of edge weights; out_offsets
-// (int64 [n_walks]) receives per-walk end offsets in `out`.
+// Spell walks from the 2-bit packed arena (4 bases/byte, little-endian
+// within the byte; seq_off holds BASE offsets, sequences not byte-aligned).
+// The walk speller of /root/reference/src/bin.rs:486-605 over flat arrays:
+// first edge spelled fully, every following original edge minus a k-1
+// overlap (k-1-w after a cheap dummy of weight w), reverse complement
+// taken from the tail for backward edges.  walks: flat edge ids (int64);
+// walk_offsets: per-walk end offsets.  out: byte-per-base codes (feeds the
+// ascii encoder); caller sizes it as (k-1)*n_walks + sum of edge weights.
 // Returns total bytes written, or -1 on error.
-i64 spell_walks(const i64* walks, const i64* walk_offsets, i64 n_walks,
-                const i64* handle, const i64* weight,
-                const signed char* forward, const signed char* dummy,
-                const unsigned char* codes, const i64* seq_off, i64 k,
-                unsigned char* out, i64* out_offsets) {
+static inline unsigned char base2(const unsigned char* packed, i64 idx) {
+  return (packed[idx >> 2] >> ((idx & 3) << 1)) & 3;
+}
+
+i64 spell_walks_packed(const i64* walks, const i64* walk_offsets, i64 n_walks,
+                       const i64* handle, const i64* weight,
+                       const signed char* forward, const signed char* dummy,
+                       const unsigned char* packed, const i64* seq_off, i64 k,
+                       unsigned char* out, i64* out_offsets) {
   i64 pos = 0;
   i64 w_start = 0;
   for (i64 w = 0; w < n_walks; ++w) {
@@ -92,9 +95,9 @@ i64 spell_walks(const i64* walks, const i64* walk_offsets, i64 n_walks,
       i64 h = handle[first];
       i64 s = seq_off[h], e = seq_off[h + 1];
       if (forward[first]) {
-        for (i64 i = s; i < e; ++i) out[pos++] = codes[i];
+        for (i64 i = s; i < e; ++i) out[pos++] = base2(packed, i);
       } else {
-        for (i64 i = e - 1; i >= s; --i) out[pos++] = 3 - codes[i];
+        for (i64 i = e - 1; i >= s; --i) out[pos++] = 3 - base2(packed, i);
       }
     }
     i64 prev = first;
@@ -109,9 +112,10 @@ i64 spell_walks(const i64* walks, const i64* walk_offsets, i64 n_walks,
       i64 h = handle[cur];
       i64 s = seq_off[h], e = seq_off[h + 1];
       if (forward[cur]) {
-        for (i64 i = s + offset; i < e; ++i) out[pos++] = codes[i];
+        for (i64 i = s + offset; i < e; ++i) out[pos++] = base2(packed, i);
       } else {
-        for (i64 i = e - 1 - offset; i >= s; --i) out[pos++] = 3 - codes[i];
+        for (i64 i = e - 1 - offset; i >= s; --i)
+          out[pos++] = 3 - base2(packed, i);
       }
       prev = cur;
     }

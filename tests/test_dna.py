@@ -48,3 +48,48 @@ def test_canonical_packed():
     # canonical is orientation-invariant
     rc_canon = dna.canonical_packed_u64(rc, k)
     assert np.all(canon == rc_canon)
+
+
+def test_sequence_store_2bit_packing():
+    """Arena is 2-bit packed: ~4x smaller than byte-per-base, with exact
+    slice/revcomp round-trips at unaligned offsets."""
+    import numpy as np
+
+    from matchtigs_tpu.io.sequence_store import SequenceStore
+
+    rng = np.random.default_rng(3)
+    store = SequenceStore()
+    seqs = []
+    for _ in range(200):
+        s = rng.integers(0, 4, int(rng.integers(1, 77))).astype(np.uint8)
+        seqs.append(s)
+        store.add(s.copy())
+    store.finalize()
+    total = sum(len(s) for s in seqs)
+    assert store.size_in_memory() < total // 2  # ~total/4 + offsets
+    for i, s in enumerate(seqs):
+        assert np.array_equal(store.get(i), s)
+        assert np.array_equal(store.get_rc(i), (3 - s)[::-1])
+    # gather_windows at arbitrary offsets
+    offs = store.offsets
+    L = 5
+    ok = np.flatnonzero((offs[1:] - offs[:-1]) >= L)
+    got = store.gather_windows(offs[:-1][ok], L)
+    for row, i in zip(got, ok.tolist()):
+        assert np.array_equal(row, seqs[i][:L])
+
+
+def test_sequence_store_from_flat_roundtrip():
+    import numpy as np
+
+    from matchtigs_tpu.io.sequence_store import SequenceStore
+
+    rng = np.random.default_rng(4)
+    store = SequenceStore()
+    for _ in range(37):
+        store.add(rng.integers(0, 4, int(rng.integers(1, 30))).astype(np.uint8))
+    store.finalize()
+    clone = SequenceStore.from_flat(store.codes, store.offsets)
+    assert np.array_equal(clone.packed, store.packed)
+    for i in range(len(store)):
+        assert np.array_equal(clone.get(i), store.get(i))

@@ -126,3 +126,93 @@ def test_decomposed_allocation_matches_monolithic(seed):
         len(pairs),
         len(mono_pairs),
     )
+
+
+def test_sparse_blossom_matches_dense_fuzz():
+    """The sparse adjacency-list blossom and the dense O(n^3) blossom are
+    independent implementations; totals must agree exactly."""
+    from matchtigs_tpu.ops.perfect_matching import (
+        max_weight_matching_dense,
+        max_weight_matching_sparse,
+    )
+
+    rng = np.random.default_rng(5)
+    for trial in range(30):
+        n = int(rng.integers(4, 120))
+        m = int(rng.integers(n, 3 * n))
+        u = rng.integers(0, n, m)
+        v = rng.integers(0, n, m)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        if not len(u):
+            continue
+        w = rng.integers(1, 1 << 30, len(u)).astype(np.int64)
+        edges = np.stack([u, v, w], axis=1)
+        W = np.zeros((n, n), dtype=np.int64)
+        np.maximum.at(W, (edges[:, 0], edges[:, 1]), edges[:, 2])
+        np.maximum.at(W, (edges[:, 1], edges[:, 0]), edges[:, 2])
+        W = np.maximum(W, W.T)
+        mate_s, tot_s = max_weight_matching_sparse(n, edges)
+        mate_d, tot_d = max_weight_matching_dense(W)
+        assert tot_s == tot_d, (trial, tot_s, tot_d)
+        # mate consistency
+        for i, mi in enumerate(mate_s.tolist()):
+            if mi >= 0:
+                assert mate_s[mi] == i
+
+
+def test_component_variants_sparse_equals_dense():
+    """component_matching_variants must give identical profits whether the
+    component is routed to the sparse solver (default) or the dense one
+    (dense_limit large enough)."""
+    from matchtigs_tpu.ops.perfect_matching import component_matching_variants
+
+    rng = np.random.default_rng(9)
+    k = 31
+    for trial in range(20):
+        m = int(rng.integers(4, 40))
+        members = np.sort(
+            rng.choice(np.arange(1000), size=m, replace=False)
+        ).astype(np.int64)
+        ne = int(rng.integers(m - 1, 3 * m))
+        ia = rng.integers(0, m, ne)
+        ib = rng.integers(0, m, ne)
+        keep = ia != ib
+        if not keep.any():
+            continue
+        edges = np.stack(
+            [
+                members[ia[keep]],
+                members[ib[keep]],
+                rng.integers(1, k - 1, keep.sum()).astype(np.int64),
+            ],
+            axis=1,
+        )
+        for deletions in [(0,), (0, 1), (0, 1, 2)]:
+            vs = component_matching_variants(members, edges, k, deletions, None)
+            vd = component_matching_variants(members, edges, k, deletions, 10_000)
+            for j in deletions:
+                assert vs[j][0] == vd[j][0], (trial, j, vs[j][0], vd[j][0])
+
+
+def test_matchtigs_giant_component_exact():
+    """End-to-end optimal matchtigs where candidate components exceed any
+    dense limit: the sparse exact path must produce output no longer than
+    greedy matchtigs and spell the exact kmer set."""
+    from matchtigs_tpu.algos.greedytigs import GreedytigConfig, compute_greedytigs
+    from matchtigs_tpu.algos.matchtigs import MatchtigConfig, compute_matchtigs
+    from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+
+    store, kmers, k = testing.make_unitig_store(
+        genome_length=20000, k=9, seed=21
+    )
+    g = build_bigraph_from_unitigs(store, k)
+    # optimal <= greedy on cumulative length (theory ordering)
+    gm = g.copy()
+    tigs_m = compute_matchtigs(gm, MatchtigConfig(k=k))
+    lm = sum(k - 1 + int(gm.weights()[t].sum()) for t in tigs_m)
+    gg = g.copy()
+    tigs_g = compute_greedytigs(gg, GreedytigConfig(k=k))
+    lg = sum(k - 1 + int(gg.weights()[t].sum()) for t in tigs_g)
+    assert lm <= lg
+    testing.assert_tigs_spell_kmer_set(gm, tigs_m, store, k, kmers, allow_duplicates=True)
