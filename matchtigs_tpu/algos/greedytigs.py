@@ -80,17 +80,39 @@ class SearchStats:
     retries: int = 0
     capacity_final: int = 0
     stage_sources: list[int] = field(default_factory=list)
+    # Depth analogs of the reference's heap/distance-array counters
+    # (greedytigs/mod.rs:646-673): per device stage, the fraction of
+    # working-set slots holding a live entry (occupancy; 1-occupancy is
+    # the wasted sort width) and the overflow fraction that forced a
+    # retry/host tail.
+    host_routed: int = 0
+    stage_times: list[float] = field(default_factory=list)
+    stage_occupancy: list[float] = field(default_factory=list)
+    stage_overflow_frac: list[float] = field(default_factory=list)
 
     def log(self) -> None:
         logger.info(
-            "Search stats: %d sources, %d candidates, %d capacity retries "
-            "(stage sizes %s, final capacity %d)",
+            "Search stats: %d sources (%d host-routed), %d candidates, "
+            "%d capacity retries (stage sizes %s, final capacity %d)",
             self.sources,
+            self.host_routed,
             self.candidates,
             self.retries,
             self.stage_sources,
             self.capacity_final,
         )
+        for i, (t, occ, ovf) in enumerate(
+            zip(self.stage_times, self.stage_occupancy, self.stage_overflow_frac)
+        ):
+            logger.info(
+                "  device stage %d: %.2fs, slot occupancy %.1f%% "
+                "(wasted %.1f%%), overflow %.2f%%",
+                i,
+                t,
+                100 * occ,
+                100 * (1 - occ),
+                100 * ovf,
+            )
 
 
 def _want_mesh(config: GreedytigConfig) -> bool:
@@ -155,6 +177,7 @@ def collect_candidates(
             from ..ops.sssp import host_dijkstra_candidates
 
             hard_sources = pending[hard]
+            stats.host_routed = len(hard_sources)
             pending = pending[~hard]
             difficulty = difficulty[~hard]
             logger.info(
@@ -206,8 +229,15 @@ def collect_candidates(
                 batch_size=batch_size,
             )
             valid_mask_applied = False
-        logger.info(
-            "Device stage: %d sources in %.2fs", len(pending), time.monotonic() - t_dev
+        stage_t = time.monotonic() - t_dev
+        logger.info("Device stage: %d sources in %.2fs", len(pending), stage_t)
+        stats.stage_times.append(stage_t)
+        live = (dist >= 1) & (dist < INF)
+        stats.stage_occupancy.append(
+            float(live.sum()) / max(1, dist.size)
+        )
+        stats.stage_overflow_frac.append(
+            float(overflow.sum()) / max(1, len(overflow))
         )
         done = ~overflow
         if np.any(done):

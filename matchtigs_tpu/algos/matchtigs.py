@@ -310,6 +310,45 @@ def _allocate_and_match(
     wcc_order = np.argsort(id_comp, kind="stable")
     w_labels, w_starts = np.unique(id_comp[wcc_order], return_index=True)
     w_ends = np.append(w_starts[1:], n_ids)
+    # Periodic progress (the reference prints % / dots during its long
+    # phases, greedytigs/mod.rs:514-522, matchtigs/mod.rs:224-232).
+    import time as _time
+
+    t_start = _time.monotonic()
+    last_log = [t_start]
+    ids_done = [0]
+
+    def note_progress(n_done_ids: int) -> None:
+        ids_done[0] += n_done_ids
+        now = _time.monotonic()
+        if now - last_log[0] >= 5.0:
+            last_log[0] = now
+            logger.info(
+                "Matching: %d / %d ids solved (%.0f%%, %.0fs)",
+                ids_done[0],
+                n_ids,
+                100.0 * ids_done[0] / max(1, n_ids),
+                now - t_start,
+            )
+
+    def solve(c, deletions):
+        t0 = _time.monotonic()
+        res = component_matching_variants(
+            comp_members(c), comp_edges(c), k, deletions, dense_limit
+        )
+        el = _time.monotonic() - t0
+        if el >= 1.0:
+            logger.info(
+                "Solved matching component: %d ids, %d edges, "
+                "deletion variants %s, %.1fs",
+                len(comp_members(c)),
+                len(comp_edges(c)),
+                list(deletions),
+                el,
+            )
+        note_progress(len(comp_members(c)))
+        return res
+
     for wi in range(len(w_labels)):
         ids_w = wcc_order[w_starts[wi] : w_ends[wi]]
         singles = int((~has_edge[ids_w]).sum())
@@ -317,11 +356,7 @@ def _allocate_and_match(
         sizes = {int(c): len(comp_members(c)) for c in comp_ids}
         zero_absorbers = singles + sum(1 for c in comp_ids if sizes[int(c)] % 2 == 1)
         need = max(0, 2 - zero_absorbers)
-
-        def solve(c, deletions):
-            return component_matching_variants(
-                comp_members(c), comp_edges(c), k, deletions, dense_limit
-            )
+        note_progress(singles)
 
         if need == 0 or not len(comp_ids):
             for c in comp_ids:
