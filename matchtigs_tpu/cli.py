@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="print the de Bruijn graph constructed from the input unitigs",
     )
     p.add_argument("--debug-print-walks", action="store_true")
+    p.add_argument(
+        "--debug-spell-prefix",
+        help="write per-edge spell annotations to <prefix>.<algo>.spell "
+        "alongside each fasta/GFA output (the reference writers' debug "
+        "channel, src/bin.rs:608-818)",
+    )
     p.add_argument("--log-level", default="Info")
     # Reference-CLI compatibility: accepted, mapped or ignored with a note.
     p.add_argument("--blossom5-command", help=argparse.SUPPRESS)
@@ -245,13 +251,23 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.monotonic()
         fa_out = getattr(opts, f"{algo}_fa_out")
         gfa_out = getattr(opts, f"{algo}_gfa_out")
+        debug_path = (
+            f"{opts.debug_spell_prefix}.{algo}.spell"
+            if opts.debug_spell_prefix
+            else None
+        )
         if fa_out:
             logger.info("Writing %s as fasta to %s", algo, fa_out)
-            write_walks_fasta(g, tigs, store, k, fa_out, opts.compression_level)
+            write_walks_fasta(
+                g, tigs, store, k, fa_out, opts.compression_level,
+                debug_path=debug_path,
+            )
+            debug_path = None  # one debug file per algorithm
         if gfa_out:
             logger.info("Writing %s as gfa to %s", algo, gfa_out)
             write_walks_gfa(
-                g, tigs, store, k, gfa_header, gfa_out, opts.compression_level
+                g, tigs, store, k, gfa_header, gfa_out, opts.compression_level,
+                debug_path=debug_path,
             )
         bv_out = getattr(opts, f"{algo}_duplication_bitvector_out", None)
         if bv_out:

@@ -137,6 +137,71 @@ def _open_out(path: str | Path, compression_level: int = 6):
     return open(path, "wb")
 
 
+def write_spell_debug(
+    g: Bigraph,
+    walks: Sequence[np.ndarray],
+    store: SequenceStore,
+    k: int,
+    path: str | Path,
+) -> None:
+    """Per-edge spell annotations, one ``tig N`` block per walk — the
+    reference writers' optional debug channel
+    (/root/reference/src/bin.rs:493-524,543-589 ``debug_writer``):
+
+    ``| <edge><f|r> <full first sequence>`` for the first edge,
+    ``| skip dummy <edge> weight <w>`` for dummies, and
+    ``| <edge><f|r>:off <offset> <spelled part>`` for following originals.
+    """
+    handles = g.handles()
+    forwards = g.forwards()
+    weights = g.weights()
+    dummies = g.is_dummy()
+    with open(path, "wb") as f:
+        for i, walk in enumerate(walks):
+            walk = np.asarray(walk)
+            f.write(b"tig %d\n" % (i + 1))
+            first = int(walk[0])
+            seq = store.get(int(handles[first]))
+            spelled = seq if forwards[first] else dna.revcomp(seq)
+            f.write(
+                b"| %d%s %s "
+                % (
+                    first,
+                    b"f" if forwards[first] else b"r",
+                    dna.decode_to_ascii(spelled),
+                )
+            )
+            prev = first
+            for cur in walk[1:].tolist():
+                if dummies[cur]:
+                    f.write(
+                        b"| skip dummy %d weight %d "
+                        % (cur, int(weights[cur]))
+                    )
+                    prev = cur
+                    continue
+                offset = (
+                    k - 1 if not dummies[prev] else k - 1 - int(weights[prev])
+                )
+                seq = store.get(int(handles[cur]))
+                part = (
+                    seq[offset:]
+                    if forwards[cur]
+                    else dna.revcomp(seq[: len(seq) - offset])
+                )
+                f.write(
+                    b"| %d%s:off %d %s "
+                    % (
+                        cur,
+                        b"f" if forwards[cur] else b"r",
+                        offset,
+                        dna.decode_to_ascii(part),
+                    )
+                )
+                prev = cur
+            f.write(b"\n")
+
+
 def write_walks_fasta(
     g: Bigraph,
     walks: Sequence[np.ndarray],
@@ -144,9 +209,11 @@ def write_walks_fasta(
     k: int,
     path: str | Path,
     compression_level: int = 6,
+    debug_path: str | Path | None = None,
 ) -> None:
     """Write walks as fasta records ``>1``, ``>2``, ... like the reference
-    (/root/reference/src/bin.rs:492)."""
+    (/root/reference/src/bin.rs:492); `debug_path` additionally writes
+    per-edge spell annotations (bin.rs debug_writer)."""
     flat, offsets = spell_walks_flat(g, walks, store, k)
     with _open_out(path, compression_level) as f:
         prev = 0
@@ -155,6 +222,8 @@ def write_walks_fasta(
             f.write(dna.decode_to_ascii(flat[prev:end]))
             f.write(b"\n")
             prev = end
+    if debug_path is not None:
+        write_spell_debug(g, walks, store, k, debug_path)
 
 
 def write_walks_gfa(
@@ -165,9 +234,11 @@ def write_walks_gfa(
     header: str | None,
     path: str | Path,
     compression_level: int = 6,
+    debug_path: str | Path | None = None,
 ) -> None:
     """Write walks as GFA segments with the input header (or ``H KL:Z:k``),
-    mirroring /root/reference/src/bin.rs:688-704."""
+    mirroring /root/reference/src/bin.rs:688-704; `debug_path` additionally
+    writes per-edge spell annotations."""
     flat, offsets = spell_walks_flat(g, walks, store, k)
     with _open_out(path, compression_level) as f:
         hdr = header if header is not None else f"H\tKL:Z:{k}"
@@ -178,6 +249,8 @@ def write_walks_gfa(
             f.write(dna.decode_to_ascii(flat[prev:end]))
             f.write(b"\n")
             prev = end
+    if debug_path is not None:
+        write_spell_debug(g, walks, store, k, debug_path)
 
 
 def write_duplication_bitvector(

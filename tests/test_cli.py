@@ -129,3 +129,41 @@ def test_cli_threads_flag(unitig_fa, tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_debug_spell_output(tmp_path):
+    """--debug-spell-prefix emits per-edge annotations whose concatenated
+    spelled parts reconstruct each tig exactly."""
+    import re
+
+    from matchtigs_tpu import testing
+
+    store, _, k = testing.make_unitig_store(genome_length=3000, k=9, seed=8)
+    fa_in = tmp_path / "in.fa"
+    with open(fa_in, "wb") as f:
+        for i in range(len(store)):
+            f.write(b">%d\n%s\n" % (i, store.get_ascii(i)))
+    fa_out = tmp_path / "out.fa"
+    prefix = tmp_path / "dbg"
+    from matchtigs_tpu.cli import main
+
+    rc = main([
+        "--fa-in", str(fa_in), "-k", str(k),
+        "--eulertigs-fa-out", str(fa_out),
+        "--debug-spell-prefix", str(prefix),
+    ])
+    assert rc == 0
+    spell = (tmp_path / "dbg.eulertigs.spell").read_text()
+    tig_blocks = re.split(r"tig \d+\n", spell)[1:]
+    fasta_seqs = [
+        l.strip() for l in open(fa_out) if not l.startswith(">")
+    ]
+    assert len(tig_blocks) == len(fasta_seqs)
+    for block, seq in zip(tig_blocks, fasta_seqs):
+        parts = []
+        for ann in block.split("|")[1:]:
+            ann = ann.strip()
+            if ann.startswith("skip dummy"):
+                continue
+            parts.append(ann.split()[-1])
+        assert "".join(parts) == seq
