@@ -314,24 +314,30 @@ def _allocate_and_match(
     # phases, greedytigs/mod.rs:514-522, matchtigs/mod.rs:224-232).
     import time as _time
 
+    import threading as _threading
+
     t_start = _time.monotonic()
     last_log = [t_start]
     ids_done = [0]
+    progress_lock = _threading.Lock()
 
     def note_progress(n_done_ids: int) -> None:
-        ids_done[0] += n_done_ids
-        now = _time.monotonic()
-        if now - last_log[0] >= 5.0:
+        with progress_lock:
+            ids_done[0] += n_done_ids
+            now = _time.monotonic()
+            if now - last_log[0] < 5.0:
+                return
             last_log[0] = now
-            logger.info(
-                "Matching: %d / %d ids solved (%.0f%%, %.0fs)",
-                ids_done[0],
-                n_ids,
-                100.0 * ids_done[0] / max(1, n_ids),
-                now - t_start,
-            )
+            done, total = ids_done[0], n_ids
+        logger.info(
+            "Matching: %d / %d ids solved (%.0f%%, %.0fs)",
+            done,
+            total,
+            100.0 * done / max(1, total),
+            _time.monotonic() - t_start,
+        )
 
-    def solve(c, deletions):
+    def solve_uncached(c, deletions):
         t0 = _time.monotonic()
         res = component_matching_variants(
             comp_members(c), comp_edges(c), k, deletions, dense_limit
@@ -348,6 +354,46 @@ def _allocate_and_match(
             )
         note_progress(len(comp_members(c)))
         return res
+
+    # Pre-solve every component in a thread pool, largest first (the
+    # native blossom releases the GIL, so giant-tangle solves overlap;
+    # the reference likewise fans its Dijkstra phase over threads,
+    # matchtigs/mod.rs:396-459).  The deletion variants a component needs
+    # depend only on its WCC's zero-absorber count, known without solving.
+    wcc_need: dict[int, int] = {}
+    comp_deletions: dict[int, tuple[int, ...]] = {}
+    for wi in range(len(w_labels)):
+        ids_w = wcc_order[w_starts[wi] : w_ends[wi]]
+        singles = int((~has_edge[ids_w]).sum())
+        comp_ids = np.unique(cc[ids_w[has_edge[ids_w]]])
+        zero_absorbers = singles + sum(
+            1 for c in comp_ids if len(comp_members(c)) % 2 == 1
+        )
+        need = max(0, 2 - zero_absorbers)
+        wcc_need[wi] = need
+        dels = (0,) if need == 0 else ((0, 1) if need == 1 else (0, 1, 2))
+        for c in comp_ids:
+            comp_deletions[int(c)] = dels
+
+    solved: dict[int, dict] = {}
+    if comp_deletions:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        by_size = sorted(
+            comp_deletions, key=lambda c: len(comp_members(c)), reverse=True
+        )
+        n_workers = min(os.cpu_count() or 1, max(1, len(by_size)))
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            futs = {
+                c: ex.submit(solve_uncached, c, comp_deletions[c])
+                for c in by_size
+            }
+            for c, fut in futs.items():
+                solved[c] = fut.result()
+
+    def solve(c, deletions):
+        return solved[int(c)]
 
     for wi in range(len(w_labels)):
         ids_w = wcc_order[w_starts[wi] : w_ends[wi]]
