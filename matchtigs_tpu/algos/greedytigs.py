@@ -134,7 +134,10 @@ def collect_candidates(
     """Run the batched bounded SSSP and extract (out, in, dist) triples."""
     import time
 
+    t_phase = time.monotonic()
     dg = build_device_graph(g, renumber=config.renumber)
+    logger.info("Device graph build (renumber=%s): %.2fs", config.renumber,
+                time.monotonic() - t_phase)
     sentinel = dg.sentinel
     if dg.to_orig is not None:
         in_mask = np.asarray(in_mask)[dg.to_orig]
@@ -296,7 +299,10 @@ def collect_candidates(
             )
 
     if host_thread is not None:
+        t_phase = time.monotonic()
         host_thread.join()
+        logger.info("Waited %.2fs for the concurrent host Dijkstra",
+                    time.monotonic() - t_phase)
         if host_error:
             raise host_error[0]
         if host_result and len(host_result[0]):
