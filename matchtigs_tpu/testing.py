@@ -6,7 +6,8 @@ random genomes, extracts their maximal unitigs (a minimal BCALM2-style
 compactor over canonical k-mers), and provides the k-mer-set oracle used
 by the test-suite and benchmarks.
 
-All k here are <= 31 so k-mers pack into uint64.
+Packed-integer generators cover k <= 31 (uint64) and k <= 63 (two-word);
+make_unitig_store_strings covers arbitrary k for tiny inputs.
 """
 
 from __future__ import annotations
@@ -434,3 +435,82 @@ def assert_tigs_spell_kmer_set(
         assert len(got) == len(expected), (
             f"duplicate kmers spelled: {len(got)} vs {len(expected)} unique"
         )
+
+
+def make_unitig_store_strings(
+    genome_length: int, k: int, seed: int = 0, n_sequences: int = 2
+) -> tuple["SequenceStore", set, int]:
+    """Arbitrary-k unitig generator over python string k-mers (slow; for
+    tiny end-to-end tests in the k > 63 band where the packed-integer
+    generators do not reach).  Returns (store, canonical kmer string set, k).
+    """
+    from .utils import dna
+
+    def canon(s: str) -> str:
+        rc = s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        return min(s, rc)
+
+    kmers: set[str] = set()
+    for i in range(n_sequences):
+        genome = dna.decode_to_ascii(random_genome(genome_length, seed=seed + i)).decode()
+        for j in range(len(genome) - k + 1):
+            kmers.add(canon(genome[j : j + k]))
+
+    # maximal unitigs: follow unique successors over the bidirected kmer graph
+    def succs(s: str):
+        for c in "ACGT":
+            nxt = s[1:] + c
+            if canon(nxt) in kmers:
+                yield nxt
+
+    def preds(s: str):
+        for c in "ACGT":
+            prv = c + s[:-1]
+            if canon(prv) in kmers:
+                yield prv
+
+    def rc(s: str) -> str:
+        return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+    visited: set[str] = set()
+    unitigs: list[str] = []
+    for km in sorted(kmers):
+        if km in visited:
+            continue
+        # extend forward and backward while the chain is unbranched
+        chain = [km]
+        cur = km
+        while True:
+            ss = list(succs(cur))
+            if len(ss) != 1:
+                break
+            nxt = ss[0]
+            if canon(nxt) in visited or canon(nxt) == canon(km):
+                break
+            if len(list(preds(nxt))) != 1:
+                break
+            chain.append(nxt)
+            visited.add(canon(nxt))
+            cur = nxt
+        cur = km
+        while True:
+            pp = list(preds(cur))
+            if len(pp) != 1:
+                break
+            prv = pp[0]
+            if canon(prv) in visited or canon(prv) == canon(km):
+                break
+            if len(list(succs(prv))) != 1:
+                break
+            chain.insert(0, prv)
+            visited.add(canon(prv))
+            cur = prv
+        visited.add(canon(km))
+        seq = chain[0] + "".join(s[-1] for s in chain[1:])
+        unitigs.append(seq)
+
+    store = SequenceStore()
+    for u in unitigs:
+        store.add_ascii(u.encode())
+    store.finalize()
+    return store, kmers, k

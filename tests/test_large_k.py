@@ -2,6 +2,7 @@
 the kernel's packed sort keys still apply (dist < 128)."""
 
 import numpy as np
+import pytest
 
 from matchtigs_tpu import testing
 from matchtigs_tpu.algos.eulertigs import EulertigConfig, compute_eulertigs
@@ -52,3 +53,46 @@ def test_greedytigs_k63_runs():
     g = build_bigraph_from_unitigs(store, k)
     tigs = compute_greedytigs(g, GreedytigConfig(k=k, batch_size=64))
     assert len(tigs) >= 1
+
+
+@pytest.mark.parametrize("k", [65, 97, 127])
+def test_pipeline_fuzz_k_above_63(k):
+    """End-to-end pipeline fuzz in the k in (63, 127] band (the packed
+    integer generators stop at k=63; this uses the string generator)."""
+    from matchtigs_tpu import testing
+    from matchtigs_tpu.algos.eulertigs import EulertigConfig, compute_eulertigs
+    from matchtigs_tpu.algos.greedytigs import GreedytigConfig, compute_greedytigs
+    from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+    from matchtigs_tpu.io.writers import spell_walk
+    from matchtigs_tpu.utils import dna
+
+    store, kmers, k = testing.make_unitig_store_strings(
+        genome_length=4000, k=k, seed=k, n_sequences=3
+    )
+    g = build_bigraph_from_unitigs(store, k)
+    assert g.verify_node_pairing() and g.verify_edge_mirror_property()
+
+    def canon(s: str) -> str:
+        rc = s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        return min(s, rc)
+
+    def spelled_kmer_set(g2, tigs):
+        out = set()
+        n_spelled = 0
+        for t in tigs:
+            seq = dna.decode_to_ascii(spell_walk(g2, t, store, k)).decode()
+            for j in range(len(seq) - k + 1):
+                out.add(canon(seq[j : j + k]))
+                n_spelled += 1
+        return out, n_spelled
+
+    ge = g.copy()
+    tigs_e = compute_eulertigs(ge, EulertigConfig(k=k))
+    got, n_spelled = spelled_kmer_set(ge, tigs_e)
+    assert got == kmers
+    assert n_spelled == len(kmers)  # no duplicates for eulertigs
+
+    gg = g.copy()
+    tigs_g = compute_greedytigs(gg, GreedytigConfig(k=k, use_mesh=False))
+    got_g, _ = spelled_kmer_set(gg, tigs_g)
+    assert got_g == kmers
