@@ -104,12 +104,23 @@ def spell_walks_flat(
     seq_off = np.ascontiguousarray(store.offsets, dtype=np.int64)
     # total spelled length = (k-1) per walk + every edge's weight
     # (cheap dummies contribute their weight through the next edge's
-    # reduced overlap; breaking dummies never appear inside walks)
-    total = (k - 1) * len(walks) + int(weight[flat].sum())
+    # reduced overlap; breaking dummies never appear inside walks); the
+    # same closed form gives per-walk output starts, so the speller runs
+    # multithreaded over disjoint output regions.
+    import os
+
+    per_walk = np.empty(len(walks), dtype=np.int64)
+    starts = np.concatenate([[0], walk_off[:-1]])
+    sums = np.add.reduceat(weight[flat], starts) if len(flat) else per_walk[:0]
+    per_walk[:] = (k - 1) + sums
+    walk_out_start = np.zeros(len(walks), dtype=np.int64)
+    np.cumsum(per_walk[:-1], out=walk_out_start[1:])
+    total = int(walk_out_start[-1] + per_walk[-1])
     out = np.empty(total, dtype=np.uint8)
     out_off = np.empty(len(walks), dtype=np.int64)
+    n_threads = max(1, min(os.cpu_count() or 1, len(walks) // 1024))
     p = native.as_ll_ptr
-    written = lib.spell_walks_packed(
+    written = lib.spell_walks_packed_mt(
         p(flat),
         p(walk_off),
         len(walks),
@@ -122,6 +133,8 @@ def spell_walks_flat(
         k,
         native.as_u8_ptr(out),
         p(out_off),
+        p(walk_out_start),
+        n_threads,
     )
     if written != total:
         raise AssertionError(

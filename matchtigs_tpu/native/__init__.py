@@ -108,6 +108,10 @@ def load() -> ctypes.CDLL:
     lib.spell_walks_packed.argtypes = [
         llp, llp, ll, llp, llp, i8p, i8p, u8p, llp, ll, u8p, llp,
     ]
+    lib.spell_walks_packed_mt.restype = ll
+    lib.spell_walks_packed_mt.argtypes = [
+        llp, llp, ll, llp, llp, i8p, i8p, u8p, llp, ll, u8p, llp, llp, ll,
+    ]
     ip = ctypes.POINTER(ctypes.c_int)
     lib.bounded_dijkstra_candidates.restype = ll
     lib.bounded_dijkstra_candidates.argtypes = [

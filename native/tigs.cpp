@@ -79,14 +79,16 @@ static inline unsigned char base2(const unsigned char* packed, i64 idx) {
   return (packed[idx >> 2] >> ((idx & 3) << 1)) & 3;
 }
 
-i64 spell_walks_packed(const i64* walks, const i64* walk_offsets, i64 n_walks,
-                       const i64* handle, const i64* weight,
-                       const signed char* forward, const signed char* dummy,
-                       const unsigned char* packed, const i64* seq_off, i64 k,
-                       unsigned char* out, i64* out_offsets) {
-  i64 pos = 0;
-  i64 w_start = 0;
-  for (i64 w = 0; w < n_walks; ++w) {
+static i64 spell_walk_range(const i64* walks, const i64* walk_offsets,
+                            i64 w_begin, i64 w_end_idx, i64 start_pos,
+                            const i64* handle, const i64* weight,
+                            const signed char* forward,
+                            const signed char* dummy,
+                            const unsigned char* packed, const i64* seq_off,
+                            i64 k, unsigned char* out, i64* out_offsets) {
+  i64 pos = start_pos;
+  i64 w_start = w_begin == 0 ? 0 : walk_offsets[w_begin - 1];
+  for (i64 w = w_begin; w < w_end_idx; ++w) {
     i64 w_end = walk_offsets[w];
     if (w_end <= w_start) return -1;
     i64 first = walks[w_start];
@@ -123,6 +125,54 @@ i64 spell_walks_packed(const i64* walks, const i64* walk_offsets, i64 n_walks,
     w_start = w_end;
   }
   return pos;
+}
+
+i64 spell_walks_packed(const i64* walks, const i64* walk_offsets, i64 n_walks,
+                       const i64* handle, const i64* weight,
+                       const signed char* forward, const signed char* dummy,
+                       const unsigned char* packed, const i64* seq_off, i64 k,
+                       unsigned char* out, i64* out_offsets) {
+  return spell_walk_range(walks, walk_offsets, 0, n_walks, 0, handle, weight,
+                          forward, dummy, packed, seq_off, k, out,
+                          out_offsets);
+}
+
+// Multithreaded speller: per-walk output start offsets are derivable in
+// closed form ((k-1) + sum of edge weights per walk, computed by the
+// caller into walk_out_start [n_walks]), so threads write disjoint
+// regions of `out`.  Returns total bytes, or -1 if any range errored.
+i64 spell_walks_packed_mt(const i64* walks, const i64* walk_offsets,
+                          i64 n_walks, const i64* handle, const i64* weight,
+                          const signed char* forward,
+                          const signed char* dummy,
+                          const unsigned char* packed, const i64* seq_off,
+                          i64 k, unsigned char* out, i64* out_offsets,
+                          const i64* walk_out_start, i64 n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  std::vector<i64> results(n_threads);
+  for (i64 t = 0; t < n_threads; ++t) {
+    i64 w_begin = n_walks * t / n_threads;
+    i64 w_end = n_walks * (t + 1) / n_threads;
+    threads.emplace_back([=, &results]() {
+      results[t] = (w_begin < w_end)
+                       ? spell_walk_range(walks, walk_offsets, w_begin, w_end,
+                                          walk_out_start[w_begin], handle,
+                                          weight, forward, dummy, packed,
+                                          seq_off, k, out, out_offsets)
+                       : 0;
+    });
+  }
+  for (auto& th : threads) th.join();
+  i64 total = 0;
+  for (i64 t = 0; t < n_threads; ++t) {
+    i64 w_begin = n_walks * t / n_threads;
+    i64 w_end = n_walks * (t + 1) / n_threads;
+    if (w_begin >= w_end) continue;
+    if (results[t] < 0) return -1;
+    total = results[t];  // last non-empty range ends at the total
+  }
+  return total;
 }
 
 // Bounded multi-target Dijkstra over the padded adjacency, host fallback
