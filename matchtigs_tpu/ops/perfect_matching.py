@@ -175,8 +175,12 @@ def component_matching_variants(
     # count bonus (joins per component << COUNT_SCALE).
     big = np.int64(COUNT_SCALE)
     p_big = (np.int64(k) * big) * np.int64(m + 1) + np.int64(1)
-    # local indices + max-profit dedup per id pair (members ascending)
+    # local indices + max-profit dedup per id pair (members ascending --
+    # required by the searchsorted lookups)
     members = np.ascontiguousarray(members, dtype=np.int64)
+    assert len(members) < 2 or bool(np.all(np.diff(members) > 0)), (
+        "members must be strictly ascending"
+    )
     ia = np.searchsorted(members, edges[:, 0])
     ib = np.searchsorted(members, edges[:, 1])
     profit = (np.int64(k - 1) - edges[:, 2]) * big + 1
