@@ -47,10 +47,11 @@ K = 31
 N_STRAINS = 7
 MUTATION_RATE = 0.01
 SEED = 0
-CAPACITY = 16
+CAPACITY = 8
 BATCH_SIZE = 8192
-# One cold remote compile of the kernel shape was measured at 666s in this
-# environment; the budget tolerates a cache-miss compile plus the run.
+# Remote-compile cost scales steeply with the sort width: the C=16 kernel
+# shape compiled in 666s, C=8 in 56s (same outputs, occupancy 31% vs 17%).
+# The budget tolerates a cold compile plus the run with a wide margin.
 DEVICE_TIMEOUT_S = 900
 DATA_CACHE = str(Path(__file__).parent / ".bench_data")
 RESULT_FILE = "/tmp/matchtigs_bench_device.json"
