@@ -138,14 +138,22 @@ class SequenceStore:
 
     def gather_windows(self, starts: np.ndarray, length: int) -> np.ndarray:
         """[len(starts), length] code windows starting at global base
-        positions `starts` (vectorized unpack)."""
+        positions `starts` (vectorized unpack).
+
+        Column-at-a-time: the 2-D index math otherwise materializes
+        several N*length int64 temporaries (~1.5 GB of traffic at 1.3M
+        windows), dominating graph-build time."""
         self.finalize()
-        idx = starts[:, None].astype(np.int64) + np.arange(
-            length, dtype=np.int64
-        )
-        return (
-            self._packed[idx >> 2] >> ((idx & 3) << 1).astype(np.uint8)
-        ) & 3
+        starts = np.ascontiguousarray(starts, dtype=np.int64)
+        out = np.empty((len(starts), length), dtype=np.uint8)
+        for j in range(length):
+            idx = starts + j
+            np.bitwise_and(
+                self._packed[idx >> 2] >> ((idx & 3) << 1).astype(np.uint8),
+                3,
+                out=out[:, j],
+            )
+        return out
 
     def get(self, handle: int) -> np.ndarray:
         """Forward sequence codes of `handle` (unpacked copy)."""
