@@ -61,36 +61,35 @@ def greedy_accept(
     """
     if len(candidates) == 0:
         return candidates.reshape(0, 3)
-    if g.n_nodes < (1 << 28) and int(candidates[:, 2].max(initial=0)) < 128:
+    # Work on contiguous columns: column views of an [M, 3] array are
+    # stride-24 and cost tens of seconds in elementwise ops / gathers at
+    # 50M+ candidates.
+    cu = np.ascontiguousarray(candidates[:, 0])
+    cv = np.ascontiguousarray(candidates[:, 1])
+    cd = np.ascontiguousarray(candidates[:, 2])
+    if g.n_nodes < (1 << 28) and int(cd.max(initial=0)) < 128:
         # single packed int64 key: (dist, out, in) lexicographic
-        key = (
-            (candidates[:, 2] << 56)
-            | (candidates[:, 0] << 28)
-            | candidates[:, 1]
-        )
+        key = (cd << 56) | (cu << 28) | cv
         order = np.argsort(key)
     else:
-        order = np.lexsort(
-            (candidates[:, 1], candidates[:, 0], candidates[:, 2])
-        )
-    cands = np.ascontiguousarray(candidates[order])
+        order = np.lexsort((cv, cu, cd))
+    cu, cv, cd = cu[order], cv[order], cd[order]
     try:
-        return _greedy_accept_native(g, cands, multiplicities)
+        return _greedy_accept_native(g, cu, cv, cd, multiplicities)
     except ImportError:
         logger.warning("native tigs pass unavailable; using python fallback")
-        return greedy_accept_scan_py(g, cands, multiplicities)
+        return greedy_accept_scan_py(
+            g, np.stack([cu, cv, cd], axis=1), multiplicities
+        )
 
 
 def _greedy_accept_native(
-    g: Bigraph, cands: np.ndarray, m: np.ndarray
+    g: Bigraph, cu: np.ndarray, cv: np.ndarray, cd: np.ndarray, m: np.ndarray
 ) -> np.ndarray:
     from .. import native
 
     lib = native.load()
-    M = len(cands)
-    cu = np.ascontiguousarray(cands[:, 0])
-    cv = np.ascontiguousarray(cands[:, 1])
-    cd = np.ascontiguousarray(cands[:, 2])
+    M = len(cu)
     m64 = np.ascontiguousarray(m, dtype=np.int64)
     mirror = np.ascontiguousarray(g.mirror_node, dtype=np.int64)
     sm = np.ascontiguousarray(g.self_mirror_mask(), dtype=np.int8)
@@ -101,7 +100,8 @@ def _greedy_accept_native(
         native.as_i8_ptr(sm), p(accepted),
     )
     m[:] = m64  # propagate multiplicity updates to the caller's array
-    return cands[accepted[:n_acc]]
+    sel = accepted[:n_acc]
+    return np.stack([cu[sel], cv[sel], cd[sel]], axis=1)
 
 
 def greedy_accept_scan_py(

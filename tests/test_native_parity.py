@@ -64,7 +64,13 @@ def test_greedy_accept_native_matches_python(case):
     cands = np.ascontiguousarray(cands[order])
     m1 = mult.copy()
     m2 = mult.copy()
-    a_native = _greedy_accept_native(g, cands, m1)
+    a_native = _greedy_accept_native(
+        g,
+        np.ascontiguousarray(cands[:, 0]),
+        np.ascontiguousarray(cands[:, 1]),
+        np.ascontiguousarray(cands[:, 2]),
+        m1,
+    )
     a_py = greedy_accept_scan_py(g, cands, m2)
     assert np.array_equal(a_native, a_py)
     assert np.array_equal(m1, m2)
