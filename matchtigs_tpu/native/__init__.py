@@ -102,8 +102,10 @@ def load() -> ctypes.CDLL:
     lib.balance_breaking_edges.argtypes = [ll, llp, llp, llp, ll]
     i8p = ctypes.POINTER(ctypes.c_byte)
     u8p = ctypes.POINTER(ctypes.c_ubyte)
-    lib.greedy_accept_scan.restype = ll
-    lib.greedy_accept_scan.argtypes = [ll, llp, llp, llp, llp, llp, i8p, llp]
+    lib.greedy_accept_scan_perm.restype = ll
+    lib.greedy_accept_scan_perm.argtypes = [
+        ll, llp, llp, llp, llp, llp, llp, i8p, llp,
+    ]
     lib.spell_walks_packed.restype = ll
     lib.spell_walks_packed.argtypes = [
         llp, llp, ll, llp, llp, i8p, i8p, u8p, llp, ll, u8p, llp,

@@ -28,12 +28,18 @@ extern "C" {
 // m: signed multiplicities per node (int64 [N], mutated).
 // mirror: mirror node ids.  self_mirror: 0/1 per node.
 // accepted_out: capacity M, receives indices of accepted candidates.
+// order: optional permutation (int64 [M] or null) -- candidates are
+// visited as cand_*[order[i]] and accepted_out receives ORIGINAL indices,
+// so the caller never materializes the sorted gather (a 3x 0.4GB random
+// gather at 50M candidates).
 // Returns number accepted.
-i64 greedy_accept_scan(i64 n_cands, const i64* cand_u, const i64* cand_v,
-                       const i64* cand_d, i64* m, const i64* mirror,
-                       const signed char* self_mirror, i64* accepted_out) {
+i64 greedy_accept_scan_perm(i64 n_cands, const i64* order, const i64* cand_u,
+                            const i64* cand_v, const i64* cand_d, i64* m,
+                            const i64* mirror, const signed char* self_mirror,
+                            i64* accepted_out) {
   i64 n_acc = 0;
-  for (i64 i = 0; i < n_cands; ++i) {
+  for (i64 ii = 0; ii < n_cands; ++ii) {
+    i64 i = order ? order[ii] : ii;
     i64 u = cand_u[i];
     i64 v = cand_v[i];
     bool u_sm = self_mirror[u] != 0;

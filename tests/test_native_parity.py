@@ -66,6 +66,7 @@ def test_greedy_accept_native_matches_python(case):
     m2 = mult.copy()
     a_native = _greedy_accept_native(
         g,
+        np.arange(len(cands), dtype=np.int64),  # identity: already sorted
         np.ascontiguousarray(cands[:, 0]),
         np.ascontiguousarray(cands[:, 1]),
         np.ascontiguousarray(cands[:, 2]),
