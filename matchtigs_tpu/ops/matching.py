@@ -67,48 +67,57 @@ def greedy_accept(
     cu = np.ascontiguousarray(candidates[:, 0])
     cv = np.ascontiguousarray(candidates[:, 1])
     cd = np.ascontiguousarray(candidates[:, 2])
-    if g.n_nodes < (1 << 28) and int(cd.max(initial=0)) < 128:
-        # single packed int64 key: (dist, out, in) lexicographic, built
-        # with in-place ops (each 50M-candidate temporary is ~0.4GB)
+    if g.n_nodes < (1 << 28) and int(cd.max(initial=0)) < 256:
+        # The packed key holds the whole triple (d:8 | u:28 | v:28), so
+        # sorting key VALUES yields the sorted candidates directly --
+        # unpacking sorted keys is sequential, where sorting an index
+        # permutation costs 3x 0.4GB random gathers (or the equivalent
+        # scan indirection) at 50M candidates.
         key = np.left_shift(cd, 56)
         key |= np.left_shift(cu, 28)
         key |= cv
-        order = np.argsort(key)
+        key.sort()
+        cv = key & np.int64((1 << 28) - 1)
+        cu = (key >> 28) & np.int64((1 << 28) - 1)
+        cd = key >> 56
+        order = None
     else:
         order = np.lexsort((cv, cu, cd))
     try:
         return _greedy_accept_native(g, order, cu, cv, cd, multiplicities)
     except ImportError:
         logger.warning("native tigs pass unavailable; using python fallback")
+        if order is not None:
+            cu, cv, cd = cu[order], cv[order], cd[order]
         return greedy_accept_scan_py(
-            g, np.stack([cu[order], cv[order], cd[order]], axis=1),
-            multiplicities,
+            g, np.stack([cu, cv, cd], axis=1), multiplicities
         )
 
 
 def _greedy_accept_native(
     g: Bigraph,
-    order: np.ndarray,
+    order: np.ndarray | None,
     cu: np.ndarray,
     cv: np.ndarray,
     cd: np.ndarray,
     m: np.ndarray,
 ) -> np.ndarray:
-    """Scan candidates in `order` (permutation pushed into the native
-    pass: no materialized sorted gathers); returns accepted [A, 3]."""
+    """Scan candidates (in `order` if given, else already sorted);
+    returns accepted [A, 3] rows in original coordinates."""
     from .. import native
 
     lib = native.load()
     M = len(cu)
-    order = np.ascontiguousarray(order, dtype=np.int64)
+    if order is not None:
+        order = np.ascontiguousarray(order, dtype=np.int64)
     m64 = np.ascontiguousarray(m, dtype=np.int64)
     mirror = np.ascontiguousarray(g.mirror_node, dtype=np.int64)
     sm = np.ascontiguousarray(g.self_mirror_mask(), dtype=np.int8)
     accepted = np.empty(M, dtype=np.int64)
     p = native.as_ll_ptr
     n_acc = lib.greedy_accept_scan_perm(
-        M, p(order), p(cu), p(cv), p(cd), p(m64), p(mirror),
-        native.as_i8_ptr(sm), p(accepted),
+        M, None if order is None else p(order), p(cu), p(cv), p(cd),
+        p(m64), p(mirror), native.as_i8_ptr(sm), p(accepted),
     )
     m[:] = m64  # propagate multiplicity updates to the caller's array
     sel = accepted[:n_acc]
