@@ -57,7 +57,23 @@ class DeviceGraph:
 def build_device_graph(
     g: Bigraph, weight_cap: int = 1 << 20, renumber: bool = False
 ) -> DeviceGraph:
-    """Pack the (original-edge) adjacency into padded [N+1, deg] arrays."""
+    """Pack the (original-edge) adjacency into padded [N+1, deg] arrays.
+
+    Memoized per graph while the edge set is unchanged: benchmark and
+    algorithm code paths otherwise rebuild (and RCM-renumber, seconds at
+    10M nodes) the same packing twice per run."""
+    cache = getattr(g, "_device_graph_cache", None)
+    cache_key = (g.n_nodes, g.n_edges, weight_cap, renumber)
+    if cache is not None and cache[0] == cache_key:
+        return cache[1]
+    dg = _build_device_graph(g, weight_cap, renumber)
+    g._device_graph_cache = (cache_key, dg)
+    return dg
+
+
+def _build_device_graph(
+    g: Bigraph, weight_cap: int, renumber: bool
+) -> DeviceGraph:
     n = g.n_nodes
     src = g.srcs()
     dst = g.dsts()

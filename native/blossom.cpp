@@ -11,6 +11,14 @@
 // nodes (ids n+1..2n) and dense slack bookkeeping, O(n^3).  Weights are
 // doubled internally so all duals stay integral.  Edges with weight 0 are
 // treated as absent; callers must keep n * max_weight < 2^61.
+//
+// Lineage: this is the well-known dense blossom template of the
+// competitive-programming tradition (Jarnik-style dual maintenance with a
+// dense slack matrix), written down from that folklore formulation -- not
+// derived from the reference repository (which contains no matching code)
+// nor from Kolmogorov's blossom5.  It now serves as the independent
+// cross-check oracle for the production sparse solver
+// (blossom_sparse.cpp).
 
 #include <algorithm>
 #include <cstdint>
