@@ -199,7 +199,7 @@ def main() -> None:
     # allocator warmup would otherwise bias whichever pipeline runs first);
     # report the min.
     host_times, base_times = [], []
-    for _ in range(2):
+    for _ in range(3):
         base_times.append(
             host_greedytigs_time(store, k, g.copy(), reference_design=True)
         )
