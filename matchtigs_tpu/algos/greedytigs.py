@@ -68,6 +68,11 @@ class GreedytigConfig:
     renumber: bool = True
     # Threads for the native host Dijkstra (None = all cores).
     host_threads: int | None = None
+    # Search engine: "auto" uses the device kernel when an accelerator is
+    # present and the native host Dijkstra otherwise (running the batched
+    # kernel on the XLA CPU backend is strictly slower than the native
+    # engine); "device"/"host" force one side.
+    engine: str = "auto"
 
 
 @dataclass
@@ -123,6 +128,27 @@ def _want_mesh(config: GreedytigConfig) -> bool:
     return bool(config.use_mesh)
 
 
+def _use_host_engine(config: GreedytigConfig) -> bool:
+    """True when the search should skip the device kernel entirely."""
+    if config.engine == "host":
+        return True
+    if config.engine == "device":
+        return False
+    # auto: the batched kernel on the XLA CPU backend loses to the native
+    # multithreaded Dijkstra; only a real accelerator earns the kernel.
+    # A multi-device (virtual or real) mesh still exercises the sharded
+    # path, which the tests rely on.
+    try:
+        from .. import native
+
+        native.load()
+    except ImportError:
+        return False  # no native engine available: use the kernel anyway
+    import jax
+
+    return jax.default_backend() == "cpu" and len(jax.devices()) == 1
+
+
 def collect_candidates(
     g: Bigraph,
     out_nodes: np.ndarray,
@@ -133,6 +159,31 @@ def collect_candidates(
 ) -> np.ndarray:
     """Run the batched bounded SSSP and extract (out, in, dist) triples."""
     import time
+
+    if _use_host_engine(config):
+        from ..ops.sssp import host_dijkstra_candidates
+
+        dg = build_device_graph(g, renumber=False)
+        stats = stats if stats is not None else SearchStats()
+        stats.sources = len(out_nodes)
+        stats.host_routed = len(out_nodes)
+        t0 = time.monotonic()
+        res = host_dijkstra_candidates(
+            dg,
+            np.asarray(out_nodes, dtype=np.int64),
+            k - 1,
+            in_mask,
+            n_threads=config.host_threads,
+        )
+        logger.info(
+            "Native host Dijkstra (no accelerator present): %d sources, "
+            "%d candidates in %.2fs",
+            len(out_nodes),
+            len(res),
+            time.monotonic() - t0,
+        )
+        stats.candidates = len(res)
+        return res
 
     t_phase = time.monotonic()
     dg = build_device_graph(g, renumber=config.renumber)
