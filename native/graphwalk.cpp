@@ -12,7 +12,6 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
-#include <map>
 #include <vector>
 
 namespace {
@@ -331,18 +330,56 @@ i64 biwalk_cover(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
 // number of pairs, or -1 on inconsistency.
 i64 balance_breaking_edges(i64 n_nodes, const i64* diff, const i64* mirror,
                            i64* pairs_out, i64 pairs_capacity) {
-  std::map<i64, i64> out_diff;  // ascending; iterate rbegin for descending
-  std::map<i64, i64> in_diff;
-  std::vector<i64> self_mirror_odd;
+  // The reference's BTreeMap orders (out-nodes descending x in-nodes
+  // ascending) over mutable diffs.  The key sets never GROW after the
+  // init scan (all adjustments move diffs toward zero or erase), so
+  // sorted arrays + path-compressed alive-skip links reproduce the exact
+  // iteration order in O(n + emissions) -- the std::map version cost 51s
+  // at 10M unbalanced nodes.
+  std::vector<i64> out_keys, in_keys, self_mirror_odd;
+  std::vector<i64> val(n_nodes, 0);  // current diff per participating node
   for (i64 v = 0; v < n_nodes; ++v) {
     if (mirror[v] == v) {
       if (diff[v] != 0) self_mirror_odd.push_back(v);
     } else if (diff[v] < 0) {
-      out_diff[v] = diff[v];
+      out_keys.push_back(v);
+      val[v] = diff[v];
     } else if (diff[v] > 0) {
-      in_diff[v] = diff[v];
+      in_keys.push_back(v);
+      val[v] = diff[v];
     }
   }
+  // Alive-skip links with path compression: in-list forward (ascending
+  // order), out-list backward (descending order).  `val` holds the live
+  // diff; 0 = dead entry.
+  const i64 n_in = (i64)in_keys.size(), n_out = (i64)out_keys.size();
+  std::vector<i64> in_next(n_in, 0), out_prev(n_out, 0);
+  for (i64 j = 0; j < n_in; ++j) in_next[j] = j;
+  for (i64 j = 0; j < n_out; ++j) out_prev[j] = j;
+  // first alive in-index >= j (n_in if none)
+  auto in_first = [&](i64 j) -> i64 {
+    i64 r = j;
+    while (r < n_in && val[in_keys[r]] == 0)
+      r = std::max(r + 1, in_next[r]);
+    while (j < n_in && j < r) {  // compress the skipped chain
+      i64 nj = std::max(j + 1, in_next[j]);
+      in_next[j] = r;
+      j = nj;
+    }
+    return r;
+  };
+  // last alive out-index <= j (-1 if none)
+  auto out_last = [&](i64 j) -> i64 {
+    i64 r = j;
+    while (r >= 0 && val[out_keys[r]] == 0)
+      r = std::min(r - 1, out_prev[r]);
+    while (j >= 0 && j > r) {
+      i64 pj = std::min(j - 1, out_prev[j]);
+      out_prev[j] = std::max(r, (i64)0);
+      j = pj;
+    }
+    return r;
+  };
 
   i64 n_pairs = 0;
   bool overflow = false;
@@ -356,58 +393,53 @@ i64 balance_breaking_edges(i64 n_nodes, const i64* diff, const i64* mirror,
     ++n_pairs;
   };
 
+  i64 in_lo = 0;           // ascending cursor into in_keys
+  i64 out_hi = n_out - 1;  // descending cursor into out_keys
+
   // Phase 1: pair unbalanced self-mirrors in scan order.
   size_t i = 0;
   for (; i + 1 < self_mirror_odd.size(); i += 2)
     emit(self_mirror_odd[i], self_mirror_odd[i + 1]);
   if (i < self_mirror_odd.size()) {
-    if (in_diff.empty()) return -1;
-    auto it = in_diff.begin();  // smallest in-node
-    i64 in_node = it->first;
+    in_lo = in_first(in_lo);
+    if (in_lo >= n_in) return -1;
+    i64 in_node = in_keys[in_lo];
     emit(self_mirror_odd[i], in_node);
     i64 mo = mirror[in_node];
-    if (--(it->second) == 0) {
-      in_diff.erase(it);
-      out_diff.erase(mo);
+    if (--val[in_node] == 0) {
+      val[mo] = 0;  // the map version erased the mirror entry outright
     } else {
-      out_diff[mo] += 1;
+      if (val[mo] != 0) val[mo] += 1;
     }
   }
 
   // Phase 2: out-nodes descending x in-nodes ascending.
-  while (!out_diff.empty()) {
-    auto oit = std::prev(out_diff.end());  // largest out-node
-    i64 out_node = oit->first;
-    i64 d_out = oit->second;
-    if (in_diff.empty()) return -1;
-    auto iit = in_diff.begin();
-    i64 in_node = iit->first;
+  for (;;) {
+    out_hi = out_last(out_hi);
+    if (out_hi < 0) break;
+    i64 out_node = out_keys[out_hi];
+    i64 d_out = val[out_node];
+    in_lo = in_first(in_lo);
+    if (in_lo >= n_in) return -1;
+    i64 in_node = in_keys[in_lo];
     // choose_in_node_from_iterator skip rules
     if ((in_node == mirror[out_node] && d_out > -2) || in_node == out_node) {
-      auto second = std::next(iit);
-      if (second == in_diff.end()) return -1;
-      in_node = second->first;
+      i64 second = in_first(in_lo + 1);
+      if (second >= n_in) return -1;
+      in_node = in_keys[second];
     }
     emit(out_node, in_node);
 
-    out_diff[out_node] += 1;
-    in_diff[in_node] -= 1;
-    if (out_diff[out_node] == 0) out_diff.erase(out_node);
-    if (in_diff.count(in_node) && in_diff[in_node] == 0) in_diff.erase(in_node);
+    val[out_node] += 1;
+    val[in_node] -= 1;
 
     i64 mirror_out = mirror[in_node];
     i64 mirror_in = mirror[out_node];
-    auto mo = out_diff.find(mirror_out);
-    if (mo != out_diff.end()) {
-      if (++(mo->second) == 0) out_diff.erase(mo);
-    }
-    auto mi = in_diff.find(mirror_in);
-    if (mi != in_diff.end()) {
-      if (--(mi->second) == 0) in_diff.erase(mi);
-    }
+    if (val[mirror_out] < 0) val[mirror_out] += 1;  // alive out entry
+    if (val[mirror_in] > 0) val[mirror_in] -= 1;    // alive in entry
   }
   if (overflow) return -2;  // caller must grow pairs_out and retry
-  if (!in_diff.empty()) return -1;
+  if (in_first(in_lo) < n_in) return -1;
   return n_pairs;
 }
 }
