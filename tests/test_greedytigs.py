@@ -114,3 +114,27 @@ def test_renumber_off_matches_on():
     assert sum(spelled_length(g1, t, k) for t in t1) == sum(
         spelled_length(g2, t, k) for t in t2
     )
+
+
+def test_engine_host_equals_device():
+    """engine='host' (native Dijkstra) and engine='device' (batched
+    kernel) must produce identical accepted candidate sets and tigs."""
+    from matchtigs_tpu import testing
+    from matchtigs_tpu.algos.greedytigs import GreedytigConfig, compute_greedytigs
+    from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+
+    store, kmers, k = testing.make_unitig_store(
+        genome_length=8000, k=11, seed=12
+    )
+    g = build_bigraph_from_unitigs(store, k)
+    tigs_h = compute_greedytigs(
+        g.copy(), GreedytigConfig(k=k, engine="host")
+    )
+    gd = g.copy()
+    tigs_d = compute_greedytigs(gd, GreedytigConfig(k=k, engine="device"))
+    assert len(tigs_h) == len(tigs_d)
+    for a, b in zip(tigs_h, tigs_d):
+        assert np.array_equal(a, b)
+    testing.assert_tigs_spell_kmer_set(
+        gd, tigs_d, store, k, kmers, allow_duplicates=True
+    )
