@@ -58,6 +58,9 @@ RESULT_FILE = "/tmp/matchtigs_bench_device.json"
 
 
 def _load_dataset():
+    from matchtigs_tpu.utils.malloc_tuning import tune_malloc
+
+    tune_malloc()
     from matchtigs_tpu import testing
     from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
 

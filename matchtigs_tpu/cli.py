@@ -152,6 +152,9 @@ def main(argv: list[str] | None = None) -> int:
         format="%(asctime)s %(levelname)s [%(name)s] %(message)s",
     )
     logger.info("matchtigs-tpu starting")
+    from .utils.malloc_tuning import tune_malloc
+
+    tune_malloc()
 
     load_start = time.monotonic()
     store, k, gfa_header, links = load_unitigs(

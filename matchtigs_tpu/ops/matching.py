@@ -63,23 +63,30 @@ def greedy_accept(
         return candidates.reshape(0, 3)
     # Work on contiguous columns: column views of an [M, 3] array are
     # stride-24 and cost tens of seconds in elementwise ops / gathers at
-    # 50M+ candidates.
-    cu = np.ascontiguousarray(candidates[:, 0])
-    cv = np.ascontiguousarray(candidates[:, 1])
-    cd = np.ascontiguousarray(candidates[:, 2])
+    # 50M+ candidates.  Real copies (not views): the packed-sort path
+    # below mutates them in place.
+    cu = candidates[:, 0].astype(np.int64, copy=True)
+    cv = candidates[:, 1].astype(np.int64, copy=True)
+    cd = candidates[:, 2].astype(np.int64, copy=True)
     if g.n_nodes < (1 << 28) and int(cd.max(initial=0)) < 256:
         # The packed key holds the whole triple (d:8 | u:28 | v:28), so
         # sorting key VALUES yields the sorted candidates directly --
         # unpacking sorted keys is sequential, where sorting an index
         # permutation costs 3x 0.4GB random gathers (or the equivalent
-        # scan indirection) at 50M candidates.
-        key = np.left_shift(cd, 56)
-        key |= np.left_shift(cu, 28)
+        # scan indirection) at 50M candidates.  All pack/unpack steps are
+        # in-place into the three column buffers: fresh tens-of-MB
+        # allocations here cost more in first-touch page faults than the
+        # arithmetic does (measured 3.5s -> 0.9s cold at 5.2M rows).
+        key = cd  # cd's buffer becomes the key, then the dist column again
+        key <<= 56
+        np.left_shift(cu, 28, out=cu)
+        key |= cu
         key |= cv
         key.sort()
-        cv = key & np.int64((1 << 28) - 1)
-        cu = (key >> 28) & np.int64((1 << 28) - 1)
-        cd = key >> 56
+        np.bitwise_and(key, np.int64((1 << 28) - 1), out=cv)
+        np.right_shift(key, 28, out=cu)
+        cu &= np.int64((1 << 28) - 1)
+        key >>= 56  # cd = dist again
         order = None
     else:
         order = np.lexsort((cv, cu, cd))
