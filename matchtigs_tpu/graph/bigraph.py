@@ -192,25 +192,42 @@ class Bigraph:
     def csr(self):
         """(out_offsets, out_edges, in_offsets, in_edges), edge ids sorted
         by (endpoint, edge id)."""
+        return (*self.out_csr(), *self.in_csr())
+
+    def out_csr(self):
+        """(out_offsets, out_edges); the in side is built lazily on demand
+        (each side is an O(E) stable sort — callers like the Eulerian
+        decomposition only ever touch the out side)."""
         if self._csr_cache is None:
+            self._csr_cache = {}
+        if "out" not in self._csr_cache:
             n = self.n_nodes
             src = self.srcs()
-            dst = self.dsts()
             out_order = np.argsort(src, kind="stable").astype(np.int64)
-            in_order = np.argsort(dst, kind="stable").astype(np.int64)
             out_off = np.zeros(n + 1, dtype=np.int64)
-            in_off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(np.bincount(src, minlength=n), out=out_off[1:])
+            self._csr_cache["out"] = (out_off, out_order)
+        return self._csr_cache["out"]
+
+    def in_csr(self):
+        """(in_offsets, in_edges); see out_csr."""
+        if self._csr_cache is None:
+            self._csr_cache = {}
+        if "in" not in self._csr_cache:
+            n = self.n_nodes
+            dst = self.dsts()
+            in_order = np.argsort(dst, kind="stable").astype(np.int64)
+            in_off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(np.bincount(dst, minlength=n), out=in_off[1:])
-            self._csr_cache = (out_off, out_order, in_off, in_order)
-        return self._csr_cache
+            self._csr_cache["in"] = (in_off, in_order)
+        return self._csr_cache["in"]
 
     def out_edges_of(self, v: int) -> np.ndarray:
-        out_off, out_edges, _, _ = self.csr()
+        out_off, out_edges = self.out_csr()
         return out_edges[out_off[v] : out_off[v + 1]]
 
     def in_edges_of(self, v: int) -> np.ndarray:
-        _, _, in_off, in_edges = self.csr()
+        in_off, in_edges = self.in_csr()
         return in_edges[in_off[v] : in_off[v + 1]]
 
     # -- invariants (reference's debug asserts, §4 of SURVEY.md) ----------

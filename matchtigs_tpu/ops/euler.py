@@ -282,7 +282,7 @@ def _eulerian_bicycle_decomposition_native(g: Bigraph) -> list[np.ndarray]:
     E = g.n_edges
     if E == 0:
         return []
-    out_off, out_edges, _, _ = g.csr()
+    out_off, out_edges = g.out_csr()
     src = np.ascontiguousarray(g.srcs(), dtype=np.int64)
     dst = np.ascontiguousarray(g.dsts(), dtype=np.int64)
     mirror = np.ascontiguousarray(g.mirror_node, dtype=np.int64)
@@ -330,7 +330,7 @@ def eulerian_bicycle_decomposition_py(g: Bigraph) -> list[np.ndarray]:
     E = g.n_edges
     if E == 0:
         return []
-    out_off, out_edges, _, _ = g.csr()
+    out_off, out_edges = g.out_csr()
     dst = g.dsts()
     src = g.srcs()
     mirror = g.mirror_node
