@@ -237,6 +237,11 @@ def main() -> None:
         value = max(device_ups, host_ups)
     vs = value / baseline_ups
 
+    # Extra keys beyond the required four: the downstream passes are
+    # shared between the framework and the baseline, so the overall ratio
+    # compresses toward 1 at small scale — search_vs_baseline isolates
+    # the search-engine design difference (NEXT.md item 5); the raw
+    # seconds make the ratio auditable.
     print(
         json.dumps(
             {
@@ -244,6 +249,16 @@ def main() -> None:
                 "value": round(value, 1),
                 "unit": "unitigs/s",
                 "vs_baseline": round(vs, 3),
+                "search_vs_baseline": round(baseline_search / host_search, 3)
+                if host_search > 0
+                else None,
+                "host_s": round(host_time, 2),
+                "host_search_s": round(host_search, 2),
+                "baseline_s": round(baseline_time, 2),
+                "baseline_search_s": round(baseline_search, 2),
+                "device_s": round(device_elapsed, 2)
+                if device_elapsed is not None
+                else None,
             }
         )
     )

@@ -73,6 +73,10 @@ class GreedytigConfig:
     # kernel on the XLA CPU backend is strictly slower than the native
     # engine); "device"/"host" force one side.
     engine: str = "auto"
+    # Opt-in per-source search counters (ball-size histogram, max/avg) —
+    # the analog of the reference's --dijkstra-performance-data-type
+    # Complete heap/distance-array statistics (greedytigs/mod.rs:646-673).
+    performance_counters: bool = False
 
 
 @dataclass
@@ -94,6 +98,35 @@ class SearchStats:
     stage_times: list[float] = field(default_factory=list)
     stage_occupancy: list[float] = field(default_factory=list)
     stage_overflow_frac: list[float] = field(default_factory=list)
+
+    def log_ball_sizes(self, candidates: np.ndarray, n_nodes: int,
+                       out_nodes: np.ndarray) -> None:
+        """Per-source candidate-ball statistics (opt-in; the analog of the
+        reference's max/average heap and distance-array size counters,
+        greedytigs/mod.rs:646-673).  A source's "ball" here is its number
+        of reported in-node candidates within the distance bound."""
+        counts = np.bincount(
+            candidates[:, 0].astype(np.int64), minlength=n_nodes
+        )[np.asarray(out_nodes, dtype=np.int64)]
+        if not len(counts):
+            return
+        logger.info(
+            "Ball sizes: max %d, mean %.1f, median %d "
+            "(%d sources with zero candidates)",
+            int(counts.max()),
+            float(counts.mean()),
+            int(np.median(counts)),
+            int((counts == 0).sum()),
+        )
+        hist = np.bincount(
+            np.where(counts > 0, np.log2(np.maximum(counts, 1)).astype(int) + 1, 0)
+        )
+        for b, n in enumerate(hist):
+            if n:
+                lo = 0 if b == 0 else 1 << (b - 1)
+                hi = 0 if b == 0 else (1 << b) - 1
+                logger.info("  ball size %s: %d sources",
+                            "0" if b == 0 else f"[{lo}, {hi}]", int(n))
 
     def log(self) -> None:
         logger.info(
@@ -383,6 +416,8 @@ def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> list[np.ndarray]:
     stats = SearchStats()
     candidates = collect_candidates(g, out_nodes, in_mask, k, config, stats)
     stats.log()
+    if config.performance_counters and len(candidates):
+        stats.log_ball_sizes(candidates, g.n_nodes, out_nodes)
     logger.info(
         "Found %d candidate shortest paths in %.2fs (scan %.2fs)",
         len(candidates),

@@ -36,7 +36,7 @@ import numpy as np
 from ..graph.bigraph import Bigraph
 from ..ops import euler
 from ..ops.matching import unbalanced_nodes
-from .greedytigs import GreedytigConfig, collect_candidates
+from .greedytigs import GreedytigConfig, SearchStats, collect_candidates
 
 logger = logging.getLogger(__name__)
 
@@ -60,6 +60,8 @@ class MatchtigConfig:
     # to the internal GreedytigConfig (the reference's --threads reaches
     # both matchtig variants, src/bin.rs:147-149).
     host_threads: int | None = None
+    # Opt-in per-source search counters; see GreedytigConfig.
+    performance_counters: bool = False
 
 
 def _matching_node_ids(g: Bigraph, diff: np.ndarray):
@@ -161,9 +163,13 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
         max_capacity=config.max_capacity,
         batch_size=config.batch_size,
         host_threads=config.host_threads,
+        performance_counters=config.performance_counters,
     )
-    candidates = collect_candidates(g, out_nodes, in_mask, k, gt_config)
+    stats = SearchStats()
+    candidates = collect_candidates(g, out_nodes, in_mask, k, gt_config, stats)
     logger.info("Found %d candidate shortest paths", len(candidates))
+    if config.performance_counters and len(candidates):
+        stats.log_ball_sizes(candidates, g.n_nodes, out_nodes)
 
     # Expand binodes into matching ids and collapse candidates to id pairs.
     ids_start, ids_count, n_ids, reps, offsets = _matching_node_ids(g, diff)

@@ -140,6 +140,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _want_counters(opts) -> bool:
+    """--dijkstra-performance-data-type <anything but none> enables the
+    per-source search counters (the reference's opt-in performance data,
+    /root/reference/src/bin.rs:160-165, greedytigs/mod.rs:646-673)."""
+    v = opts.dijkstra_performance_data_type
+    return bool(v) and v.lower() not in ("none", "off")
+
+
 def _log_mem(label: str) -> None:
     peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     logger.debug("%s peak memory usage: %d KiB", label, peak_kb)
@@ -235,6 +243,7 @@ def main(argv: list[str] | None = None) -> int:
                     use_mesh={"auto": "auto", "true": True, "false": False}[
                         opts.use_mesh
                     ],
+                    performance_counters=_want_counters(opts),
                 ),
             )
         else:
@@ -247,6 +256,7 @@ def main(argv: list[str] | None = None) -> int:
                     host_threads=opts.threads,
                     dense_limit=opts.matching_dense_limit,
                     matching_file_prefix=opts.matching_file_prefix,
+                    performance_counters=_want_counters(opts),
                 ),
             )
         compute_time = time.monotonic() - t0

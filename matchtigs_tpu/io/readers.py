@@ -106,6 +106,17 @@ def read_gfa(path: str | Path) -> tuple[SequenceStore, GfaProperties]:
                     k = int(m.group(1))
             elif tag == b"S":
                 fields = line.split(b"\t")
+                if fields[2] == b"*":
+                    # GFA permits S-lines without an inline sequence; tig
+                    # computation must spell output sequences, so such
+                    # files cannot be processed (the reference reads GFA
+                    # via genome-graph, which also requires sequences to
+                    # build its SequenceStore; /root/reference/src/bin.rs:892-906).
+                    raise ValueError(
+                        f"GFA segment {fields[1].decode()!r} has a '*' "
+                        "(absent) sequence; matchtigs needs the unitig "
+                        "sequences inline to spell output tigs"
+                    )
                 name_to_id[fields[1]] = store.add_ascii(fields[2])
             elif tag == b"L":
                 fields = line.split(b"\t")

@@ -167,3 +167,29 @@ def test_debug_spell_output(tmp_path):
                 continue
             parts.append(ann.split()[-1])
         assert "".join(parts) == seq
+
+
+def test_gfa_star_sequence_rejected(tmp_path):
+    """GFA S-lines with '*' (absent) sequences must fail with a clear
+    error: tig computation needs the sequences to spell outputs."""
+    gfa = tmp_path / "star.gfa"
+    gfa.write_text("H\tVN:Z:1.0\nS\t1\tACGT\nS\t2\t*\tLN:i:7\n")
+    with pytest.raises(ValueError, match="'\\*'"):
+        read_gfa(gfa)
+
+
+def test_performance_counters_logged(unitig_fa, tmp_path, caplog):
+    """--dijkstra-performance-data-type enables ball-size counters (the
+    reference's opt-in Dijkstra performance data analog)."""
+    import logging
+
+    path, kmers, k = unitig_fa
+    with caplog.at_level(logging.INFO, logger="matchtigs_tpu"):
+        rc = main([
+            "--fa-in", str(path), "-k", str(k),
+            "--greedytigs-fa-out", str(tmp_path / "g.fa"),
+            "--dijkstra-performance-data-type", "Complete",
+            "--log-level", "Info",
+        ])
+    assert rc == 0
+    assert any("Ball sizes:" in r.message for r in caplog.records)
