@@ -101,11 +101,16 @@ def device_run() -> None:
         file=sys.stderr,
     )
 
-    dg = build_device_graph(g)
+    # Warm up with the SAME packing the pipeline uses (renumber=True is
+    # the GreedytigConfig default): the memoized device graph and its
+    # uploaded device buffers are then reused inside the timed run —
+    # symmetric with the host pipeline, whose timer also starts after
+    # build_device_graph.
+    dg = build_device_graph(g, renumber=True)
     t0 = time.monotonic()
     batched_bounded_sssp(
         dg,
-        out_nodes[:BATCH_SIZE],
+        dg.map_sources(out_nodes[:BATCH_SIZE].astype(np.int32)),
         max_weight=k - 1,
         capacity=CAPACITY,
         batch_size=BATCH_SIZE,

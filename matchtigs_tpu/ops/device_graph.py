@@ -43,6 +43,18 @@ class DeviceGraph:
     def sentinel(self) -> int:
         return self.n_nodes
 
+    def device_buffers(self):
+        """Device-resident (nbr, nw) jax arrays, uploaded once per graph.
+
+        Repeated kernel calls (warmup, capacity stages) otherwise re-ship
+        ~8 bytes/edge through the host->device link per call — seconds at
+        bench scale on the remote-relay TPU path."""
+        if getattr(self, "_dev_buffers", None) is None:
+            import jax.numpy as jnp
+
+            self._dev_buffers = (jnp.asarray(self.nbr), jnp.asarray(self.nw))
+        return self._dev_buffers
+
     def map_sources(self, sources: np.ndarray) -> np.ndarray:
         return sources if self.to_dev is None else self.to_dev[sources]
 

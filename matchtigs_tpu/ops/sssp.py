@@ -156,26 +156,32 @@ def _can_pack(dg: DeviceGraph, max_weight: int) -> bool:
 # on-device buffer copies it avoids cost only a few ms per step.
 @functools.partial(
     jax.jit,
-    static_argnames=("capacity", "max_rounds", "deg_pad", "packed", "batch"),
+    static_argnames=(
+        "capacity", "max_rounds", "deg_pad", "packed", "batch", "pack_out"
+    ),
 )
 def _sssp_step_into(
     nbr,
     nw,
     sources_all,  # int32 [S_pad] resident on device
     batch_index,  # int32 scalar
-    nodes_buf,  # int32 [S_pad, C] (donated)
-    dist_buf,  # int32 [S_pad, C] (donated)
-    over_buf,  # bool [S_pad]    (donated)
+    nodes_buf,  # int32 [S_pad, C]; packed (node << DIST_BITS | dist) if pack_out
+    dist_buf,  # int32 [S_pad, C] (unused when pack_out; stays zero-size view)
+    over_buf,  # bool [S_pad]
     max_weight,
     capacity: int,
     max_rounds: int,
     deg_pad: int,
     packed: bool,
     batch: int,
+    pack_out: bool,
 ):
     """Run one batch of the search and write results into the device
     buffers.  One compiled program serves every batch (the index is an
-    operand), host<->device traffic is a single upload and download."""
+    operand), host<->device traffic is a single upload and download.
+    With pack_out (packed mode), (node, dist) pairs come down as ONE
+    int32 per slot — distances occupy the low DIST_BITS — halving the
+    result download through the device link."""
     start = batch_index * batch
     chunk = jax.lax.dynamic_slice_in_dim(sources_all, start, batch)
     nodes, dist, overflow, _ = _sssp_kernel(
@@ -188,8 +194,18 @@ def _sssp_step_into(
         deg_pad=deg_pad,
         packed=packed,
     )
-    nodes_buf = jax.lax.dynamic_update_slice_in_dim(nodes_buf, nodes, start, 0)
-    dist_buf = jax.lax.dynamic_update_slice_in_dim(dist_buf, dist, start, 0)
+    if pack_out:
+        dist_small = jnp.minimum(dist, (1 << DIST_BITS) - 1)
+        nodes_buf = jax.lax.dynamic_update_slice_in_dim(
+            nodes_buf, (nodes << DIST_BITS) | dist_small, start, 0
+        )
+    else:
+        nodes_buf = jax.lax.dynamic_update_slice_in_dim(
+            nodes_buf, nodes, start, 0
+        )
+        dist_buf = jax.lax.dynamic_update_slice_in_dim(
+            dist_buf, dist, start, 0
+        )
     over_buf = jax.lax.dynamic_update_slice_in_dim(
         over_buf, overflow, start, 0
     )
@@ -225,8 +241,7 @@ def batched_bounded_sssp(
     if batch_size is None:
         batch_size = S
     batch_size = max(1, min(batch_size, S))
-    nbr = jnp.asarray(dg.nbr)
-    nw = jnp.asarray(dg.nw)
+    nbr, nw = dg.device_buffers()
     packed = _can_pack(dg, max_weight)
 
     n_batches = -(-S // batch_size)
@@ -235,7 +250,11 @@ def batched_bounded_sssp(
     padded[:S] = sources
     sources_d = jnp.asarray(padded)
     nodes_buf = jnp.zeros((S_pad, capacity), dtype=jnp.int32)
-    dist_buf = jnp.zeros((S_pad, capacity), dtype=jnp.int32)
+    # In packed mode results come down as one int32 per slot; the dist
+    # buffer is a placeholder scalar-shaped array the program never reads.
+    dist_buf = jnp.zeros(
+        (S_pad, capacity) if not packed else (1, 1), dtype=jnp.int32
+    )
     over_buf = jnp.zeros((S_pad,), dtype=bool)
     mw = jnp.int32(max_weight)
 
@@ -254,7 +273,16 @@ def batched_bounded_sssp(
             deg_pad=dg.deg_pad,
             packed=packed,
             batch=batch_size,
+            pack_out=packed,
         )
+    if packed:
+        key = np.asarray(nodes_buf)[:S]
+        over = np.asarray(over_buf)[:S]
+        dist_cap = np.int32((1 << DIST_BITS) - 1)
+        dist = key & dist_cap
+        nodes = key >> DIST_BITS
+        np.putmask(dist, dist == dist_cap, INF)
+        return nodes, dist, over
     return (
         np.asarray(nodes_buf)[:S],
         np.asarray(dist_buf)[:S],
