@@ -39,6 +39,28 @@ def _pack_rows(kmers: np.ndarray) -> np.ndarray:
     return kmers.view([("", kmers.dtype)] * m).reshape(-1)
 
 
+def _rc_packed(packed: np.ndarray, m: int) -> np.ndarray:
+    """Reverse-complement packed 2-bit keys without touching base arrays.
+
+    ``packed`` holds m two-bit codes in the low 2m bits, first base most
+    significant.  Complementing a code is ``c ^ 3``, so rc = reverse the
+    2-bit groups of the word (log-shuffle), realign, and XOR the 2m-bit
+    mask — ~10 vectorized uint64 ops instead of materializing the [n, m]
+    reversed-complement byte matrix and re-running the Horner pack.
+    """
+    x = packed.copy()
+    u = np.uint64
+    # reverse the 32 2-bit groups of each word
+    x = ((x & u(0x3333333333333333)) << u(2)) | ((x >> u(2)) & u(0x3333333333333333))
+    x = ((x & u(0x0F0F0F0F0F0F0F0F)) << u(4)) | ((x >> u(4)) & u(0x0F0F0F0F0F0F0F0F))
+    x = ((x & u(0x00FF00FF00FF00FF)) << u(8)) | ((x >> u(8)) & u(0x00FF00FF00FF00FF))
+    x = ((x & u(0x0000FFFF0000FFFF)) << u(16)) | ((x >> u(16)) & u(0x0000FFFF0000FFFF))
+    x = (x << u(32)) | (x >> u(32))
+    x >>= u(2 * (32 - m))
+    x ^= u((1 << (2 * m)) - 1)
+    return x
+
+
 def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
     """Construct the node bigraph: one biedge (edge pair) per unitig.
 
@@ -64,11 +86,19 @@ def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
     pref = store.gather_windows(offsets[:-1], km1)  # [U, k-1]
     suff = store.gather_windows(offsets[1:] - km1, km1)  # [U, k-1]
     # Oriented node keys needed: pref, suff, rc(pref), rc(suff).
-    rc_pref = (3 - pref)[:, ::-1]
-    rc_suff = (3 - suff)[:, ::-1]
-    all_kmers = np.concatenate([pref, suff, rc_pref, rc_suff], axis=0)
-
-    packed = _pack_rows(all_kmers)
+    if km1 <= 31:
+        # rc keys derived arithmetically from the packed forward keys
+        # (no [U, k-1] rc matrices, half the Horner passes).
+        p_pref = _pack_rows(pref)
+        p_suff = _pack_rows(suff)
+        packed = np.concatenate(
+            [p_pref, p_suff, _rc_packed(p_pref, km1), _rc_packed(p_suff, km1)]
+        )
+    else:
+        rc_pref = (3 - pref)[:, ::-1]
+        rc_suff = (3 - suff)[:, ::-1]
+        all_kmers = np.concatenate([pref, suff, rc_pref, rc_suff], axis=0)
+        packed = _pack_rows(all_kmers)
     uniq, inverse = np.unique(packed, return_inverse=True)
     n_nodes = len(uniq)
     inverse = inverse.astype(np.int32).reshape(4, n_uni)

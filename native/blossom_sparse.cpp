@@ -12,16 +12,36 @@
 // exactly the two trees it touches (tree_alive_/tree_of_ epochs) while
 // the rest keep growing.  The canonical one-augmentation-per-stage
 // formulation re-scans every free root after every augmentation, which is
-// quadratic on big sparse instances (71M queue pops at n=30k); this
-// variant is ~3x faster there and identical in results.  Correctness
-// notes hard-won by fuzzing (600 instances vs networkx + the dense
-// solver, plus the MATCHTIGS_BLOSSOM_VERIFY complementary-slackness
-// audit): tightness must be tested directly (slack(e) <= 0), never
-// cached, because a formerly tight edge's S endpoint can die and relabel
-// T; freed vertices' best-edge hints are repaired eagerly at tree death
-// (their duals moved while labeled) and other stale hints lazily at
-// delta selection.  It is NOT derived from the reference (which contains
-// no matching code) nor from blossom5.
+// quadratic on big sparse instances (71M queue pops at n=30k).
+//
+// Multi-tree correctness notes (hard-won by fuzzing tie-heavy instances
+// against the dense solver + networkx, and by the CHECKTREES structure
+// validator):
+//  * Tightness is tested directly (slack(e) <= 0), never cached: a
+//    formerly tight edge's S endpoint can die and relabel T, raising the
+//    slack again.
+//  * Interior T-marks (a vertex inside a T-blossom reached from outside)
+//    must record the SCANNER's tree, and mid-stage expansion must attach
+//    the marked leaf to that tree: the mark's label_end points at the
+//    scanning S-vertex, so attaching to the blossom's own tree would let
+//    (mate, label_end) chains cross trees and break scan_blossom's
+//    common-ancestor detection (same-tree "augmentations" that corrupt
+//    the matching).
+//  * Dual-adjustment candidates (delta2/delta3) come from a lazy event
+//    heap keyed by projected tightness time (cumulative delta at which
+//    the edge would become tight if its endpoint classes never changed).
+//    Class changes can only RAISE an event's true key (a dead S side
+//    freezes its dual while live S duals keep falling), and
+//    rate-increasing transitions (a vertex becoming S) push fresh exact
+//    events from that vertex's scan -- so a popped event revalidates
+//    against the current classification and either wins, gets re-pushed
+//    with its corrected key, or is discarded.  Cached best-edge hints
+//    (the van Rantwijk scheme) are NOT sound across augmentations:
+//    re-adopted vertices' frozen duals silently invalidate cached
+//    argmins without invalidating the cache key.
+//
+// It is NOT derived from the reference (which contains no matching code)
+// nor from blossom5.
 //
 // Semantics: maximum-weight matching, NOT maximum cardinality (a vertex
 // stays unmatched when matching it does not increase total weight) --
@@ -35,6 +55,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstdint>
+#include <queue>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -66,14 +88,16 @@ class SparseBlossom {
     for (int v = 0; v < n_; ++v) base_[v] = v;
     childs_.assign(2 * n_, {});
     endps_.assign(2 * n_, {});
-    best_edge_.assign(2 * n_, -1);
-    blossom_best_edges_.assign(2 * n_, {});
     for (int b = n_; b < 2 * n_; ++b) unused_.push_back(b);
     dual_.assign(2 * n_, 0);
-    for (int v = 0; v < n_; ++v) dual_[v] = max_w_;
-    allow_.assign(m_, 0);
+    // Feasibility needs dual_u + dual_v >= w2(e), i.e. dual >= max_w_/2
+    // (max_w_ is the doubled max weight, so this is integral).  Starting
+    // higher only costs extra dual travel per free vertex AND leaves no
+    // edge tight for the greedy warm start.
+    for (int v = 0; v < n_; ++v) dual_[v] = max_w_ / 2;
     tree_of_.assign(2 * n_, -1);
     tree_alive_.assign(n_, 1);
+    event_stamp_.assign(m_, kInfEvent);
     cur_root_ = -1;
   }
 
@@ -106,9 +130,8 @@ class SparseBlossom {
     int b = in_blossom_[w];
     set_label_tree(w, t);
     set_label_tree(b, t);
-    if (!members_.empty()) members_[cur_root_].push_back(w);
+    members_[cur_root_].push_back(w);
     label_end_[w] = label_end_[b] = p;
-    best_edge_[w] = best_edge_[b] = -1;
     if (t == 1) {
       std::vector<int> leaves;
       blossom_leaves(b, leaves);
@@ -124,7 +147,12 @@ class SparseBlossom {
   int scan_blossom(int v, int w) {
     std::vector<int> path;
     int base = -1;
+    long long steps = 0;
     while (v != -1 || w != -1) {
+      if (++steps > 4 * (long long)n_ + 16) {
+        std::fprintf(stderr, "blossom_sparse: scan_blossom cycle\n");
+        std::abort();
+      }
       int b = in_blossom_[v];
       if (get_label(b) & 4) {
         base = base_[b];
@@ -159,8 +187,13 @@ class SparseBlossom {
     auto& endps = endps_[b];
     path.clear();
     endps.clear();
+    long long guard = 0;
     // trace from v's side up to the base
     while (bv != bb) {
+      if (++guard > 4 * (long long)n_ + 16) {
+        std::fprintf(stderr, "blossom_sparse: add_blossom cycle (v side)\n");
+        std::abort();
+      }
       parent_[bv] = b;
       path.push_back(bv);
       endps.push_back(label_end_[bv]);
@@ -171,8 +204,13 @@ class SparseBlossom {
     std::reverse(path.begin(), path.end());
     std::reverse(endps.begin(), endps.end());
     endps.push_back(2 * (int)k);
+    guard = 0;
     // trace from w's side
     while (bw != bb) {
+      if (++guard > 4 * (long long)n_ + 16) {
+        std::fprintf(stderr, "blossom_sparse: add_blossom cycle (w side)\n");
+        std::abort();
+      }
       parent_[bw] = b;
       path.push_back(bw);
       endps.push_back(label_end_[bw] ^ 1);
@@ -185,46 +223,16 @@ class SparseBlossom {
     std::vector<int> leaves;
     blossom_leaves(b, leaves);
     for (int leaf : leaves) {
+      // former T-leaves turn S with the new blossom: requeue so their
+      // edges are scanned (and their delta events pushed) as S edges.
       if (get_label(in_blossom_[leaf]) == 2) queue_.push_back(leaf);
       in_blossom_[leaf] = b;
     }
-    // compute best edges to other S-blossoms
-    std::vector<i64> best_to(2 * n_, -1);
-    for (int child : path) {
-      std::vector<std::vector<int>> nblists;
-      if (blossom_best_edges_[child].empty()) {
-        std::vector<int> cl;
-        blossom_leaves(child, cl);
-        nblists.emplace_back();
-        for (int lv : cl)
-          for (int p : nbr_[lv]) nblists.back().push_back(p / 2);
-      } else {
-        nblists.emplace_back(blossom_best_edges_[child]);
-      }
-      for (auto& nblist : nblists) {
-        for (int e : nblist) {
-          int i = (int)eu_[e], j = (int)ev_[e];
-          if (in_blossom_[j] == b) std::swap(i, j);
-          int bj = in_blossom_[j];
-          if (bj != b && get_label(bj) == 1 &&
-              (best_to[bj] == -1 || slack(e) < slack(best_to[bj])))
-            best_to[bj] = e;
-        }
-      }
-      blossom_best_edges_[child].clear();
-      best_edge_[child] = -1;
-    }
-    auto& bbe = blossom_best_edges_[b];
-    bbe.clear();
-    for (int j = 0; j < 2 * n_; ++j)
-      if (best_to[j] != -1) bbe.push_back((int)best_to[j]);
-    best_edge_[b] = -1;
-    for (int e : bbe)
-      if (best_edge_[b] == -1 || slack(e) < slack(best_edge_[b]))
-        best_edge_[b] = e;
   }
 
   void expand_blossom(int b, bool endstage) {
+    std::vector<int> all_leaves;
+    if (!endstage) blossom_leaves(b, all_leaves);
     for (int child : childs_[b]) {
       parent_[child] = -1;
       if (child < n_) {
@@ -240,8 +248,8 @@ class SparseBlossom {
     if (!endstage && get_label(b) == 2) {
       cur_root_ = tree_of_[b];
       // The T-blossom is being expanded mid-stage: relabel the even-length
-      // alternating path from the label-entry child to the base, mark its
-      // edges allowed, and T-label any other child reached from outside.
+      // alternating path from the label-entry child to the base, and
+      // T-label any other child reached from outside.
       auto& path = childs_[b];
       auto& endps = endps_[b];
       int nchild = (int)path.size();
@@ -266,18 +274,19 @@ class SparseBlossom {
         label_[endpoint_[p ^ 1]] = 0;
         label_[endpoint_[ep(j) ^ endptrick ^ 1]] = 0;
         assign_label(endpoint_[p ^ 1], 2, p);
-        allow_[ep(j) / 2] = 1;
         j = step(j);
         p = ep(j) ^ endptrick;
-        allow_[p / 2] = 1;
         j = step(j);
       }
-      // base child keeps the T label without stepping to its mate
+      // base child keeps the T label without stepping to its mate.
+      // Record membership (set_label_tree bypasses assign_label): the
+      // death-repush enumerates a dead tree's slots via members_, and a
+      // missed slot means its freed leaves' tight edges never rescan.
       int bv = path[0];
       set_label_tree(endpoint_[p ^ 1], 2);
       set_label_tree(bv, 2);
+      members_[cur_root_].push_back(endpoint_[p ^ 1]);
       label_end_[endpoint_[p ^ 1]] = label_end_[bv] = p;
-      best_edge_[bv] = -1;
       // the remaining children: S-labelled ones stay; ones reached from
       // outside get a T label, others stay unlabeled
       j = step(j);
@@ -298,18 +307,29 @@ class SparseBlossom {
         if (vv != -1) {
           label_[vv] = 0;
           label_[endpoint_[mate_[base_[bw]]]] = 0;
+          // Attach to the tree that reached vv from outside (recorded in
+          // the interior mark), not to the expanding blossom's tree.
+          cur_root_ = tree_of_[vv];
           assign_label(vv, 2, label_end_[vv]);
+          cur_root_ = tree_of_[b];
         }
         j = step(j);
       }
+    }
+    if (!endstage) {
+      // Former internal edges become cross edges between the children,
+      // and edges from outside S-vertices to now-unlabeled children
+      // switch from rate-0 (S-T, not delta-relevant) to rate-1
+      // (S-unlabeled) without any scan: refresh delta events for every
+      // leaf's incident edges under the new top labels.
+      for (int lv : all_leaves)
+        for (int p : nbr_[lv]) push_event(p / 2);
     }
     label_[b] = 0;
     label_end_[b] = -1;
     childs_[b].clear();
     endps_[b].clear();
     base_[b] = -1;
-    blossom_best_edges_[b].clear();
-    best_edge_[b] = -1;
     unused_.push_back(b);
   }
 
@@ -359,7 +379,12 @@ class SparseBlossom {
     for (int side = 0; side < 2; ++side) {
       int s = side == 0 ? v : w;
       int p = side == 0 ? 2 * (int)k + 1 : 2 * (int)k;
+      long long guard = 0;
       for (;;) {
+        if (++guard > 4 * (long long)n_ + 16) {
+          std::fprintf(stderr, "blossom_sparse: augment cycle\n");
+          std::abort();
+        }
         int bs = in_blossom_[s];
         if (bs >= n_) augment_blossom(bs, s);
         mate_[s] = p;
@@ -376,64 +401,61 @@ class SparseBlossom {
     }
   }
 
-  // Least-slack edge from unlabeled vertex w to a live S-vertex.
-  int best_edge_free_exact(int w) const {
-    int be = -1;
-    i64 bs = 0;
-    for (int p : nbr_[w]) {
-      int e = p / 2;
-      int o = endpoint_[p];
-      if (in_blossom_[o] == in_blossom_[w]) continue;
-      if (get_label(in_blossom_[o]) != 1) continue;
-      i64 s = slack(e);
-      if (be == -1 || s < bs) { be = e; bs = s; }
-    }
-    return be;
+  // ---- Lazy delta-event heap -------------------------------------------
+  // Events are (projected_tight_delta, edge): the cumulative DELTA_ at
+  // which the edge becomes tight assuming its endpoint classes never
+  // change.  Classes can only slow an edge down (raising the true key);
+  // rate-increasing changes (an endpoint becoming S) push fresh events
+  // from that endpoint's scan.  Pops revalidate lazily.
+  //
+  // Dedup: event_stamp_[e] tracks the lowest key currently in the heap
+  // for e (kInfEvent when none); pushes at or above it are dropped -- the
+  // stamped entry pops first and revalidates, so nothing is missed, and
+  // rate-increasing changes (which LOWER the key) always get through.
+  // Without this, rescans re-push every non-tight edge each time and the
+  // heap grew to ~1e9 entries (18 GB) on the bench-scale tangles.
+  static constexpr i64 kInfEvent = (i64)1 << 62;
+  void push_event_key(i64 e, i64 key) {
+    if (key >= event_stamp_[e]) return;
+    event_stamp_[e] = key;
+    events_.push({key, e});
   }
-
-  bool edge_live_s_pair(int e) const {
+  void push_event(i64 e) {
     int bi = in_blossom_[eu_[e]], bj = in_blossom_[ev_[e]];
-    return bi != bj && get_label(bi) == 1 && get_label(bj) == 1;
-  }
-
-  // Least-slack edge from live S top-level slot b to a DIFFERENT live
-  // S-blossom (recomputed when the cached hint went stale).
-  int best_edge_s_exact(int b) {
-    int be = -1;
-    i64 bs = 0;
-    auto consider = [&](int e) {
-      int bi = in_blossom_[eu_[e]], bj = in_blossom_[ev_[e]];
-      if (bi == bj) return;
-      int self_top = (b < n_) ? in_blossom_[b] : b;
-      int other = (bi == self_top) ? bj : (bj == self_top ? bi : -1);
-      if (other == -1) return;
-      if (get_label(other) != 1) return;
-      i64 s = slack(e);
-      if (be == -1 || s < bs) { be = e; bs = s; }
-    };
-    if (b < n_) {
-      for (int p : nbr_[b]) consider(p / 2);
-    } else if (!blossom_best_edges_[b].empty()) {
-      for (int e : blossom_best_edges_[b]) consider(e);
-    } else {
-      std::vector<int> leaves;
-      blossom_leaves(b, leaves);
-      for (int lv : leaves)
-        for (int p : nbr_[lv]) consider(p / 2);
-    }
-    best_edge_[b] = be;
-    return be;
+    if (bi == bj) return;
+    int li = get_label(bi), lj = get_label(bj);
+    i64 s = slack(e);
+    if (li == 1 && lj == 1)
+      push_event_key(e, delta_total_ + s / 2);
+    else if ((li == 1 && lj == 0) || (li == 0 && lj == 1))
+      push_event_key(e, delta_total_ + s);
   }
 
   void solve() {
     bool dbg = std::getenv("MATCHTIGS_BLOSSOM_DEBUG") != nullptr;
+    bool checktrees = std::getenv("MATCHTIGS_BLOSSOM_CHECKTREES") != nullptr;
     // ONE phase, all trees grown simultaneously: every free vertex roots
     // an alternating tree; an augmentation kills exactly the two trees it
     // touches and the search continues -- the canonical per-stage variant
     // re-pushes and re-scans every free root after every augmentation,
     // which is quadratic on big sparse instances.
     members_.assign(n_, {});
-    root_dual_ = max_w_;  // all free roots stay S, so their duals agree
+    root_dual_ = max_w_ / 2;  // all free roots stay S, so duals agree
+    // Greedy warm start: pre-match a maximal disjoint set of edges that
+    // are TIGHT at the uniform initial duals (exactly the maximum-weight
+    // edges).  Complementary slackness holds (matched => tight), every
+    // remaining free vertex still has the shared root dual, and each
+    // pre-matched pair saves one full tree-growth + augmentation.  The
+    // standard blossom warm start; exactness is untouched.
+    if (!std::getenv("MATCHTIGS_NO_WARM"))
+      for (i64 e = 0; e < m_; ++e) {
+        int u = (int)eu_[e], v = (int)ev_[e];
+        if (u == v || mate_[u] != -1 || mate_[v] != -1) continue;
+        if (slack(e) == 0) {
+          mate_[u] = 2 * (int)e + 1;
+          mate_[v] = 2 * (int)e;
+        }
+      }
     int live_roots = 0;
     for (int v = 0; v < n_; ++v)
       if (mate_[v] == -1) {
@@ -441,6 +463,8 @@ class SparseBlossom {
         assign_label(v, 1, -1);
         ++live_roots;
       }
+    const bool exact_delta =
+        std::getenv("MATCHTIGS_BLOSSOM_EXACT_DELTA") != nullptr;
     while (live_roots > 0) {
       while (!queue_.empty()) {
         int v = queue_.back();
@@ -455,15 +479,26 @@ class SparseBlossom {
           if (in_blossom_[v] == in_blossom_[w]) continue;
           // Tightness is tested directly: cached allow flags go stale in
           // the multi-tree phase (an S endpoint can die and relabel T,
-          // raising the slack of a formerly tight edge).
-          if (slack(k) <= 0) {
-            int bw = in_blossom_[w];
+          // raising the slack of a formerly tight edge).  The one
+          // exception is the forced delta3 edge: an odd S-S slack
+          // truncates to delta = s/2, leaving slack 1 after the
+          // adjustment, so the direct test alone would livelock on
+          // zero-delta rounds.  Like van Rantwijk's allowedge for the
+          // delta3 winner, the edge is processed anyway (the doubled
+          // weights make the leftover 1 a half-integrality artifact);
+          // the force is valid only while both sides are still live S
+          // and only for the current drain.
+          int bw = in_blossom_[w];
+          if (slack(k) <= 0 ||
+              (k == forced_edge_ && get_label(bw) == 1)) {
             if (get_label(bw) == 0) {
               assign_label(w, 2, p ^ 1);
+              if (checktrees) validate_trees("assign-T");
             } else if (get_label(bw) == 1) {
               int base = scan_blossom(v, w);
               if (base >= 0) {
                 add_blossom(base, k);
+                if (checktrees) validate_trees("add-blossom");
               } else {
                 int r1 = tree_of_[in_blossom_[(int)eu_[k]]];
                 int r2 = tree_of_[in_blossom_[(int)ev_[k]]];
@@ -477,43 +512,58 @@ class SparseBlossom {
                 live_roots -= 2;
                 ++dbg_augments;
                 // Freed vertices may sit on tight edges from live S
-                // vertices that will never rescan on their own; T-label
-                // them into those trees directly (the exact action a
-                // rescan would take) instead of re-pushing whole
-                // neighborhoods or paying a zero-delta adjustment per
-                // tight edge.
+                // vertices that will never rescan on their own; requeue
+                // those S vertices (their rescan also refreshes delta
+                // events toward the freed vertices).  members_ records
+                // one labeled entry vertex per top-level slot, so dedup
+                // tops and cover every leaf.
                 for (int r : {r1, r2}) {
-                  for (int x : members_[r]) {
+                  tops_scratch_.clear();
+                  for (int x : members_[r]) tops_scratch_.push_back(in_blossom_[x]);
+                  std::sort(tops_scratch_.begin(), tops_scratch_.end());
+                  tops_scratch_.erase(
+                      std::unique(tops_scratch_.begin(), tops_scratch_.end()),
+                      tops_scratch_.end());
+                  leaves_scratch_.clear();
+                  for (int top : tops_scratch_) {
+                    if (base_[top] < 0) continue;  // expanded since
+                    blossom_leaves(top, leaves_scratch_);
+                  }
+                  for (int x : leaves_scratch_)
                     for (int q : nbr_[x]) {
                       int o = endpoint_[q];
-                      if (get_label(in_blossom_[o]) == 1)
+                      if (get_label(in_blossom_[o]) != 1) continue;
+                      // Requeue the S vertex only when the edge to the
+                      // freed vertex is actionable NOW (tight => it can
+                      // adopt x); otherwise the edge merely switched
+                      // delta-rate (S-T -> S-unlabeled), which needs a
+                      // delta event, not a full neighborhood rescan.
+                      if (slack(q / 2) <= 0)
                         queue_.push_back(o);
+                      else
+                        push_event(q / 2);
                     }
-                    best_edge_[x] = best_edge_free_exact(x);
-                  }
                   members_[r].clear();
                 }
+                if (checktrees) validate_trees("augment");
                 break;  // v's tree died with it
               }
             } else if (get_label(w) == 0) {
-              // w inside a T-blossom, unreached from outside; the mark
-              // belongs to the BLOSSOM's tree
-              int saved = cur_root_;
-              cur_root_ = tree_of_[bw];
+              // w inside a T-blossom, unreached from outside; record the
+              // mark under the SCANNER's tree (cur_root_): label_end_[w]
+              // points back at the scanning S-vertex, so when the blossom
+              // is expanded the marked leaf hangs off the scanner's tree
+              // -- recording the blossom's tree instead lets the chains
+              // cross trees, which breaks scan_blossom's common-ancestor
+              // detection (same-tree augmentations, state corruption).
+              // The mark is stale (masked to 0) iff the scanner's tree
+              // dies first, exactly when it must not be used.
               set_label_tree(w, 2);
-              cur_root_ = saved;
               label_end_[w] = p ^ 1;
+              if (checktrees) validate_trees("interior-T");
             }
           } else {
-            int bw = in_blossom_[w];
-            if (get_label(bw) == 1) {
-              int bv = in_blossom_[v];
-              if (best_edge_[bv] == -1 || slack(k) < slack(best_edge_[bv]))
-                best_edge_[bv] = (int)k;
-            } else if (get_label(w) == 0) {
-              if (best_edge_[w] == -1 || slack(k) < slack(best_edge_[w]))
-                best_edge_[w] = (int)k;
-            }
+            push_event(k);
           }
         }
       }
@@ -521,48 +571,60 @@ class SparseBlossom {
 
       // dual adjustment
       ++dbg_adjusts;
+      forced_edge_ = -1;  // a force lives for exactly one queue drain
       int delta_type = 1;
       i64 delta = root_dual_;  // free roots share one dual trajectory
-      int delta_edge = -1, delta_blossom = -1;
-      // delta2 via maintained hints; a hint whose S side died is repaired
-      // lazily (freed vertices' own hints were repaired eagerly at death,
-      // covering slack increases from their T phases).
-      for (int v = 0; v < n_; ++v)
-        if (get_label(in_blossom_[v]) == 0) {
-          int be = best_edge_[v];
-          if (be != -1) {
-            int o = ((int)eu_[be] == v) ? (int)ev_[be] : (int)eu_[be];
-            if (get_label(in_blossom_[o]) != 1 ||
-                in_blossom_[o] == in_blossom_[v]) {
-              be = best_edge_free_exact(v);
-              best_edge_[v] = be;
-            }
-          }
-          if (be != -1) {
-            i64 d = slack(be);
-            if (d < delta) {
-              delta = d;
-              delta_type = 2;
-              delta_edge = be;
-            }
+      i64 delta_edge = -1;
+      int delta_blossom = -1;
+      if (exact_delta) {
+        // Oracle mode: hint-free delta selection by classifying every
+        // edge directly (used by fuzz tests to cross-check the heap).
+        for (i64 e = 0; e < m_; ++e) {
+          int bi = in_blossom_[eu_[e]], bj = in_blossom_[ev_[e]];
+          if (bi == bj) continue;
+          int li = get_label(bi), lj = get_label(bj);
+          if (li == 1 && lj == 1) {
+            i64 d = slack(e) / 2;
+            if (d < delta) { delta = d; delta_type = 3; delta_edge = e; }
+          } else if ((li == 1 && lj == 0) || (li == 0 && lj == 1)) {
+            i64 d = slack(e);
+            if (d < delta) { delta = d; delta_type = 2; delta_edge = e; }
           }
         }
-      auto consider_s_slot = [&](int b) {
-        if (parent_[b] != -1 || get_label(b) != 1) return;
-        int be = best_edge_[b];
-        if (be != -1 && !edge_live_s_pair(be)) be = best_edge_s_exact(b);
-        if (be != -1) {
-          i64 d = slack(be) / 2;
-          if (d < delta) {
-            delta = d;
-            delta_type = 3;
-            delta_edge = be;
+      } else {
+        while (!events_.empty()) {
+          auto [key, e] = events_.top();
+          if (key - delta_total_ >= delta) break;  // cannot beat current best
+          events_.pop();
+          if (key == event_stamp_[e]) event_stamp_[e] = kInfEvent;
+          int bi = in_blossom_[eu_[e]], bj = in_blossom_[ev_[e]];
+          if (bi == bj) continue;
+          int li = get_label(bi), lj = get_label(bj);
+          i64 true_key;
+          int ty;
+          if (li == 1 && lj == 1) {
+            true_key = delta_total_ + slack(e) / 2;
+            ty = 3;
+          } else if ((li == 1 && lj == 0) || (li == 0 && lj == 1)) {
+            true_key = delta_total_ + slack(e);
+            ty = 2;
+          } else {
+            continue;  // not delta-relevant; re-pushed on class change
           }
+          if (true_key > key) {
+            push_event_key(e, true_key);  // stale key: revalidate later
+            continue;
+          }
+          // first valid pop = global minimum (true keys >= stored keys)
+          delta = key - delta_total_;
+          delta_type = ty;
+          delta_edge = e;
+          // keep as a future constraint; it is consumed by the scan that
+          // processes the edge once tight
+          push_event_key(e, key);
+          break;
         }
-      };
-      for (int v = 0; v < n_; ++v) consider_s_slot(v);
-      for (int b = n_; b < 2 * n_; ++b)
-        if (base_[b] >= 0) consider_s_slot(b);
+      }
       for (int b = n_; b < 2 * n_; ++b)
         if (base_[b] >= 0 && parent_[b] == -1 && get_label(b) == 2 &&
             dual_[b] < delta) {
@@ -571,8 +633,8 @@ class SparseBlossom {
           delta_blossom = b;
         }
       if (dbg) {
-        std::fprintf(stderr, "adjust t%d delta=%lld edge=%d duals:", delta_type,
-                     delta, delta_edge);
+        std::fprintf(stderr, "adjust t%d delta=%lld edge=%lld duals:",
+                     delta_type, delta, delta_edge);
         if (n_ <= 24)
           for (int v = 0; v < n_; ++v)
             std::fprintf(stderr, " %lld%c", dual_[v],
@@ -597,20 +659,99 @@ class SparseBlossom {
             dual_[b] -= delta;
         }
       root_dual_ -= delta;
+      delta_total_ += delta;
+      if (dbg_adjusts % 1000000 == 0 &&
+          std::getenv("MATCHTIGS_NATIVE_TRACE"))
+        std::fprintf(stderr,
+                     "[blossom] adjusts=%lld t%d delta=%lld live=%d "
+                     "heap=%zu scans=%lld\n",
+                     dbg_adjusts, delta_type, delta, live_roots,
+                     events_.size(), dbg_scans);
       if (delta_type == 1) break;  // free roots hit dual 0: optimum
       if (delta_type == 2) {
         int i = (int)eu_[delta_edge];
         if (get_label(in_blossom_[i]) != 1) i = (int)ev_[delta_edge];
         queue_.push_back(i);
       } else if (delta_type == 3) {
-        queue_.push_back((int)eu_[delta_edge]);
+        // Odd S-S slack truncated to s/2 leaves slack 1: force the
+        // winner so the scan processes it regardless (see the tightness
+        // comment in the scan loop).
+        forced_edge_ = delta_edge;
+        int i = (int)eu_[delta_edge];
+        if (get_label(in_blossom_[i]) != 1) i = (int)ev_[delta_edge];
+        queue_.push_back(i);
       } else {
         expand_blossom(delta_blossom, false);
+        if (checktrees) validate_trees("expand");
       }
     }
     if (std::getenv("MATCHTIGS_NATIVE_TRACE"))
       std::fprintf(stderr, "[blossom] scans=%lld adjusts=%lld augments=%lld\n",
                    dbg_scans, dbg_adjusts, dbg_augments);
+  }
+
+  // Debug-only: verify every labeled live blossom chains up to a free
+  // root of its own tree via the (mate, label_end) alternation.  Prints
+  // the first violation with the op tag and aborts.
+  void validate_trees(const char* tag) {
+    for (int v = 0; v < n_; ++v) {
+      int b = in_blossom_[v];
+      int l = get_label(b);
+      if (l == 0) continue;
+      int t = tree_of_[b];
+      long long steps = 0;
+      int cur = b;
+      while (true) {
+        if (++steps > 4 * (long long)n_ + 16) {
+          std::fprintf(stderr, "[checktrees %s] CYCLE from v=%d b=%d tree=%d\n",
+                       tag, v, b, t);
+          std::abort();
+        }
+        int lc = get_label(cur);
+        if (lc == 0) {
+          std::fprintf(stderr,
+                       "[checktrees %s] DEAD blossom %d on chain of v=%d "
+                       "(tree %d, label_ %d, tree_of %d)\n",
+                       tag, cur, v, t, label_[cur], tree_of_[cur]);
+          std::abort();
+        }
+        if (tree_of_[cur] != t) {
+          std::fprintf(stderr,
+                       "[checktrees %s] TREE MIX on chain of v=%d: blossom %d "
+                       "tree %d != %d\n",
+                       tag, v, cur, tree_of_[cur], t);
+          std::abort();
+        }
+        if (lc == 1) {
+          int bm = mate_[base_[cur]];
+          if (bm == -1) break;  // root reached
+          cur = in_blossom_[endpoint_[bm]];
+          if (get_label(cur) != 2) {
+            std::fprintf(stderr,
+                         "[checktrees %s] S->%d expected T at blossom %d "
+                         "(chain of v=%d, tree %d)\n",
+                         tag, get_label(cur), cur, v, t);
+            std::abort();
+          }
+        } else {  // T blossom: label_end points at edge from S parent
+          int le = label_end_[cur];
+          if (le < 0) {
+            std::fprintf(stderr,
+                         "[checktrees %s] T blossom %d label_end=-1 (v=%d)\n",
+                         tag, cur, v);
+            std::abort();
+          }
+          cur = in_blossom_[endpoint_[le]];
+          if (get_label(cur) != 1) {
+            std::fprintf(stderr,
+                         "[checktrees %s] T->%d expected S at blossom %d "
+                         "(chain of v=%d, tree %d)\n",
+                         tag, get_label(cur), cur, v, t);
+            std::abort();
+          }
+        }
+      }
+    }
   }
 
   // Complementary-slackness audit (canonical verifyOptimum): prints every
@@ -638,27 +779,16 @@ class SparseBlossom {
       int i = (int)eu_[e], j = (int)ev_[e];
       i64 s = dual_[i] + dual_[j] - w2(e);
       // add 2*z for every blossom containing both endpoints
-      std::vector<int> bi, bj;
-      for (int x = i; parent_.size() && true;) {
-        int pb = -1;
-        // walk up: find the chain i -> top via parent_ over trivial start
-        break;
-      }
-      // chain walk helper
       auto chain = [&](int v0) {
         std::vector<int> c;
-        int x = v0;
-        // vertex's immediate parent: need the blossom whose childs contain x
-        // parent_ holds it directly
-        int pb = parent_[x];
+        int pb = parent_[v0];
         while (pb != -1) {
           c.push_back(pb);
           pb = parent_[pb];
         }
         return c;
       };
-      bi = chain(i);
-      bj = chain(j);
+      std::vector<int> bi = chain(i), bj = chain(j);
       // common suffix (outermost blossoms shared)
       int a = (int)bi.size() - 1, bq = (int)bj.size() - 1;
       while (a >= 0 && bq >= 0 && bi[a] == bj[bq]) {
@@ -716,15 +846,20 @@ class SparseBlossom {
   std::vector<int> base_;
   std::vector<std::vector<int>> childs_;
   std::vector<std::vector<int>> endps_;
-  std::vector<int> best_edge_;
-  std::vector<std::vector<int>> blossom_best_edges_;
   std::vector<int> unused_;
   std::vector<i64> dual_;
-  std::vector<char> allow_;
   std::vector<int> queue_;
   std::vector<int> tree_of_;
   std::vector<char> tree_alive_;
-  std::vector<std::vector<int>> members_;  // vertices labeled per root
+  std::vector<std::vector<int>> members_;  // entry vertices labeled per root
+  std::vector<int> tops_scratch_, leaves_scratch_;
+  // min-heap of (projected tight delta_total_, edge)
+  std::priority_queue<std::pair<i64, i64>, std::vector<std::pair<i64, i64>>,
+                      std::greater<std::pair<i64, i64>>>
+      events_;
+  std::vector<i64> event_stamp_;  // lowest in-heap key per edge
+  i64 delta_total_ = 0;
+  i64 forced_edge_ = -1;
   int cur_root_;
   i64 root_dual_ = 0;
 
@@ -744,7 +879,10 @@ long long mwm_sparse(long long n, long long m, const long long* eu,
                      int* mate_out) {
   SparseBlossom sb((int)n, m, eu, ev, ew);
   sb.solve();
-  if (std::getenv("MATCHTIGS_BLOSSOM_VERIFY")) sb.verify_optimum();
+  if (std::getenv("MATCHTIGS_BLOSSOM_VERIFY")) {
+    int bad = sb.verify_optimum();
+    if (bad && std::getenv("MATCHTIGS_BLOSSOM_VERIFY_ABORT")) std::abort();
+  }
   return sb.extract(mate_out);
 }
 }

@@ -130,32 +130,94 @@ def test_decomposed_allocation_matches_monolithic(seed):
 
 def test_sparse_blossom_matches_dense_fuzz():
     """The sparse adjacency-list blossom and the dense O(n^3) blossom are
-    independent implementations; totals must agree exactly."""
+    independent implementations; totals must agree exactly.
+
+    Weight regimes deliberately include tiny ranges (wmax 1-3): tie-heavy
+    instances create many simultaneous tight edges and exercise the
+    multi-tree solver's cross-tree interactions (interior T-marks, dead
+    tree re-adoption, mid-stage expansions) that large random weights
+    almost never reach.  The round-2 multi-tree corruption bugs only
+    reproduced in this regime.
+    """
     from matchtigs_tpu.ops.perfect_matching import (
         max_weight_matching_dense,
         max_weight_matching_sparse,
     )
 
-    rng = np.random.default_rng(5)
-    for trial in range(30):
-        n = int(rng.integers(4, 120))
-        m = int(rng.integers(n, 3 * n))
-        u = rng.integers(0, n, m)
-        v = rng.integers(0, n, m)
-        keep = u != v
-        u, v = u[keep], v[keep]
-        if not len(u):
-            continue
-        w = rng.integers(1, 1 << 30, len(u)).astype(np.int64)
-        edges = np.stack([u, v, w], axis=1)
+    import os
+
+    # also audit the dual certificate (complementary slackness) in-process
+    os.environ["MATCHTIGS_BLOSSOM_VERIFY"] = "1"
+    os.environ["MATCHTIGS_BLOSSOM_VERIFY_ABORT"] = "1"
+    try:
+        rng = np.random.default_rng(5)
+        for trial in range(60):
+            n = int(rng.integers(4, 120))
+            m = int(rng.integers(n, 3 * n))
+            u = rng.integers(0, n, m)
+            v = rng.integers(0, n, m)
+            keep = u != v
+            u, v = u[keep], v[keep]
+            if not len(u):
+                continue
+            wmax = int(rng.choice([1, 2, 3, 8, 1 << 10, 1 << 30]))
+            w = rng.integers(1, wmax + 1, len(u)).astype(np.int64)
+            edges = np.stack([u, v, w], axis=1)
+            W = np.zeros((n, n), dtype=np.int64)
+            np.maximum.at(W, (edges[:, 0], edges[:, 1]), edges[:, 2])
+            np.maximum.at(W, (edges[:, 1], edges[:, 0]), edges[:, 2])
+            W = np.maximum(W, W.T)
+            mate_s, tot_s = max_weight_matching_sparse(n, edges)
+            mate_d, tot_d = max_weight_matching_dense(W)
+            assert tot_s == tot_d, (trial, tot_s, tot_d)
+            # mate consistency
+            for i, mi in enumerate(mate_s.tolist()):
+                if mi >= 0:
+                    assert mate_s[mi] == i
+    finally:
+        os.environ.pop("MATCHTIGS_BLOSSOM_VERIFY", None)
+        os.environ.pop("MATCHTIGS_BLOSSOM_VERIFY_ABORT", None)
+
+
+def test_sparse_blossom_multitree_regressions():
+    """Minimized instances that corrupted the round-2 multi-tree solver.
+
+    Instance A (19 nodes, unit weights) made a mid-stage T-blossom
+    expansion attach an interior-marked leaf to the wrong tree (the
+    blossom's instead of the scanner's), crossing the (mate, label_end)
+    chains between trees and eventually augmenting within a single tree.
+    Instance B (9 nodes) exposed a missed death-repush: the expansion's
+    base child kept its T label via set_label_tree without a members_
+    entry, so when its tree died a tight edge never rescanned and the
+    final dual adjustment overshot (negative slack).
+    """
+    from matchtigs_tpu.ops.perfect_matching import (
+        max_weight_matching_dense,
+        max_weight_matching_sparse,
+    )
+
+    inst_a = np.array(
+        [[5, 16, 1], [16, 3, 1], [7, 4, 1], [13, 18, 1], [4, 3, 1],
+         [1, 8, 1], [11, 1, 1], [7, 11, 1], [2, 1, 1], [14, 10, 1],
+         [15, 3, 1], [15, 2, 1], [8, 18, 1], [10, 6, 1], [3, 10, 1],
+         [0, 4, 1], [13, 6, 1], [10, 9, 1], [12, 5, 1], [17, 14, 1],
+         [13, 16, 1], [12, 17, 1], [18, 9, 1], [15, 11, 1]],
+        dtype=np.int64,
+    )
+    inst_b = np.array(
+        [[0, 4, 3], [0, 3, 3], [2, 0, 3], [1, 4, 3], [8, 3, 3],
+         [6, 4, 3], [8, 5, 3], [8, 6, 3], [2, 7, 1]],
+        dtype=np.int64,
+    )
+    for edges in (inst_a, inst_b):
+        n = int(edges[:, :2].max()) + 1
         W = np.zeros((n, n), dtype=np.int64)
         np.maximum.at(W, (edges[:, 0], edges[:, 1]), edges[:, 2])
         np.maximum.at(W, (edges[:, 1], edges[:, 0]), edges[:, 2])
         W = np.maximum(W, W.T)
         mate_s, tot_s = max_weight_matching_sparse(n, edges)
-        mate_d, tot_d = max_weight_matching_dense(W)
-        assert tot_s == tot_d, (trial, tot_s, tot_d)
-        # mate consistency
+        _, tot_d = max_weight_matching_dense(W)
+        assert tot_s == tot_d
         for i, mi in enumerate(mate_s.tolist()):
             if mi >= 0:
                 assert mate_s[mi] == i
