@@ -157,59 +157,73 @@ def _can_pack(dg: DeviceGraph, max_weight: int) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "capacity", "max_rounds", "deg_pad", "packed", "batch", "pack_out"
+        "capacity", "max_rounds", "deg_pad", "packed", "batch",
+        "n_batches", "pack_out",
     ),
 )
-def _sssp_step_into(
+def _sssp_run_batches(
     nbr,
     nw,
     sources_all,  # int32 [S_pad] resident on device
-    batch_index,  # int32 scalar
-    nodes_buf,  # int32 [S_pad, C]; packed (node << DIST_BITS | dist) if pack_out
-    dist_buf,  # int32 [S_pad, C] (unused when pack_out; stays zero-size view)
-    over_buf,  # bool [S_pad]
     max_weight,
     capacity: int,
     max_rounds: int,
     deg_pad: int,
     packed: bool,
     batch: int,
+    n_batches: int,
     pack_out: bool,
 ):
-    """Run one batch of the search and write results into the device
-    buffers.  One compiled program serves every batch (the index is an
-    operand), host<->device traffic is a single upload and download.
-    With pack_out (packed mode), (node, dist) pairs come down as ONE
-    int32 per slot — distances occupy the low DIST_BITS — halving the
-    result download through the device link."""
-    start = batch_index * batch
-    chunk = jax.lax.dynamic_slice_in_dim(sources_all, start, batch)
-    nodes, dist, overflow, _ = _sssp_kernel(
-        nbr,
-        nw,
-        chunk,
-        max_weight,
-        capacity=capacity,
-        max_rounds=max_rounds,
-        deg_pad=deg_pad,
-        packed=packed,
+    """Run every batch of the search inside ONE device program.
+
+    The per-batch python dispatch loop this replaces cost one host round
+    trip per batch through the high-latency device tunnel (~3.5s of a
+    4.3s device stage at 84 batches); a ``fori_loop`` over the batch
+    index keeps the whole stage on device with a single dispatch and a
+    single result download.  With pack_out (packed mode), (node, dist)
+    pairs come down as ONE int32 per slot — distances occupy the low
+    DIST_BITS — halving the result download through the device link.
+    """
+    S_pad = sources_all.shape[0]
+    C = capacity
+    nodes_buf0 = jnp.zeros((S_pad, C), dtype=jnp.int32)
+    dist_buf0 = jnp.zeros((S_pad, C) if not pack_out else (1, 1), jnp.int32)
+    over_buf0 = jnp.zeros((S_pad,), dtype=bool)
+
+    def body(i, bufs):
+        nodes_buf, dist_buf, over_buf = bufs
+        start = i * batch
+        chunk = jax.lax.dynamic_slice_in_dim(sources_all, start, batch)
+        nodes, dist, overflow, _ = _sssp_kernel(
+            nbr,
+            nw,
+            chunk,
+            max_weight,
+            capacity=capacity,
+            max_rounds=max_rounds,
+            deg_pad=deg_pad,
+            packed=packed,
+        )
+        if pack_out:
+            dist_small = jnp.minimum(dist, (1 << DIST_BITS) - 1)
+            nodes_buf = jax.lax.dynamic_update_slice_in_dim(
+                nodes_buf, (nodes << DIST_BITS) | dist_small, start, 0
+            )
+        else:
+            nodes_buf = jax.lax.dynamic_update_slice_in_dim(
+                nodes_buf, nodes, start, 0
+            )
+            dist_buf = jax.lax.dynamic_update_slice_in_dim(
+                dist_buf, dist, start, 0
+            )
+        over_buf = jax.lax.dynamic_update_slice_in_dim(
+            over_buf, overflow, start, 0
+        )
+        return nodes_buf, dist_buf, over_buf
+
+    return jax.lax.fori_loop(
+        0, n_batches, body, (nodes_buf0, dist_buf0, over_buf0)
     )
-    if pack_out:
-        dist_small = jnp.minimum(dist, (1 << DIST_BITS) - 1)
-        nodes_buf = jax.lax.dynamic_update_slice_in_dim(
-            nodes_buf, (nodes << DIST_BITS) | dist_small, start, 0
-        )
-    else:
-        nodes_buf = jax.lax.dynamic_update_slice_in_dim(
-            nodes_buf, nodes, start, 0
-        )
-        dist_buf = jax.lax.dynamic_update_slice_in_dim(
-            dist_buf, dist, start, 0
-        )
-    over_buf = jax.lax.dynamic_update_slice_in_dim(
-        over_buf, overflow, start, 0
-    )
-    return nodes_buf, dist_buf, over_buf
 
 
 def batched_bounded_sssp(
@@ -249,32 +263,20 @@ def batched_bounded_sssp(
     padded = np.full(S_pad, dg.n_nodes, dtype=np.int32)
     padded[:S] = sources
     sources_d = jnp.asarray(padded)
-    nodes_buf = jnp.zeros((S_pad, capacity), dtype=jnp.int32)
-    # In packed mode results come down as one int32 per slot; the dist
-    # buffer is a placeholder scalar-shaped array the program never reads.
-    dist_buf = jnp.zeros(
-        (S_pad, capacity) if not packed else (1, 1), dtype=jnp.int32
-    )
-    over_buf = jnp.zeros((S_pad,), dtype=bool)
-    mw = jnp.int32(max_weight)
 
-    for i in range(n_batches):
-        nodes_buf, dist_buf, over_buf = _sssp_step_into(
-            nbr,
-            nw,
-            sources_d,
-            jnp.int32(i),
-            nodes_buf,
-            dist_buf,
-            over_buf,
-            mw,
-            capacity=capacity,
-            max_rounds=int(max_weight),
-            deg_pad=dg.deg_pad,
-            packed=packed,
-            batch=batch_size,
-            pack_out=packed,
-        )
+    nodes_buf, dist_buf, over_buf = _sssp_run_batches(
+        nbr,
+        nw,
+        sources_d,
+        jnp.int32(max_weight),
+        capacity=capacity,
+        max_rounds=int(max_weight),
+        deg_pad=dg.deg_pad,
+        packed=packed,
+        batch=batch_size,
+        n_batches=n_batches,
+        pack_out=packed,
+    )
     if packed:
         key = np.asarray(nodes_buf)[:S]
         over = np.asarray(over_buf)[:S]
