@@ -61,6 +61,46 @@ def _rc_packed(packed: np.ndarray, m: int) -> np.ndarray:
     return x
 
 
+def unique_with_inverse(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """np.unique(packed, return_inverse=True), natively multithreaded.
+
+    For large uint64 key arrays this routes to the radix-partitioned
+    native pass (native/radix.cpp) — np.unique's comparison sort + inverse
+    scatter was 29.5s of a 52s graph build at the 60M-base scale.  Output
+    is bit-identical to np.unique (ascending unique keys, int32-safe
+    inverse).  Structured (two-word) keys and small inputs use numpy.
+    """
+    if packed.dtype == np.uint64 and len(packed) >= (1 << 16):
+        try:
+            from .. import native
+
+            lib = native.load()
+        except ImportError:
+            lib = None
+        if lib is not None:
+            import ctypes
+            import os
+
+            n = len(packed)
+            packed = np.ascontiguousarray(packed)
+            uniq = np.empty(n, dtype=np.uint64)
+            inverse = np.empty(n, dtype=np.int32)
+            n_uniq = int(
+                lib.unique_u64_inverse(
+                    n,
+                    native.as_u64_ptr(packed),
+                    native.as_u64_ptr(uniq),
+                    inverse.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)
+                    ),
+                    min(os.cpu_count() or 1, 16),
+                )
+            )
+            return uniq[:n_uniq], inverse
+    uniq, inverse = np.unique(packed, return_inverse=True)
+    return uniq, inverse
+
+
 def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
     """Construct the node bigraph: one biedge (edge pair) per unitig.
 
@@ -99,9 +139,9 @@ def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
         rc_suff = (3 - suff)[:, ::-1]
         all_kmers = np.concatenate([pref, suff, rc_pref, rc_suff], axis=0)
         packed = _pack_rows(all_kmers)
-    uniq, inverse = np.unique(packed, return_inverse=True)
+    uniq, inverse = unique_with_inverse(packed)
     n_nodes = len(uniq)
-    inverse = inverse.astype(np.int32).reshape(4, n_uni)
+    inverse = inverse.astype(np.int32, copy=False).reshape(4, n_uni)
     node_pref, node_suff, node_rc_pref, node_rc_suff = inverse
 
     # mirror(n(x)) = n(rc(x)).  Each oriented kmer x appears in the first

@@ -17,7 +17,13 @@ from pathlib import Path
 _SRC_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = Path(__file__).resolve().parent / "_native.so"
 _HASH_PATH = Path(__file__).resolve().parent / "_native.so.srchash"
-_SOURCES = ["blossom.cpp", "blossom_sparse.cpp", "graphwalk.cpp", "tigs.cpp"]
+_SOURCES = [
+    "blossom.cpp",
+    "blossom_sparse.cpp",
+    "graphwalk.cpp",
+    "radix.cpp",
+    "tigs.cpp",
+]
 
 _lib: ctypes.CDLL | None = None
 _load_error: Exception | None = None
@@ -134,6 +140,10 @@ def load() -> ctypes.CDLL:
     ]
     lib.free_i64_buffer.restype = None
     lib.free_i64_buffer.argtypes = [llp]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.unique_u64_inverse.restype = ll
+    lib.unique_u64_inverse.argtypes = [ll, u64p, u64p, i32p, ll]
     _lib = lib
     return lib
 
@@ -168,3 +178,11 @@ def as_i32_ptr(a):
 
     assert a.dtype == np.int32 and a.flags.c_contiguous
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def as_u64_ptr(a):
+    """uint64 numpy array -> c_uint64 pointer (no copy)."""
+    import numpy as np
+
+    assert a.dtype == np.uint64 and a.flags.c_contiguous
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))

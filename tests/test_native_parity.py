@@ -208,3 +208,22 @@ def test_balancer_native_capacity_sentinel():
     p = native.as_ll_ptr
     rc = lib.balance_breaking_edges(4, p(diff), p(mirror64), p(pairs), 4)
     assert rc == -2
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_unique_u64_inverse_matches_numpy(seed):
+    """native/radix.cpp vs np.unique(return_inverse=True): bit-identical
+    ascending unique keys and inverse, across duplicate-heavy and sparse
+    key regimes (packed kmers have low entropy in the high bits)."""
+    from matchtigs_tpu import native
+    from matchtigs_tpu.graph.build import unique_with_inverse
+
+    native.load()
+    rng = np.random.default_rng(seed)
+    for n, span in [(1 << 16, 1 << 10), (1 << 17, 1 << 40), (70001, 64)]:
+        keys = rng.integers(0, span, n, dtype=np.uint64)
+        uniq, inv = unique_with_inverse(keys)
+        uniq_np, inv_np = np.unique(keys, return_inverse=True)
+        assert np.array_equal(uniq, uniq_np)
+        assert np.array_equal(inv, inv_np)
+        assert uniq.dtype == np.uint64
