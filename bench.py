@@ -105,23 +105,21 @@ def device_run() -> None:
     # the GreedytigConfig default): the memoized device graph and its
     # uploaded device buffers are then reused inside the timed run —
     # symmetric with the host pipeline, whose timer also starts after
-    # build_device_graph.
+    # build_device_graph.  A full pipeline pass (not just one kernel
+    # batch) also primes the production n_batches program shape — the
+    # outer-shape recompile is cheap (~2s) but belongs in warmup, not in
+    # the steady-state number.
     dg = build_device_graph(g, renumber=True)
-    t0 = time.monotonic()
-    batched_bounded_sssp(
-        dg,
-        dg.map_sources(out_nodes[:BATCH_SIZE].astype(np.int32)),
-        max_weight=k - 1,
-        capacity=CAPACITY,
-        batch_size=BATCH_SIZE,
+    dg.device_buffers()  # upload once, before the timer
+    cfg = GreedytigConfig(
+        k=k, initial_capacity=CAPACITY, batch_size=BATCH_SIZE
     )
-    print(f"warmup(compile): {time.monotonic() - t0:.1f}s", file=sys.stderr)
+    t0 = time.monotonic()
+    compute_greedytigs(g.copy(), cfg)
+    print(f"warmup(compile+pass): {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.monotonic()
-    tigs = compute_greedytigs(
-        g,
-        GreedytigConfig(k=k, initial_capacity=CAPACITY, batch_size=BATCH_SIZE),
-    )
+    tigs = compute_greedytigs(g, cfg)
     elapsed = time.monotonic() - t0
     print(
         f"device greedytigs: {elapsed:.2f}s -> {len(store)/elapsed:.0f} "

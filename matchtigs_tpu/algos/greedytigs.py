@@ -314,38 +314,56 @@ def collect_candidates(
                 max_weight=k - 1,
                 capacity=capacity,
                 batch_size=batch_size,
+                return_packed=host_available,
             )
             valid_mask_applied = False
         stage_t = time.monotonic() - t_dev
         logger.info("Device stage: %d sources in %.2fs", len(pending), stage_t)
         stats.stage_times.append(stage_t)
-        live = (dist >= 1) & (dist < INF)
-        stats.stage_occupancy.append(
-            float(live.sum()) / max(1, dist.size)
-        )
         stats.stage_overflow_frac.append(
             float(overflow.sum()) / max(1, len(overflow))
         )
         done = ~overflow
-        if np.any(done):
-            dn = nodes[done]
-            dd = dist[done]
-            srcs = pending[done]
-            valid = (dn != sentinel) & (dd >= 1) & (dd < INF)
-            if not valid_mask_applied:
-                valid &= in_mask[np.minimum(dn, len(in_mask) - 1)]
-            s_idx, c_idx = np.nonzero(valid)
-            if len(s_idx):
-                triples.append(
-                    np.stack(
-                        [
-                            dg.unmap_nodes(srcs[s_idx]).astype(np.int64),
-                            dg.unmap_nodes(dn[s_idx, c_idx]).astype(np.int64),
-                            dd[s_idx, c_idx].astype(np.int64),
-                        ],
-                        axis=1,
+        if dist is None:
+            # Packed result: native parallel filter + id translation
+            # (replaces the numpy unpack/nonzero/gather chain below).
+            from ..ops.sssp import extract_packed_candidates
+
+            tri = extract_packed_candidates(
+                dg, nodes, pending, done, in_mask
+            )
+            if len(tri):
+                triples.append(tri)
+            # post-filter occupancy (kept-candidate slots / done slots);
+            # the pre-mask number needs the unpacked dist matrix, which
+            # this path exists to avoid materializing
+            stats.stage_occupancy.append(
+                float(len(tri)) / max(1, int(done.sum()) * nodes.shape[1])
+            )
+        else:
+            live = (dist >= 1) & (dist < INF)
+            stats.stage_occupancy.append(
+                float(live.sum()) / max(1, dist.size)
+            )
+            if np.any(done):
+                dn = nodes[done]
+                dd = dist[done]
+                srcs = pending[done]
+                valid = (dn != sentinel) & (dd >= 1) & (dd < INF)
+                if not valid_mask_applied:
+                    valid &= in_mask[np.minimum(dn, len(in_mask) - 1)]
+                s_idx, c_idx = np.nonzero(valid)
+                if len(s_idx):
+                    triples.append(
+                        np.stack(
+                            [
+                                dg.unmap_nodes(srcs[s_idx]).astype(np.int64),
+                                dg.unmap_nodes(dn[s_idx, c_idx]).astype(np.int64),
+                                dd[s_idx, c_idx].astype(np.int64),
+                            ],
+                            axis=1,
+                        )
                     )
-                )
         pending = pending[overflow]
         if len(pending) > 0:
             if config.overflow_mode == "host" and host_available:

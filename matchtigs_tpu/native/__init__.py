@@ -20,6 +20,7 @@ _HASH_PATH = Path(__file__).resolve().parent / "_native.so.srchash"
 _SOURCES = [
     "blossom.cpp",
     "blossom_sparse.cpp",
+    "extract.cpp",
     "graphwalk.cpp",
     "radix.cpp",
     "tigs.cpp",
@@ -144,6 +145,10 @@ def load() -> ctypes.CDLL:
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.unique_u64_inverse.restype = ll
     lib.unique_u64_inverse.argtypes = [ll, u64p, u64p, i32p, ll]
+    lib.extract_packed_triples.restype = ll
+    lib.extract_packed_triples.argtypes = [
+        ll, ll, i32p, i32p, i8p, i8p, i32p, ll, ll, llpp,
+    ]
     _lib = lib
     return lib
 

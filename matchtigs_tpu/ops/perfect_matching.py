@@ -193,14 +193,16 @@ def component_matching_variants(
     keep[1:] = pair_key[order][1:] != pair_key[order][:-1]
     sel = order[keep]
     prof_edges = np.stack([lo[sel], hi[sel], profit[sel]], axis=1)
+    # deduped edges are sorted by pair_key: profit lookups below are
+    # searchsorted probes, not a python dict (1.4M-entry dicts per giant
+    # tangle were a measurable share of the solve wall time)
+    dedup_keys = pair_key[sel]
+    dedup_profit = profit[sel]
 
     # A forced deletion j adds j gadget nodes adjacent to every member at
     # a dominating profit (they absorb exactly one member each).
     limit = DENSE_LIMIT if dense_limit is None else dense_limit
     use_dense = dense_limit is not None and m + max(deletions, default=0) <= limit
-    prof_lookup = {
-        (int(a), int(b)): int(p) for a, b, p in prof_edges.tolist()
-    }
     for j in deletions:
         j_eff = min(j, m)
         n = m + j_eff
@@ -227,13 +229,15 @@ def component_matching_variants(
             mate, _ = max_weight_matching_dense(w)
         else:
             mate, _ = max_weight_matching_sparse(n, all_edges)
-        pairs = []
-        total = 0
-        for i in range(m):
-            p = int(mate[i])
-            if 0 <= p < m and i < p:
-                pairs.append((int(members[i]), int(members[p])))
-                total += prof_lookup[(i, p)]
+        mm = mate[:m].astype(np.int64)
+        i_idx = np.nonzero((mm >= 0) & (mm < m) & (np.arange(m) < mm))[0]
+        p_idx = mm[i_idx]
+        key = i_idx * m + p_idx
+        slot = np.searchsorted(dedup_keys, key)
+        total = int(dedup_profit[slot].sum())
+        pairs = list(
+            zip(members[i_idx].tolist(), members[p_idx].tolist())
+        )
         out[j] = (total, pairs)
     return out
 

@@ -232,6 +232,7 @@ def batched_bounded_sssp(
     max_weight: int,
     capacity: int = 128,
     batch_size: int | None = None,
+    return_packed: bool = False,
 ):
     """All-targets bounded shortest paths from each source.
 
@@ -280,6 +281,10 @@ def batched_bounded_sssp(
     if packed:
         key = np.asarray(nodes_buf)[:S]
         over = np.asarray(over_buf)[:S]
+        if return_packed:
+            # raw (node << DIST_BITS | dist) matrix for the native
+            # extraction pass; dist slot of the return is None
+            return key, None, over
         dist_cap = np.int32((1 << DIST_BITS) - 1)
         dist = key & dist_cap
         nodes = key >> DIST_BITS
@@ -290,6 +295,62 @@ def batched_bounded_sssp(
         np.asarray(dist_buf)[:S],
         np.asarray(over_buf)[:S],
     )
+
+
+def extract_packed_candidates(
+    dg: DeviceGraph,
+    packed_key: np.ndarray,  # int32 [S, C] (node << DIST_BITS) | dist
+    sources: np.ndarray,  # int32 [S] device-numbered
+    done: np.ndarray,  # bool [S]: rows to extract (non-overflowed)
+    in_mask: np.ndarray,  # bool/int8 [n_nodes] device-numbered
+) -> np.ndarray:
+    """Native parallel (src, dst, dist) extraction from the packed kernel
+    result (native/extract.cpp): filter (1 <= dist < cap, in_mask) and
+    translate ids back to original numbering in one sweep, replacing the
+    numpy unpack/nonzero/gather chain that cost ~3s at bench scale under
+    CPU contention."""
+    import ctypes
+    import os
+
+    from .. import native
+
+    lib = native.load()
+    S, C = packed_key.shape
+    packed_key = np.ascontiguousarray(packed_key, dtype=np.int32)
+    sources = np.ascontiguousarray(sources, dtype=np.int32)
+    done8 = np.ascontiguousarray(done, dtype=np.int8)
+    mask8 = np.ascontiguousarray(in_mask, dtype=np.int8)
+    to_orig = (
+        np.ascontiguousarray(dg.to_orig, dtype=np.int32)
+        if dg.to_orig is not None
+        else None
+    )
+    buf_ptr = ctypes.POINTER(ctypes.c_longlong)()
+    n = int(
+        lib.extract_packed_triples(
+            S,
+            C,
+            native.as_i32_ptr(packed_key),
+            native.as_i32_ptr(sources),
+            native.as_i8_ptr(done8),
+            native.as_i8_ptr(mask8),
+            native.as_i32_ptr(to_orig) if to_orig is not None else None,
+            DIST_BITS,
+            min(os.cpu_count() or 1, 16),
+            ctypes.byref(buf_ptr),
+        )
+    )
+    if n < 0:
+        raise MemoryError("extract_packed_triples allocation failed")
+    try:
+        flat = np.ctypeslib.as_array(buf_ptr, shape=(3 * n + 1,))
+        out = np.empty((n, 3), dtype=np.int64)
+        out[:, 0] = flat[0:n]
+        out[:, 1] = flat[n : 2 * n]
+        out[:, 2] = flat[2 * n : 3 * n]
+    finally:
+        lib.free_i64_buffer(buf_ptr)
+    return out
 
 
 def host_dijkstra_candidates(

@@ -138,3 +138,31 @@ def test_engine_host_equals_device():
     testing.assert_tigs_spell_kmer_set(
         gd, tigs_d, store, k, kmers, allow_duplicates=True
     )
+
+
+def test_engine_device_packed_extraction_equals_host():
+    """With the mesh disabled, the batched kernel returns the raw packed
+    (node << DIST_BITS | dist) matrix and triples come from the native
+    extraction pass (native/extract.cpp); tigs must be identical to the
+    host engine's."""
+    from matchtigs_tpu import testing
+    from matchtigs_tpu.algos.greedytigs import GreedytigConfig, compute_greedytigs
+    from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+
+    store, kmers, k = testing.make_unitig_store(
+        genome_length=8000, k=11, seed=12
+    )
+    g = build_bigraph_from_unitigs(store, k)
+    tigs_h = compute_greedytigs(
+        g.copy(), GreedytigConfig(k=k, engine="host")
+    )
+    gd = g.copy()
+    tigs_d = compute_greedytigs(
+        gd, GreedytigConfig(k=k, engine="device", use_mesh=False)
+    )
+    assert len(tigs_h) == len(tigs_d)
+    for a, b in zip(tigs_h, tigs_d):
+        assert np.array_equal(a, b)
+    testing.assert_tigs_spell_kmer_set(
+        gd, tigs_d, store, k, kmers, allow_duplicates=True
+    )

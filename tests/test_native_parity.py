@@ -227,3 +227,43 @@ def test_unique_u64_inverse_matches_numpy(seed):
         assert np.array_equal(uniq, uniq_np)
         assert np.array_equal(inv, inv_np)
         assert uniq.dtype == np.uint64
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_extract_packed_triples_matches_numpy(seed):
+    """native/extract.cpp vs the numpy unpack/nonzero/gather chain."""
+    from matchtigs_tpu.ops.device_graph import DeviceGraph
+    from matchtigs_tpu.ops.sssp import DIST_BITS, extract_packed_candidates
+
+    rng = np.random.default_rng(seed)
+    S, C, N = 3000, 8, 500
+    cap = (1 << DIST_BITS) - 1
+    nodes = rng.integers(0, N, (S, C)).astype(np.int32)
+    dist = rng.integers(0, cap + 1, (S, C)).astype(np.int32)
+    packed = (nodes << DIST_BITS) | dist
+    srcs = rng.integers(0, N, S).astype(np.int32)
+    done = rng.random(S) < 0.8
+    in_mask = rng.random(N) < 0.5
+    to_orig = rng.permutation(N).astype(np.int32)
+    dg = DeviceGraph.__new__(DeviceGraph)
+    dg.to_orig = to_orig
+
+    tri = extract_packed_candidates(dg, packed, srcs, done, in_mask)
+
+    # numpy oracle
+    dn = nodes[done]
+    dd = dist[done]
+    sr = srcs[done]
+    valid = (dd >= 1) & (dd < cap) & in_mask[dn]
+    s_idx, c_idx = np.nonzero(valid)
+    want = np.stack(
+        [
+            to_orig[sr[s_idx]].astype(np.int64),
+            to_orig[dn[s_idx, c_idx]].astype(np.int64),
+            dd[s_idx, c_idx].astype(np.int64),
+        ],
+        axis=1,
+    )
+    # row order: native emits row-major per source; the oracle's nonzero
+    # is row-major too
+    assert np.array_equal(tri, want)
