@@ -205,23 +205,27 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
         logger.info("Wrote matching instance and solution to %s[.solution]", inst)
 
     # Apply matching: insert cheap dummy biedges (lookup matched id pairs
-    # back to their (u, v, w) via the sorted pair keys).
-    pair_keys = ka * n_ids + kb
-    key_order = np.argsort(pair_keys)
-    sorted_keys = pair_keys[key_order]
-    dummy_edge_id = 0
-    for a, b in matched_pairs:
-        key = min(a, b) * n_ids + max(a, b)
-        idx = int(key_order[np.searchsorted(sorted_keys, key)])
-        assert pair_keys[idx] == key, "matched pair has no edge"
-        dummy_edge_id += 1
-        g.add_biedge_pair(
-            int(ku[idx]),
-            int(kv[idx]),
-            weight=int(kw[idx]),
-            handle=-1,
-            forward=True,
-            dummy_id=dummy_edge_id,
+    # back to their (u, v, w) via the sorted pair keys), vectorized — the
+    # per-pair python loop cost a searchsorted call per pair (252k calls
+    # at bench scale).
+    mp = np.asarray(matched_pairs, dtype=np.int64).reshape(-1, 2)
+    dummy_edge_id = len(mp)
+    if len(mp):
+        pair_keys = ka * n_ids + kb
+        key_order = np.argsort(pair_keys)
+        sorted_keys = pair_keys[key_order]
+        keys = np.minimum(mp[:, 0], mp[:, 1]) * n_ids + np.maximum(
+            mp[:, 0], mp[:, 1]
+        )
+        idx = key_order[np.searchsorted(sorted_keys, keys)]
+        assert np.all(pair_keys[idx] == keys), "matched pair has no edge"
+        g.add_biedge_pairs(
+            src=ku[idx],
+            dst=kv[idx],
+            weight=kw[idx],
+            handle=np.full(len(mp), -1, dtype=np.int64),
+            forward=np.ones(len(mp), dtype=bool),
+            dummy_id=np.arange(1, len(mp) + 1, dtype=np.int64),
         )
 
     assert g.verify_node_pairing()
@@ -248,7 +252,7 @@ def _allocate_and_match(
     id_comp: np.ndarray,  # input-graph component per matching id
     k: int,
     dense_limit: int | None = None,
-) -> list[tuple[int, int]]:
+) -> np.ndarray:
     """Exact optimal matching, decomposed by *candidate-graph* components.
 
     The matching constraints only bind within connected components of the
@@ -268,7 +272,7 @@ def _allocate_and_match(
     from ..ops.perfect_matching import component_matching_variants
 
     if n_ids == 0:
-        return []
+        return np.empty((0, 2), dtype=np.int64)
     if len(ka):
         adj = coo_matrix(
             (np.ones(len(ka), np.int8), (ka, kb)), shape=(n_ids, n_ids)
@@ -361,60 +365,176 @@ def _allocate_and_match(
         note_progress(len(comp_members(c)))
         return res
 
-    # Pre-solve every component in a thread pool, largest first (the
-    # native blossom releases the GIL, so giant-tangle solves overlap;
-    # the reference likewise fans its Dijkstra phase over threads,
-    # matchtigs/mod.rs:396-459).  The deletion variants a component needs
-    # depend only on its WCC's zero-absorber count, known without solving.
-    wcc_need: dict[int, int] = {}
+    # The deletion variants a component needs depend only on its WCC's
+    # zero-absorber count, known without solving.  All per-WCC accounting
+    # is vectorized: per-comp/per-wcc python loops over the ~170k WCCs /
+    # ~160k components cost tens of seconds at bench scale (412k tiny
+    # searchsorted calls alone were 19s).
+    n_w = len(w_labels)
+    m_counts = (m_ends - m_starts).astype(np.int64)
+    comp_wcc_slot = (
+        np.searchsorted(w_labels, id_comp[members_sorted[m_starts]])
+        if len(m_labels)
+        else np.empty(0, dtype=np.int64)
+    )
+    odd_per_wcc = np.bincount(
+        comp_wcc_slot, weights=(m_counts % 2), minlength=n_w
+    ).astype(np.int64)
+    single_ids = np.flatnonzero(~has_edge)
+    singles_per_wcc = (
+        np.bincount(
+            np.searchsorted(w_labels, id_comp[single_ids]), minlength=n_w
+        ).astype(np.int64)
+        if len(single_ids)
+        else np.zeros(n_w, dtype=np.int64)
+    )
+    need_per_wcc = np.maximum(0, 2 - (odd_per_wcc + singles_per_wcc))
+    comp_need = (
+        need_per_wcc[comp_wcc_slot]
+        if len(m_labels)
+        else np.empty(0, dtype=np.int64)
+    )
+    note_progress(int(len(single_ids)))
+
     comp_deletions: dict[int, tuple[int, ...]] = {}
-    for wi in range(len(w_labels)):
-        ids_w = wcc_order[w_starts[wi] : w_ends[wi]]
-        singles = int((~has_edge[ids_w]).sum())
-        comp_ids = np.unique(cc[ids_w[has_edge[ids_w]]])
-        zero_absorbers = singles + sum(
-            1 for c in comp_ids if len(comp_members(c)) % 2 == 1
-        )
-        need = max(0, 2 - zero_absorbers)
-        wcc_need[wi] = need
-        dels = (0,) if need == 0 else ((0, 1) if need == 1 else (0, 1, 2))
-        for c in comp_ids:
-            comp_deletions[int(c)] = dels
+    for si in np.flatnonzero(comp_need > 0):
+        nd = int(comp_need[si])
+        comp_deletions[int(m_labels[si])] = (0, 1) if nd == 1 else (0, 1, 2)
 
     solved: dict[int, dict] = {}
-    if comp_deletions:
+    # Pairs of components solved by the native batch call, sorted by
+    # component label.
+    batch_pair_cc = np.empty(0, dtype=np.int64)
+    batch_pair_a = np.empty(0, dtype=np.int64)
+    batch_pair_b = np.empty(0, dtype=np.int64)
+    try:
+        from .. import native
+
+        native.load()
+        have_native = True
+    except ImportError:
+        have_native = False
+    if not have_native:
+        # python fallback (no C++ toolchain): every component solves on
+        # the per-component path below
+        for si in range(len(m_labels)):
+            comp_deletions.setdefault(int(m_labels[si]), (0,))
+    if len(m_labels):
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        by_size = sorted(
+        # Components needing deletion variants stay on the python
+        # per-component path (rare: only WCCs short of two zero-cost
+        # absorbers).
+        solo = sorted(
             comp_deletions, key=lambda c: len(comp_members(c)), reverse=True
         )
-        n_workers = min(os.cpu_count() or 1, max(1, len(by_size)))
+
+        def run_batch() -> None:
+            # All need-0 components solve in ONE native batch call
+            # (independent per-component blossoms over an internal
+            # big-first thread pool, mwm_sparse_batch): dispatching each
+            # component from python cost ~1.3ms in glue + GIL
+            # serialization (76k components of 4-16 ids = 100s cumulative
+            # at bench scale vs 12s for the actual giant tangles).
+            nonlocal batch_pair_cc, batch_pair_a, batch_pair_b
+            from ..ops.perfect_matching import (
+                COUNT_SCALE,
+                max_weight_matching_sparse_batch,
+            )
+
+            t0 = _time.monotonic()
+            slot_dels0 = comp_need == 0
+            slot_sel = np.nonzero(slot_dels0)[0]
+            if not len(slot_sel):
+                return
+            # node slices: members_sorted masked to selected slots
+            member_slot = np.searchsorted(m_labels, mcc_sorted)
+            sel_m = slot_dels0[member_slot]
+            batch_members = members_sorted[sel_m]
+            NB = len(batch_members)
+            counts = (m_ends - m_starts)[slot_sel]
+            node_off = np.zeros(len(slot_sel) + 1, dtype=np.int64)
+            np.cumsum(counts, out=node_off[1:])
+            # global id -> batch position
+            pos_of_id = np.empty(n_ids, dtype=np.int64)
+            pos_of_id[members_sorted] = np.arange(len(members_sorted))
+            new_pos = np.full(len(members_sorted), -1, dtype=np.int64)
+            new_pos[np.nonzero(sel_m)[0]] = np.arange(NB)
+            # edge slices + profit transform + per-pair max-profit dedup
+            # (same stable tie-break as component_matching_variants)
+            edge_slot = np.searchsorted(m_labels, cc_sorted)
+            sel_e = slot_dels0[edge_slot]
+            es = edges_sorted[sel_e]
+            ubp = new_pos[pos_of_id[es[:, 0]]]
+            vbp = new_pos[pos_of_id[es[:, 1]]]
+            lo = np.minimum(ubp, vbp)
+            hi = np.maximum(ubp, vbp)
+            profit = (np.int64(k - 1) - es[:, 2]) * np.int64(
+                COUNT_SCALE
+            ) + 1
+            assert np.all(profit >= 1)
+            key = lo * np.int64(NB) + hi
+            order2 = np.lexsort((-profit, key))
+            keep2 = np.ones(len(order2), dtype=bool)
+            keep2[1:] = key[order2][1:] != key[order2][:-1]
+            sel2 = order2[keep2]
+            rank2 = np.searchsorted(slot_sel, edge_slot[sel_e][sel2])
+            edge_off = np.searchsorted(
+                rank2, np.arange(len(slot_sel) + 1)
+            ).astype(np.int64)
+            mate, _ = max_weight_matching_sparse_batch(
+                node_off,
+                edge_off,
+                lo[sel2] - node_off[rank2],
+                hi[sel2] - node_off[rank2],
+                profit[sel2],
+            )
+            # vectorized pair extraction (ascending batch position =
+            # ascending member id per component, matching the solo path)
+            node_base = np.repeat(node_off[:-1], counts)
+            pos = np.arange(NB)
+            partner = node_base + np.maximum(mate, 0)
+            valid = (mate >= 0) & (pos < partner)
+            slot_per_pos = np.repeat(
+                np.arange(len(slot_sel), dtype=np.int64), counts
+            )
+            batch_pair_a = batch_members[pos[valid]]
+            batch_pair_b = batch_members[partner[valid]]
+            batch_pair_cc = m_labels[slot_sel[slot_per_pos[valid]]]
+            logger.info(
+                "Batch-solved %d matching components (%d ids, %d edges, "
+                "%d pairs) in %.1fs",
+                len(slot_sel), NB, len(sel2), len(batch_pair_a),
+                _time.monotonic() - t0,
+            )
+            note_progress(NB)
+
+        n_workers = min(os.cpu_count() or 1, max(1, len(solo) + 1))
         with ThreadPoolExecutor(max_workers=n_workers) as ex:
-            futs = {
+            solo_futs = {
                 c: ex.submit(solve_uncached, c, comp_deletions[c])
-                for c in by_size
+                for c in solo
             }
-            for c, fut in futs.items():
+            if have_native:
+                # the native call releases the GIL; solo variant solves
+                # overlap on the pool threads
+                run_batch()
+            for c, fut in solo_futs.items():
                 solved[c] = fut.result()
 
     def solve(c, deletions):
         return solved[int(c)]
 
-    for wi in range(len(w_labels)):
-        ids_w = wcc_order[w_starts[wi] : w_ends[wi]]
-        singles = int((~has_edge[ids_w]).sum())
-        comp_ids = np.unique(cc[ids_w[has_edge[ids_w]]])
-        sizes = {int(c): len(comp_members(c)) for c in comp_ids}
-        zero_absorbers = singles + sum(1 for c in comp_ids if sizes[int(c)] % 2 == 1)
-        need = max(0, 2 - zero_absorbers)
-        note_progress(singles)
-
-        if need == 0 or not len(comp_ids):
-            for c in comp_ids:
-                matched_pairs.extend(solve(c, (0,))[0][1])
-            continue
-
+    def knapsack_wcc(wslot: int) -> list[tuple[int, int]]:
+        """Allocate this WCC's forced deletions exactly (2-unit knapsack
+        over per-component deltas, always <= 0) and return its pairs in
+        component order."""
+        need = int(need_per_wcc[wslot])
+        comp_ids = m_labels[np.flatnonzero(comp_wcc_slot == wslot)]
+        out: list[tuple[int, int]] = []
+        if not len(comp_ids):
+            return out
         # forced deletions must land on even components: solve variants
         deletions = (0, 1) if need == 1 else (0, 1, 2)
         variants = {int(c): solve(c, deletions) for c in comp_ids}
@@ -444,8 +564,54 @@ def _allocate_and_match(
                 for c in top2:
                     chosen[c] = 1
         for c, j in chosen.items():
-            matched_pairs.extend(variants[c][j][1])
-    return matched_pairs
+            out.extend(variants[c][j][1])
+        return out
+
+    # Emission order (matches the historical per-WCC loop byte for byte):
+    # WCCs ascending; within a WCC components ascending; within a
+    # component ascending member id.  Batch pairs are (component,
+    # position)-sorted already, so one stable sort by WCC slot orders
+    # them; the rare knapsack WCCs' python pairs splice in between.
+    if len(batch_pair_cc):
+        pair_w = comp_wcc_slot[np.searchsorted(m_labels, batch_pair_cc)]
+        emit = np.argsort(pair_w, kind="stable")
+        ea, eb, ew_sorted = (
+            batch_pair_a[emit], batch_pair_b[emit], pair_w[emit]
+        )
+    else:
+        ea = eb = np.empty(0, dtype=np.int64)
+        ew_sorted = np.empty(0, dtype=np.int64)
+    needy = np.flatnonzero(need_per_wcc > 0)
+    if have_native:
+        needy_with_comps = needy[
+            np.isin(needy, comp_wcc_slot, assume_unique=False)
+        ]
+        segments: list[np.ndarray] = []
+        prev = 0
+        for wslot in needy_with_comps.tolist():
+            cut = int(np.searchsorted(ew_sorted, wslot))
+            segments.append(np.stack([ea[prev:cut], eb[prev:cut]], axis=1))
+            kn = knapsack_wcc(wslot)
+            segments.append(
+                np.asarray(kn, dtype=np.int64).reshape(-1, 2)
+            )
+            prev = cut
+        segments.append(np.stack([ea[prev:], eb[prev:]], axis=1))
+        return (
+            np.concatenate(segments)
+            if len(segments) > 1
+            else segments[0]
+        )
+
+    # python fallback (no native toolchain): per-WCC loop over `solved`
+    for wi in range(n_w):
+        if need_per_wcc[wi] > 0:
+            matched_pairs.extend(knapsack_wcc(wi))
+            continue
+        comp_ids = m_labels[np.flatnonzero(comp_wcc_slot == wi)]
+        for c in comp_ids:
+            matched_pairs.extend(solve(c, (0,))[0][1])
+    return np.asarray(matched_pairs, dtype=np.int64).reshape(-1, 2)
 
 
 def _bidirected_components(g: Bigraph) -> np.ndarray:

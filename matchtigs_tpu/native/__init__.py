@@ -99,6 +99,10 @@ def load() -> ctypes.CDLL:
     lib.mwm_sparse.argtypes = [
         ll, ll, llp, llp, llp, ctypes.POINTER(ctypes.c_int),
     ]
+    lib.mwm_sparse_batch.restype = ll
+    lib.mwm_sparse_batch.argtypes = [
+        ll, llp, llp, llp, llp, llp, ctypes.POINTER(ctypes.c_int), ll,
+    ]
     lib.follow_chains.restype = ll
     lib.follow_chains.argtypes = [ll, llp, ll, llp, llp, llp]
     lib.euler_decompose.restype = ll

@@ -106,6 +106,48 @@ def max_weight_matching_sparse(
     return mate, int(total)
 
 
+def max_weight_matching_sparse_batch(
+    node_off: np.ndarray,  # int64 [C+1]
+    edge_off: np.ndarray,  # int64 [C+1]
+    eu: np.ndarray,  # int64 [M] component-local endpoints
+    ev: np.ndarray,
+    ew: np.ndarray,  # int64 [M] weights >= 0
+    n_threads: int | None = None,
+) -> tuple[np.ndarray, int]:
+    """Exact maximum-weight matchings for many independent components in
+    one native call (big-first internal thread pool; see mwm_sparse_batch
+    in native/blossom_sparse.cpp).  Returns (mate int32 [node_off[-1]]
+    with component-LOCAL partners or -1, summed total weight)."""
+    import os
+
+    n_comps = len(node_off) - 1
+    n_total = int(node_off[-1])
+    if n_comps == 0 or n_total == 0:
+        return np.empty(0, dtype=np.int32), 0
+    from .. import native
+
+    lib = native.load()
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    node_off = np.ascontiguousarray(node_off, dtype=np.int64)
+    edge_off = np.ascontiguousarray(edge_off, dtype=np.int64)
+    eu = np.ascontiguousarray(eu, dtype=np.int64)
+    ev = np.ascontiguousarray(ev, dtype=np.int64)
+    ew = np.ascontiguousarray(ew, dtype=np.int64)
+    mate = np.empty(n_total, dtype=np.int32)
+    total = lib.mwm_sparse_batch(
+        n_comps,
+        native.as_ll_ptr(node_off),
+        native.as_ll_ptr(edge_off),
+        native.as_ll_ptr(eu),
+        native.as_ll_ptr(ev),
+        native.as_ll_ptr(ew),
+        mate.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads,
+    )
+    return mate, int(total)
+
+
 def _mwm_networkx(w: np.ndarray) -> tuple[np.ndarray, int]:
     import networkx as nx
 

@@ -52,10 +52,12 @@
 // duals stay integral (blossom duals stay even).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdio>
 #include <cstdlib>
 #include <cstdint>
 #include <queue>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -884,5 +886,58 @@ long long mwm_sparse(long long n, long long m, const long long* eu,
     if (bad && std::getenv("MATCHTIGS_BLOSSOM_VERIFY_ABORT")) std::abort();
   }
   return sb.extract(mate_out);
+}
+
+// Batched independent matchings: one SparseBlossom per component, solved
+// big-first over an internal thread pool.  The optimal-matchtigs
+// candidate graph decomposes into ~160k components at bench scale, most
+// of them 2-16 ids; dispatching each from python cost ~1.3ms/component
+// in glue + GIL serialization (100s cumulative) versus microseconds of
+// solver work.  Components are the caller's concatenated slices:
+// component c owns nodes [node_off[c], node_off[c+1]) of mate_out and
+// edges [edge_off[c], edge_off[c+1]) with component-LOCAL endpoints.
+// Returns the summed matched weight.
+long long mwm_sparse_batch(long long n_comps, const long long* node_off,
+                           const long long* edge_off, const long long* eu,
+                           const long long* ev, const long long* ew,
+                           int* mate_out, long long n_threads) {
+  std::vector<i64> order(n_comps);
+  for (i64 i = 0; i < n_comps; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](i64 a, i64 b) {
+    return edge_off[a + 1] - edge_off[a] > edge_off[b + 1] - edge_off[b];
+  });
+  const bool verify = std::getenv("MATCHTIGS_BLOSSOM_VERIFY") != nullptr;
+  const bool verify_abort =
+      std::getenv("MATCHTIGS_BLOSSOM_VERIFY_ABORT") != nullptr;
+  int nt = (int)std::max<i64>(1, std::min<i64>(n_threads, 64));
+  std::atomic<i64> next{0};
+  std::atomic<long long> total{0};
+  auto worker = [&] {
+    for (;;) {
+      i64 oi = next.fetch_add(1);
+      if (oi >= n_comps) return;
+      i64 c = order[oi];
+      i64 nl = node_off[c + 1] - node_off[c];
+      i64 ml = edge_off[c + 1] - edge_off[c];
+      int* mate = mate_out + node_off[c];
+      if (nl <= 0) continue;
+      if (nl == 1 || ml == 0) {
+        for (i64 i = 0; i < nl; ++i) mate[i] = -1;
+        continue;
+      }
+      SparseBlossom sb((int)nl, ml, eu + edge_off[c], ev + edge_off[c],
+                       ew + edge_off[c]);
+      sb.solve();
+      if (verify) {
+        int bad = sb.verify_optimum();
+        if (bad && verify_abort) std::abort();
+      }
+      total.fetch_add(sb.extract(mate));
+    }
+  };
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
+  for (auto& th : ths) th.join();
+  return total.load();
 }
 }
