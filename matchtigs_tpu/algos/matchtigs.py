@@ -110,39 +110,50 @@ def _collapse_candidates(
     assert np.all(w >= 1), "zero-weight candidate path"
     cu = ids_count[u]
     cv = ids_count[v]
-    max_c = int(max(cu.max(initial=1), cv.max(initial=1)))
-    parts = []
-    for i in range(max_c):
-        for j in range(max_c):
-            mask = (i < cu) & (j < cv)
-            if not mask.any():
-                continue
-            a = ids_start[u[mask]] + i
-            b = ids_start[v[mask]] + j
-            keep = a != b  # same-id self-loops only from mirror biedges
-            parts.append(
-                np.stack(
-                    [
-                        np.minimum(a, b)[keep],
-                        np.maximum(a, b)[keep],
-                        w[mask][keep],
-                        u[mask][keep],
-                        v[mask][keep],
-                    ],
-                    axis=1,
-                )
-            )
-    allp = np.concatenate(parts)
-    key = allp[:, 0] * n_ids + allp[:, 1]
+    # Flat index-arithmetic expansion: candidate r contributes cu*cv rows
+    # (one per id pair).  The previous max_c x max_c masked loop allocated
+    # ~100 full-length temporaries at bench scale (~6s for a 5.2M-row
+    # expansion).
+    pc = cu * cv
+    multi = pc > 1
+    if multi.any():
+        # expand only multi-id candidates (few: unbalanced self-mirrors)
+        um, vm, wm = u[multi], v[multi], w[multi]
+        pcm = pc[multi]
+        mtot = int(pcm.sum())
+        base = np.cumsum(pcm) - pcm
+        midx = np.repeat(np.arange(len(um), dtype=np.int64), pcm)
+        off = np.arange(mtot, dtype=np.int64) - base[midx]
+        cvm = cv[multi][midx]
+        i = off // cvm
+        j = off - i * cvm
+        am = ids_start[um[midx]] + i
+        bm = ids_start[vm[midx]] + j
+        ridx_m = np.flatnonzero(multi)[midx]
+        a = np.concatenate([ids_start[u[~multi]], am])
+        b = np.concatenate([ids_start[v[~multi]], bm])
+        ridx = np.concatenate([np.flatnonzero(~multi), ridx_m])
+    else:
+        a = ids_start[u]
+        b = ids_start[v]
+        ridx = np.arange(len(u), dtype=np.int64)
+    keep = a != b  # same-id self-loops only from mirror biedges
+    kr = ridx[keep]
+    lo = np.minimum(a, b)[keep]
+    hi = np.maximum(a, b)[keep]
+    wr = w[kr]
+    ur = u[kr]
+    vr = v[kr]
+    key = lo * n_ids + hi
     # The same id pair can arise with different weights (unbalanced
     # self-mirror endpoints where d(u->v) != d(v->u)); keep the minimum
     # weight per pair so the matching never uses the longer path.
-    order = np.lexsort((allp[:, 2], key))
-    allp = allp[order]
-    key = key[order]
-    _, first = np.unique(key, return_index=True)
-    rows = allp[first]
-    return rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3], rows[:, 4]
+    order = np.lexsort((wr, key))
+    key_s = key[order]
+    first = np.ones(len(key_s), dtype=bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    sel = order[first]
+    return lo[sel], hi[sel], wr[sel], ur[sel], vr[sel]
 
 
 def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
