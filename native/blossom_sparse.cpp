@@ -97,10 +97,53 @@ class SparseBlossom {
     // higher only costs extra dual travel per free vertex AND leaves no
     // edge tight for the greedy warm start.
     for (int v = 0; v < n_; ++v) dual_[v] = max_w_ / 2;
+    stamp_.assign(2 * n_, 0);
+    bevent_stamp_.assign(2 * n_, kInfEvent);
     tree_of_.assign(2 * n_, -1);
     tree_alive_.assign(n_, 1);
     event_stamp_.assign(m_, kInfEvent);
     cur_root_ = -1;
+  }
+
+  // ---- Lazy duals -------------------------------------------------------
+  // A dual adjustment is O(1): only delta_total_ advances.  Each slot
+  // stores the dual value materialized at stamp_[x]; the true dual drifts
+  // from it at a rate fixed by the slot's CURRENT classification
+  // (vertex: S -1 / T +1, top-level blossom: S +1 / T -1).  Because
+  // delta_total_ only changes in the adjust step, structural operations
+  // (labeling, blossom add/expand, tree death) keep true duals constant;
+  // they just must materialize a slot BEFORE changing its classification
+  // so the drift accrued under the old class is banked.  Every structural
+  // op already touches exactly the slots whose class it changes, so
+  // materialize-on-entry adds no asymptotic cost -- while the old eager
+  // scheme's per-adjust O(n) dual sweep (plus the delta4 full-blossom
+  // scan) dominated large solves (18k adjusts x 105k slots on the
+  // bench-scale giant tangle).
+  i64 true_dual_v(int v) const {
+    int l = get_label(in_blossom_[v]);
+    i64 dt = delta_total_ - stamp_[v];
+    return dual_[v] + (l == 1 ? -dt : l == 2 ? dt : 0);
+  }
+  i64 true_dual_b(int b) const {
+    if (base_[b] < 0 || parent_[b] != -1) return dual_[b];
+    int l = get_label(b);
+    i64 dt = delta_total_ - stamp_[b];
+    return dual_[b] + (l == 1 ? dt : l == 2 ? -dt : 0);
+  }
+  void mat_v(int v) {
+    dual_[v] = true_dual_v(v);
+    stamp_[v] = delta_total_;
+  }
+  void mat_b(int b) {
+    dual_[b] = true_dual_b(b);
+    stamp_[b] = delta_total_;
+  }
+  // Bank the drift for a top-level slot and every vertex under it.
+  void mat_top(int b) {
+    if (b >= n_) mat_b(b);
+    leaves_scratch2_.clear();
+    blossom_leaves(b, leaves_scratch2_);
+    for (int v : leaves_scratch2_) mat_v(v);
   }
 
   int get_label(int b) const {
@@ -109,14 +152,23 @@ class SparseBlossom {
     return tree_alive_[tree_of_[b]] ? l : 0;
   }
   void set_label_tree(int b, int t) {
+    // bank the drift accrued under the old classification first
+    if (b >= n_)
+      mat_b(b);
+    else
+      mat_v(b);
     label_[b] = t;
     tree_of_[b] = cur_root_;
+    // every blossom T-labeling funnels through here: arm its delta4
+    // (dual-hits-zero) expansion event
+    if (t == 2 && b >= n_ && parent_[b] == -1 && base_[b] >= 0)
+      push_bevent_key(b, delta_total_ + dual_[b]);
   }
 
   // 2*w(e) so duals stay integral
   i64 w2(i64 e) const { return 2 * ew_[e]; }
   i64 slack(i64 e) const {
-    return dual_[eu_[e]] + dual_[ev_[e]] - w2(e);
+    return true_dual_v((int)eu_[e]) + true_dual_v((int)ev_[e]) - w2(e);
   }
 
   // leaves of the blossom tree under b
@@ -130,6 +182,7 @@ class SparseBlossom {
 
   void assign_label(int w, int t, int p) {
     int b = in_blossom_[w];
+    mat_top(b);  // all leaves change dual rate with the blossom's label
     set_label_tree(w, t);
     set_label_tree(b, t);
     members_[cur_root_].push_back(w);
@@ -182,6 +235,23 @@ class SparseBlossom {
     int bw = in_blossom_[w];
     int b = unused_.back();
     unused_.pop_back();
+    // bank every slot whose classification this absorbs: the path's top
+    // blossoms freeze (lose top-level status) and former T-leaves turn S
+    {
+      int x = bv;
+      long long g2 = 0;
+      while (x != bb && ++g2 <= 4 * (long long)n_ + 16) {
+        mat_top(x);
+        x = in_blossom_[endpoint_[label_end_[x]]];
+      }
+      x = bw;
+      g2 = 0;
+      while (x != bb && ++g2 <= 4 * (long long)n_ + 16) {
+        mat_top(x);
+        x = in_blossom_[endpoint_[label_end_[x]]];
+      }
+      mat_top(bb);
+    }
     base_[b] = base;
     parent_[b] = -1;
     parent_[bb] = b;
@@ -222,6 +292,7 @@ class SparseBlossom {
     set_label_tree(b, 1);
     label_end_[b] = label_end_[bb];
     dual_[b] = 0;
+    stamp_[b] = delta_total_;
     std::vector<int> leaves;
     blossom_leaves(b, leaves);
     for (int leaf : leaves) {
@@ -235,6 +306,17 @@ class SparseBlossom {
   void expand_blossom(int b, bool endstage) {
     std::vector<int> all_leaves;
     if (!endstage) blossom_leaves(b, all_leaves);
+    // bank the whole subtree before any relabeling: children become
+    // top-level, leaves change rate with the new labels.  delta_total_
+    // is constant inside structural ops, so once stamped here every
+    // intermediate label flip below reads consistent duals.
+    if (!endstage) {
+      mat_b(b);
+      for (int child : childs_[b]) {
+        if (child >= n_) mat_b(child);
+      }
+      for (int v : all_leaves) mat_v(v);
+    }
     for (int child : childs_[b]) {
       parent_[child] = -1;
       if (child < n_) {
@@ -422,6 +504,11 @@ class SparseBlossom {
     event_stamp_[e] = key;
     events_.push({key, e});
   }
+  void push_bevent_key(i64 b, i64 key) {
+    if (key >= bevent_stamp_[b]) return;
+    bevent_stamp_[b] = key;
+    bevents_.push({key, b});
+  }
   void push_event(i64 e) {
     int bi = in_blossom_[eu_[e]], bj = in_blossom_[ev_[e]];
     if (bi == bj) return;
@@ -509,6 +596,24 @@ class SparseBlossom {
                                "augment e%lld (%lld-%lld) kills %d %d\n",
                                k, eu_[k], ev_[k], r1, r2);
                 augment_matching(k);
+                // Tree death freezes every member's dual rate WITHOUT
+                // touching the members (the tree_alive_ epoch trick), so
+                // bank their drift now, before the flip, while get_label
+                // still reports the old classes.
+                for (int r : {r1, r2}) {
+                  tops_scratch_.clear();
+                  for (int x : members_[r])
+                    tops_scratch_.push_back(in_blossom_[x]);
+                  std::sort(tops_scratch_.begin(), tops_scratch_.end());
+                  tops_scratch_.erase(
+                      std::unique(tops_scratch_.begin(),
+                                  tops_scratch_.end()),
+                      tops_scratch_.end());
+                  for (int top : tops_scratch_) {
+                    if (top >= n_ && base_[top] < 0) continue;
+                    mat_top(top);
+                  }
+                }
                 tree_alive_[r1] = 0;
                 tree_alive_[r2] = 0;
                 live_roots -= 2;
@@ -627,39 +732,51 @@ class SparseBlossom {
           break;
         }
       }
-      for (int b = n_; b < 2 * n_; ++b)
-        if (base_[b] >= 0 && parent_[b] == -1 && get_label(b) == 2 &&
-            dual_[b] < delta) {
-          delta = dual_[b];
+      if (exact_delta) {
+        // Oracle mode: scan every top-level T-blossom directly.
+        for (int b = n_; b < 2 * n_; ++b)
+          if (base_[b] >= 0 && parent_[b] == -1 && get_label(b) == 2 &&
+              true_dual_b(b) < delta) {
+            delta = true_dual_b(b);
+            delta_type = 4;
+            delta_blossom = b;
+          }
+      } else {
+        // delta4 via the blossom event heap: keys are the delta_total_
+        // at which the T-blossom's dual hits zero; pops revalidate
+        // (blossom may have died, been absorbed, or expanded).
+        while (!bevents_.empty()) {
+          auto [key, b] = bevents_.top();
+          if (key - delta_total_ >= delta) break;
+          bevents_.pop();
+          if (key == bevent_stamp_[b]) bevent_stamp_[b] = kInfEvent;
+          if (base_[b] < 0 || parent_[b] != -1 || get_label(b) != 2)
+            continue;  // stale; re-armed on the next T-labeling
+          i64 true_key = delta_total_ + true_dual_b(b);
+          if (true_key > key) {
+            push_bevent_key(b, true_key);
+            continue;
+          }
+          delta = key - delta_total_;
           delta_type = 4;
-          delta_blossom = b;
+          delta_blossom = (int)b;
+          push_bevent_key(b, key);  // future constraint until expanded
+          break;
         }
+      }
       if (dbg) {
         std::fprintf(stderr, "adjust t%d delta=%lld edge=%lld duals:",
                      delta_type, delta, delta_edge);
         if (n_ <= 24)
           for (int v = 0; v < n_; ++v)
-            std::fprintf(stderr, " %lld%c", dual_[v],
+            std::fprintf(stderr, " %lld%c", true_dual_v(v),
                          get_label(in_blossom_[v]) == 1   ? 'S'
                          : get_label(in_blossom_[v]) == 2 ? 'T'
                                                           : '.');
         std::fprintf(stderr, "\n");
       }
-      for (int v = 0; v < n_; ++v) {
-        int lbl = get_label(in_blossom_[v]);
-        if (lbl == 1)
-          dual_[v] -= delta;
-        else if (lbl == 2)
-          dual_[v] += delta;
-      }
-      for (int b = n_; b < 2 * n_; ++b)
-        if (base_[b] >= 0 && parent_[b] == -1) {
-          int lbl = get_label(b);
-          if (lbl == 1)
-            dual_[b] += delta;
-          else if (lbl == 2)
-            dual_[b] -= delta;
-        }
+      // O(1) dual adjustment: only the global clock advances; every
+      // slot's drift is banked lazily when its classification changes.
       root_dual_ -= delta;
       delta_total_ += delta;
       if (dbg_adjusts % 1000000 == 0 &&
@@ -687,6 +804,10 @@ class SparseBlossom {
         if (checktrees) validate_trees("expand");
       }
     }
+    // bank every dual so extract/verify/endstage-expand read raw values
+    for (int v = 0; v < n_; ++v) mat_v(v);
+    for (int b = n_; b < 2 * n_; ++b)
+      if (base_[b] >= 0 && parent_[b] == -1) mat_b(b);
     if (std::getenv("MATCHTIGS_NATIVE_TRACE"))
       std::fprintf(stderr, "[blossom] scans=%lld adjusts=%lld augments=%lld\n",
                    dbg_scans, dbg_adjusts, dbg_augments);
@@ -854,12 +975,18 @@ class SparseBlossom {
   std::vector<int> tree_of_;
   std::vector<char> tree_alive_;
   std::vector<std::vector<int>> members_;  // entry vertices labeled per root
-  std::vector<int> tops_scratch_, leaves_scratch_;
+  std::vector<int> tops_scratch_, leaves_scratch_, leaves_scratch2_;
   // min-heap of (projected tight delta_total_, edge)
   std::priority_queue<std::pair<i64, i64>, std::vector<std::pair<i64, i64>>,
                       std::greater<std::pair<i64, i64>>>
       events_;
   std::vector<i64> event_stamp_;  // lowest in-heap key per edge
+  // min-heap of (projected dual-zero delta_total_, T-blossom)
+  std::priority_queue<std::pair<i64, i64>, std::vector<std::pair<i64, i64>>,
+                      std::greater<std::pair<i64, i64>>>
+      bevents_;
+  std::vector<i64> bevent_stamp_;
+  std::vector<i64> stamp_;  // delta_total_ at last dual materialization
   i64 delta_total_ = 0;
   i64 forced_edge_ = -1;
   int cur_root_;
