@@ -151,6 +151,17 @@ def _can_pack(dg: DeviceGraph, max_weight: int) -> bool:
     )
 
 
+def _can_pack_out(dg: DeviceGraph, max_weight: int) -> bool:
+    """Result packing (one int32 per slot) only needs node < 2^24, a
+    weaker bound than the sort packing's 2^23 — graphs in between (e.g.
+    the 10.2M-node 60M-base config) use two-key sorts but still halve
+    the result download and keep the native extraction path."""
+    return (
+        max_weight < (1 << DIST_BITS) - 1
+        and dg.n_nodes + 1 < (1 << (31 - DIST_BITS))
+    )
+
+
 # NOTE: no donate_argnums — XLA's donation/aliasing analysis through the
 # inner while_loop inflates compile time ~100x on this backend; the
 # on-device buffer copies it avoids cost only a few ms per step.
@@ -205,7 +216,14 @@ def _sssp_run_batches(
             packed=packed,
         )
         if pack_out:
-            dist_small = jnp.minimum(dist, (1 << DIST_BITS) - 1)
+            # empty slots carry dist_cap (== max_rounds + 1 in two-key
+            # mode, which is < 127): normalize every empty to 127 so the
+            # extraction filter sees one sentinel in both modes
+            dist_small = jnp.where(
+                dist > max_weight,
+                jnp.int32((1 << DIST_BITS) - 1),
+                dist,
+            )
             nodes_buf = jax.lax.dynamic_update_slice_in_dim(
                 nodes_buf, (nodes << DIST_BITS) | dist_small, start, 0
             )
@@ -258,6 +276,7 @@ def batched_bounded_sssp(
     batch_size = max(1, min(batch_size, S))
     nbr, nw = dg.device_buffers()
     packed = _can_pack(dg, max_weight)
+    pack_out = _can_pack_out(dg, max_weight)
 
     n_batches = -(-S // batch_size)
     S_pad = n_batches * batch_size
@@ -276,9 +295,9 @@ def batched_bounded_sssp(
         packed=packed,
         batch=batch_size,
         n_batches=n_batches,
-        pack_out=packed,
+        pack_out=pack_out,
     )
-    if packed:
+    if pack_out:
         key = np.asarray(nodes_buf)[:S]
         over = np.asarray(over_buf)[:S]
         if return_packed:

@@ -119,3 +119,31 @@ def test_reference_design_baseline_matches_production_dijkstra():
     sa = {tuple(r) for r in a.tolist()}
     sb = {tuple(r) for r in b.tolist()}
     assert sa == sb and len(sa) > 0
+
+
+def test_two_key_sort_with_packed_output(monkeypatch):
+    """Graphs between 2^23 and 2^24 nodes use two-key sorts but still
+    pack results one-int32-per-slot; both paths must agree (the sort
+    packing is forced off here via _can_pack)."""
+    from matchtigs_tpu import testing
+    from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+    from matchtigs_tpu.ops import sssp as sssp_mod
+    from matchtigs_tpu.ops.device_graph import build_device_graph
+    from matchtigs_tpu.ops.matching import unbalanced_nodes
+
+    store, _, k = testing.make_unitig_store(
+        genome_length=6000, k=11, seed=3
+    )
+    g = build_bigraph_from_unitigs(store, k)
+    out_nodes, in_mask, _ = unbalanced_nodes(g)
+    dg = build_device_graph(g, renumber=True)
+    src = dg.map_sources(out_nodes.astype(np.int32))
+    ref = sssp_mod.batched_bounded_sssp(dg, src, max_weight=k - 1, capacity=32)
+    monkeypatch.setattr(sssp_mod, "_can_pack", lambda *a: False)
+    got = sssp_mod.batched_bounded_sssp(dg, src, max_weight=k - 1, capacity=32)
+    # per-source (node, dist) sets must match (slot order may differ)
+    for i in range(len(src)):
+        a = {(int(n), int(d)) for n, d in zip(ref[0][i], ref[1][i]) if d < sssp_mod.INF}
+        b = {(int(n), int(d)) for n, d in zip(got[0][i], got[1][i]) if d < sssp_mod.INF}
+        assert a == b, i
+    assert np.array_equal(ref[2], got[2])
