@@ -33,6 +33,7 @@ import numpy as np
 
 from ..graph.bigraph import Bigraph
 from ..ops import euler
+from ..ops.candidates import Candidates
 from ..ops.device_graph import build_device_graph
 from ..ops.matching import greedy_accept, unbalanced_nodes
 from ..ops.sssp import INF, batched_bounded_sssp
@@ -99,14 +100,14 @@ class SearchStats:
     stage_occupancy: list[float] = field(default_factory=list)
     stage_overflow_frac: list[float] = field(default_factory=list)
 
-    def log_ball_sizes(self, candidates: np.ndarray, n_nodes: int,
+    def log_ball_sizes(self, candidates: "Candidates", n_nodes: int,
                        out_nodes: np.ndarray) -> None:
         """Per-source candidate-ball statistics (opt-in; the analog of the
         reference's max/average heap and distance-array size counters,
         greedytigs/mod.rs:646-673).  A source's "ball" here is its number
         of reported in-node candidates within the distance bound."""
         counts = np.bincount(
-            candidates[:, 0].astype(np.int64), minlength=n_nodes
+            candidates.u, minlength=n_nodes
         )[np.asarray(out_nodes, dtype=np.int64)]
         if not len(counts):
             return
@@ -189,8 +190,8 @@ def collect_candidates(
     k: int,
     config: GreedytigConfig,
     stats: SearchStats | None = None,
-) -> np.ndarray:
-    """Run the batched bounded SSSP and extract (out, in, dist) triples."""
+) -> Candidates:
+    """Run the batched bounded SSSP and extract (out, in, dist) columns."""
     import time
 
     if _use_host_engine(config):
@@ -222,6 +223,7 @@ def collect_candidates(
     dg = build_device_graph(g, renumber=config.renumber)
     logger.info("Device graph build (renumber=%s): %.2fs", config.renumber,
                 time.monotonic() - t_phase)
+    t_phase = time.monotonic()
     sentinel = dg.sentinel
     if dg.to_orig is not None:
         in_mask = np.asarray(in_mask)[dg.to_orig]
@@ -232,7 +234,7 @@ def collect_candidates(
         from ..parallel.mesh import make_mesh, sharded_bounded_sssp
 
         mesh = make_mesh()
-    triples: list[np.ndarray] = []
+    chunks: list[Candidates] = []
 
     pending = dg.map_sources(np.asarray(out_nodes, dtype=np.int32))
     # Order sources by a difficulty proxy (their minimum incident edge
@@ -242,7 +244,7 @@ def collect_candidates(
     # permutation is needed, and downstream acceptance re-sorts globally.
     difficulty = dg.nw.min(axis=1)[pending]
     host_thread = None
-    host_result: list[np.ndarray] = []
+    host_result: list[Candidates] = []
     host_error: list[BaseException] = []
     host_available = True
     if config.host_route_threshold >= 0 or config.overflow_mode == "host":
@@ -279,8 +281,8 @@ def collect_candidates(
                         dg, hard_sources, k - 1, in_mask, n_threads=config.host_threads
                     )
                     if len(res):
-                        res[:, 0] = dg.unmap_nodes(res[:, 0])
-                        res[:, 1] = dg.unmap_nodes(res[:, 1])
+                        res.u = dg.unmap_nodes(res.u)
+                        res.v = dg.unmap_nodes(res.v)
                     host_result.append(res)
                 except BaseException as e:  # re-raised on the main thread
                     host_error.append(e)
@@ -289,6 +291,9 @@ def collect_candidates(
             host_thread.start()
     # primary: difficulty; secondary: device node id (gather locality)
     pending = pending[np.lexsort((pending, -difficulty))]
+    if time.monotonic() - t_phase > 0.5:
+        logger.info("Source prep (difficulty order + host routing split): "
+                    "%.2fs", time.monotonic() - t_phase)
     capacity = config.initial_capacity
     batch_size = config.batch_size
     while len(pending) > 0:
@@ -329,11 +334,17 @@ def collect_candidates(
             # (replaces the numpy unpack/nonzero/gather chain below).
             from ..ops.sssp import extract_packed_candidates
 
+            t_ext = time.monotonic()
             tri = extract_packed_candidates(
                 dg, nodes, pending, done, in_mask
             )
+            logger.info(
+                "Extracted %d triples from %dx%d packed slots in %.2fs",
+                len(tri), nodes.shape[0], nodes.shape[1],
+                time.monotonic() - t_ext,
+            )
             if len(tri):
-                triples.append(tri)
+                chunks.append(tri)
             # post-filter occupancy (kept-candidate slots / done slots);
             # the pre-mask number needs the unpacked dist matrix, which
             # this path exists to avoid materializing
@@ -354,14 +365,11 @@ def collect_candidates(
                     valid &= in_mask[np.minimum(dn, len(in_mask) - 1)]
                 s_idx, c_idx = np.nonzero(valid)
                 if len(s_idx):
-                    triples.append(
-                        np.stack(
-                            [
-                                dg.unmap_nodes(srcs[s_idx]).astype(np.int64),
-                                dg.unmap_nodes(dn[s_idx, c_idx]).astype(np.int64),
-                                dd[s_idx, c_idx].astype(np.int64),
-                            ],
-                            axis=1,
+                    chunks.append(
+                        Candidates(
+                            dg.unmap_nodes(srcs[s_idx]).astype(np.int64),
+                            dg.unmap_nodes(dn[s_idx, c_idx]).astype(np.int64),
+                            dd[s_idx, c_idx].astype(np.int64),
                         )
                     )
         pending = pending[overflow]
@@ -383,9 +391,9 @@ def collect_candidates(
                     time.monotonic() - t_tail,
                 )
                 if len(tail):
-                    tail[:, 0] = dg.unmap_nodes(tail[:, 0])
-                    tail[:, 1] = dg.unmap_nodes(tail[:, 1])
-                    triples.append(tail)
+                    tail.u = dg.unmap_nodes(tail.u)
+                    tail.v = dg.unmap_nodes(tail.v)
+                    chunks.append(tail)
                 break
             if capacity >= config.max_capacity:
                 raise RuntimeError(
@@ -408,11 +416,13 @@ def collect_candidates(
         if host_error:
             raise host_error[0]
         if host_result and len(host_result[0]):
-            triples.append(host_result[0])
+            chunks.append(host_result[0])
 
-    if not triples:
-        return np.empty((0, 3), dtype=np.int64)
-    result = np.concatenate(triples)
+    t_cat = time.monotonic()
+    result = Candidates.concat(chunks)
+    if time.monotonic() - t_cat > 0.5:
+        logger.info("Candidate concat (%d rows) took %.2fs", len(result),
+                    time.monotonic() - t_cat)
     stats.candidates = len(result)
     return result
 

@@ -90,7 +90,7 @@ def _matching_node_ids(g: Bigraph, diff: np.ndarray):
 
 def _collapse_candidates(
     g: Bigraph,
-    candidates: np.ndarray,
+    candidates,  # Candidates columns
     ids_start: np.ndarray,
     ids_count: np.ndarray,
     n_ids: int,
@@ -104,9 +104,9 @@ def _collapse_candidates(
     if len(candidates) == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e, e, e, e
-    u = candidates[:, 0]
-    v = candidates[:, 1]
-    w = candidates[:, 2]
+    u = candidates.u
+    v = candidates.v
+    w = candidates.d
     assert np.all(w >= 1), "zero-weight candidate path"
     cu = ids_count[u]
     cv = ids_count[v]

@@ -259,4 +259,10 @@ class Bigraph:
         g.edge_handle = self.edge_handle.copy()
         g.edge_forward = self.edge_forward.copy()
         g.edge_dummy_id = self.edge_dummy_id.copy()
+        # The packed device adjacency is immutable once built and its cache
+        # key includes the edge count, so a copy can share it: any mutation
+        # (added dummy edges) changes n_edges and misses the key check.
+        cache = getattr(self, "_device_graph_cache", None)
+        if cache is not None:
+            g._device_graph_cache = cache
         return g

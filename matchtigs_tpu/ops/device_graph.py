@@ -59,10 +59,13 @@ class DeviceGraph:
         return sources if self.to_dev is None else self.to_dev[sources]
 
     def unmap_nodes(self, nodes: np.ndarray) -> np.ndarray:
-        """Map device node ids (incl. the sentinel) back to original ids."""
+        """Map device node ids (incl. the sentinel) back to original ids.
+
+        Returns int64 (the candidate-column dtype) so callers can use the
+        result directly in packed-key arithmetic."""
         if self.to_orig is None:
             return nodes
-        ext = np.append(self.to_orig, np.int32(self.n_nodes))
+        ext = np.append(self.to_orig.astype(np.int64), np.int64(self.n_nodes))
         return ext[nodes]
 
 

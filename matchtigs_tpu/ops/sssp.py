@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .candidates import Candidates
 from .device_graph import DeviceGraph
 
 INF = np.int32(1 << 20)  # > any bounded distance, safe against int32 overflow
@@ -322,7 +323,7 @@ def extract_packed_candidates(
     sources: np.ndarray,  # int32 [S] device-numbered
     done: np.ndarray,  # bool [S]: rows to extract (non-overflowed)
     in_mask: np.ndarray,  # bool/int8 [n_nodes] device-numbered
-) -> np.ndarray:
+) -> Candidates:
     """Native parallel (src, dst, dist) extraction from the packed kernel
     result (native/extract.cpp): filter (1 <= dist < cap, in_mask) and
     translate ids back to original numbering in one sweep, replacing the
@@ -363,10 +364,11 @@ def extract_packed_candidates(
         raise MemoryError("extract_packed_triples allocation failed")
     try:
         flat = np.ctypeslib.as_array(buf_ptr, shape=(3 * n + 1,))
-        out = np.empty((n, 3), dtype=np.int64)
-        out[:, 0] = flat[0:n]
-        out[:, 1] = flat[n : 2 * n]
-        out[:, 2] = flat[2 * n : 3 * n]
+        out = Candidates(
+            np.array(flat[0:n]),
+            np.array(flat[n : 2 * n]),
+            np.array(flat[2 * n : 3 * n]),
+        )
     finally:
         lib.free_i64_buffer(buf_ptr)
     return out
@@ -378,8 +380,8 @@ def host_dijkstra_candidates(
     max_weight: int,
     in_mask: np.ndarray,
     n_threads: int | None = None,
-) -> np.ndarray:
-    """Native C++ bounded Dijkstra fan-out: (src, dst, dist) triples.
+) -> Candidates:
+    """Native C++ bounded Dijkstra fan-out: (src, dst, dist) columns.
 
     The host half of the hybrid search: the device kernel handles the bulk
     of sources; the heavy tail (capacity overflows) and small jobs run
@@ -394,10 +396,10 @@ def host_dijkstra_candidates(
 
 def _native_dijkstra_candidates(
     dg, sources, max_weight, in_mask, n_threads, fn_name: str
-) -> np.ndarray:
+) -> Candidates:
     """Shared driver for the growable-buffer native Dijkstra variants:
     triples are collected in thread-local C++ vectors (exact memory, no
-    preallocation or overflow retry) and returned as one (M, 3) array."""
+    preallocation or overflow retry) and returned as candidate columns."""
     import ctypes
     import os
 
@@ -429,10 +431,11 @@ def _native_dijkstra_candidates(
     )
     try:
         flat = np.ctypeslib.as_array(buf_ptr, shape=(3 * n + 1,))
-        out = np.empty((n, 3), dtype=np.int64)
-        out[:, 0] = flat[0:n]
-        out[:, 1] = flat[n : 2 * n]
-        out[:, 2] = flat[2 * n : 3 * n]
+        out = Candidates(
+            np.array(flat[0:n]),
+            np.array(flat[n : 2 * n]),
+            np.array(flat[2 * n : 3 * n]),
+        )
     finally:
         lib.free_i64_buffer(buf_ptr)
     return out
@@ -444,7 +447,7 @@ def reference_dijkstra_candidates(
     max_weight: int,
     in_mask: np.ndarray,
     n_threads: int | None = None,
-) -> np.ndarray:
+) -> Candidates:
     """Independent reference-design baseline: per-source binary heap +
     hashmap distance map (the reference's default StdBinaryHeap +
     HashbrownHashMap pair, /root/reference/src/implementation/mod.rs:62-103).

@@ -59,7 +59,9 @@ def test_greedy_accept_native_matches_python(case):
     store, _, k = testing.make_unitig_store(**case)
     g = build_bigraph_from_unitigs(store, k)
     out_nodes, in_mask, mult = unbalanced_nodes(g)
-    cands = collect_candidates(g, out_nodes, in_mask, k, GreedytigConfig(k=k))
+    cands = collect_candidates(
+        g, out_nodes, in_mask, k, GreedytigConfig(k=k)
+    ).to_triples()
     order = np.lexsort((cands[:, 1], cands[:, 0], cands[:, 2]))
     cands = np.ascontiguousarray(cands[order])
     m1 = mult.copy()
@@ -266,4 +268,4 @@ def test_extract_packed_triples_matches_numpy(seed):
     )
     # row order: native emits row-major per source; the oracle's nonzero
     # is row-major too
-    assert np.array_equal(tri, want)
+    assert np.array_equal(tri.to_triples(), want)

@@ -116,8 +116,8 @@ def test_reference_design_baseline_matches_production_dijkstra():
     dg = build_device_graph(g)
     a = host_dijkstra_candidates(dg, out_nodes, k - 1, in_mask, n_threads=3)
     b = reference_dijkstra_candidates(dg, out_nodes, k - 1, in_mask, n_threads=2)
-    sa = {tuple(r) for r in a.tolist()}
-    sb = {tuple(r) for r in b.tolist()}
+    sa = {tuple(r) for r in a.to_triples().tolist()}
+    sb = {tuple(r) for r in b.to_triples().tolist()}
     assert sa == sb and len(sa) > 0
 
 
