@@ -477,19 +477,24 @@ def break_cycles(g: Bigraph, cycles: list[np.ndarray], k: int) -> list[np.ndarra
             d = np.roll(d, -idx)
             w = np.roll(w, -idx)
 
-        breaks = (d & (w >= k)) | (d & (np.arange(len(cycle)) == 0))
-        offset = 0
-        for i in np.flatnonzero(breaks).tolist():
-            if offset < i:
-                tigs.append(cycle[offset:i])
-            offset = i + 1
-        if offset < len(cycle):
-            if not d[-1]:
-                tigs.append(cycle[offset:])
-            elif offset < len(cycle) - 1:
-                tigs.append(cycle[offset : len(cycle) - 1])
-
-    for tig in tigs:
-        assert len(tig) > 0
-        assert not dummies[tig[0]] and not dummies[tig[-1]]
+        breaks = d & (w >= k)
+        if len(breaks):
+            breaks[0] |= d[0]
+        bpos = np.flatnonzero(breaks)
+        # Segments between consecutive breaks, vectorized: the original
+        # per-break python loop plus a per-tig assert loop cost seconds at
+        # ~1M tigs (19M-edge bicycle at 60M bases).
+        starts = np.concatenate([[0], bpos + 1])
+        ends = np.concatenate([bpos, [len(cycle)]])
+        # Tail rule: a trailing non-breaking dummy is dropped from the
+        # last segment (eulertigs/mod.rs:126-186).
+        if starts[-1] < len(cycle) and len(d) and d[-1]:
+            ends[-1] = len(cycle) - 1
+        keep = starts < ends
+        starts, ends = starts[keep], ends[keep]
+        assert not dummies[cycle[starts]].any()
+        assert not dummies[cycle[ends - 1]].any()
+        tigs.extend(
+            cycle[s:e] for s, e in zip(starts.tolist(), ends.tolist())
+        )
     return tigs
