@@ -107,6 +107,11 @@ def load() -> ctypes.CDLL:
     lib.follow_chains.argtypes = [ll, llp, ll, llp, llp, llp]
     lib.euler_decompose.restype = ll
     lib.euler_decompose.argtypes = [ll, ll] + [llp] * 7
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.euler_decompose_pairing.restype = ll
+    lib.euler_decompose_pairing.argtypes = [
+        ll, ll, i32p, i32p, llp, i32p, ll, llp, llp,
+    ]
     lib.biwalk_cover.restype = ll
     lib.biwalk_cover.argtypes = [ll, ll] + [llp] * 8
     lib.balance_breaking_edges.restype = ll

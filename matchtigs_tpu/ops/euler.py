@@ -256,23 +256,76 @@ def make_eulerian_with_breaking_edges_py(
     return dummy_edge_id
 
 
-def eulerian_bicycle_decomposition(g: Bigraph) -> list[np.ndarray]:
+def eulerian_bicycle_decomposition(
+    g: Bigraph, method: str = "pairing"
+) -> list[np.ndarray]:
     """Decompose a balanced bidirected graph into Eulerian bicycles.
 
-    Traversing an edge consumes its mirror (e ^ 1).  Raw Hierholzer
-    subtours are guaranteed closed on balanced graphs; subtours sharing a
-    binode (directly or through the mirror representation) are spliced into
-    a single bicycle, giving the minimum one-bicycle-per-component
-    decomposition the reference computes.
+    Traversing an edge consumes its mirror (e ^ 1).  Closed subtours are
+    generated either by a deterministic mirror-compatible arc pairing
+    (``method="pairing"``, the default: thread-parallel construction and
+    ~1 random access per arc) or by raw Hierholzer walks
+    (``method="hierholzer"``, the reference-shaped variant); subtours
+    sharing a binode (directly or through the mirror representation) are
+    then spliced into a single bicycle, giving the minimum
+    one-bicycle-per-component decomposition the reference computes
+    (eulertigs/mod.rs:119 via the bigraph crate).  Both methods yield the
+    same number of bicycles and the same cumulative tig length; the
+    traversal order (hence the exact tig set) differs.
 
-    Dispatches to the native C++ pass (native/graphwalk.cpp) when
-    available; this python implementation is the fallback and test oracle.
+    Dispatches to the native C++ passes (native/graphwalk.cpp) when
+    available; the python implementations are the fallback and test
+    oracles.
     """
     try:
+        if method == "pairing" and g.n_edges < 2**31 and g.n_nodes < 2**31:
+            return _eulerian_bicycle_decomposition_pairing_native(g)
         return _eulerian_bicycle_decomposition_native(g)
     except ImportError:
         logger.warning("native graphwalk unavailable; using python fallback")
+        if method == "pairing":
+            return eulerian_bicycle_decomposition_pairing_py(g)
         return eulerian_bicycle_decomposition_py(g)
+
+
+def _eulerian_bicycle_decomposition_pairing_native(g: Bigraph) -> list[np.ndarray]:
+    import os
+
+    from .. import native
+
+    lib = native.load()
+    E = g.n_edges
+    if E == 0:
+        return []
+    out_off, out_edges = g.out_csr()
+    dst = np.ascontiguousarray(g.dsts(), dtype=np.int32)
+    mirror = np.ascontiguousarray(g.mirror_node, dtype=np.int32)
+    out_off = np.ascontiguousarray(out_off, dtype=np.int64)
+    oe32 = np.ascontiguousarray(out_edges, dtype=np.int32)
+    cycles_out = np.empty(E, dtype=np.int64)
+    offsets_out = np.empty(E, dtype=np.int64)
+    n_cycles = lib.euler_decompose_pairing(
+        g.n_nodes,
+        E,
+        native.as_i32_ptr(dst),
+        native.as_i32_ptr(mirror),
+        native.as_ll_ptr(out_off),
+        native.as_i32_ptr(oe32),
+        min(os.cpu_count() or 1, 8),
+        native.as_ll_ptr(cycles_out),
+        native.as_ll_ptr(offsets_out),
+    )
+    if n_cycles == -1:
+        raise AssertionError("open walk in balanced bidirected graph")
+    if n_cycles < 0:
+        raise AssertionError(f"euler_decompose_pairing internal error {n_cycles}")
+    res = []
+    prev = 0
+    for i in range(n_cycles):
+        end = int(offsets_out[i])
+        res.append(cycles_out[prev:end].copy())
+        prev = end
+    return res
 
 
 def _eulerian_bicycle_decomposition_native(g: Bigraph) -> list[np.ndarray]:
@@ -327,13 +380,90 @@ def eulerian_bicycle_decomposition_py(g: Bigraph) -> list[np.ndarray]:
     one-bicycle-per-component decomposition even when a subtour bridges
     several previously separate subtours.
     """
-    E = g.n_edges
-    if E == 0:
+    if g.n_edges == 0:
         return []
+    return _stitch_subtours_py(g, _subtours_hierholzer_py(g))
+
+
+def eulerian_bicycle_decomposition_pairing_py(g: Bigraph) -> list[np.ndarray]:
+    """Pairing-variant oracle: subtours from the mirror-compatible arc
+    pairing (see _subtours_pairing_py), stitched like the Hierholzer
+    variant.  Oracle for native euler_decompose_pairing."""
+    if g.n_edges == 0:
+        return []
+    return _stitch_subtours_py(g, _subtours_pairing_py(g))
+
+
+def _subtours_pairing_py(g: Bigraph) -> list[list[int]]:
+    """Closed subtours from a deterministic mirror-compatible arc pairing.
+
+    At each binode, the i-th in-arc pairs with the i-th out-arc, where the
+    in-arcs at v are the mirrors of the out-arcs at mirror(v) in CSR
+    order; self-mirror nodes pair their in-arcs by a fixpoint-free
+    involution (adjacent CSR ranks).  The successor map pi never sends an
+    arc to its own mirror, so no pi-cycle equals its own mirror image
+    (a self-mirror cycle would force a reflection fixed point m(e)=e —
+    impossible — or an adjacent pair pi(e)=m(e) — forbidden); cycles come
+    in mirror pairs.  Scanning start arcs ascending and marking e and e^1
+    together keeps exactly one cycle per pair: each biedge is covered
+    exactly once.
+    """
+    E = g.n_edges
+    out_off, out_edges = g.out_csr()
+    out_edges = np.asarray(out_edges, dtype=np.int64)
+    mirror = g.mirror_node
+    src = g.srcs()
+
+    v_of_pos = src[out_edges]  # node of each CSR position (sorted by src)
+    rank = np.arange(E, dtype=np.int64) - out_off[v_of_pos]
+    mv = mirror[v_of_pos].astype(np.int64)
+    sm = mv == v_of_pos
+
+    outdeg = out_off[1:] - out_off[:-1]
+    if not np.array_equal(outdeg, outdeg[mirror]):
+        raise AssertionError("open walk in balanced bidirected graph")
+    sm_nodes = np.flatnonzero(mirror == np.arange(g.n_nodes))
+    if np.any(outdeg[sm_nodes] % 2):
+        raise AssertionError("open walk in balanced bidirected graph")
+
+    pi = np.full(E, -1, dtype=np.int64)
+    ns = ~sm
+    # pi[mirror of i-th out-arc at mv] = i-th out-arc at v (both views of
+    # the same pairing, so writing it for every non-self-mirror v is
+    # idempotent)
+    mpos = out_off[mv[ns]] + rank[ns]
+    pi[out_edges[mpos] ^ 1] = out_edges[ns]
+    # self-mirror: adjacent-rank involution
+    smp = np.flatnonzero(sm)
+    even = smp[rank[smp] % 2 == 0]
+    pi[out_edges[even] ^ 1] = out_edges[even + 1]
+    pi[out_edges[even + 1] ^ 1] = out_edges[even]
+    assert not np.any(pi < 0)
+    assert not np.any(pi == np.arange(E) ^ 1), "pairing maps arc to mirror"
+
+    visited = np.zeros(E, dtype=bool)
+    tours: list[list[int]] = []
+    for e0 in range(E):
+        if visited[e0]:
+            continue
+        tour = []
+        cur = e0
+        while True:
+            tour.append(cur)
+            visited[cur] = True
+            visited[cur ^ 1] = True
+            cur = int(pi[cur])
+            if cur == e0:
+                break
+        tours.append(tour)
+    return tours
+
+
+def _subtours_hierholzer_py(g: Bigraph) -> list[list[int]]:
+    E = g.n_edges
     out_off, out_edges = g.out_csr()
     dst = g.dsts()
     src = g.srcs()
-    mirror = g.mirror_node
 
     used = np.zeros(E, dtype=bool)
     cursor = out_off[:-1].copy()
@@ -372,6 +502,15 @@ def eulerian_bicycle_decomposition_py(g: Bigraph) -> list[np.ndarray]:
             used[e ^ 1] = True
             cur = int(dst[e])
         tours.append(tour)
+    return tours
+
+
+def _stitch_subtours_py(g: Bigraph, tours: list[list[int]]) -> list[np.ndarray]:
+    """Phases B+C: group subtours by shared binodes, stitch each group
+    into one bicycle (shared with both subtour generators)."""
+    E = g.n_edges
+    dst = g.dsts()
+    mirror = g.mirror_node
 
     # -- Phase B: group subtours by shared binodes
     binode_tours: dict[int, list[int]] = {}

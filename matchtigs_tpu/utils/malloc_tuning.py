@@ -25,16 +25,27 @@ import sys
 
 logger = logging.getLogger(__name__)
 
+_M_TRIM_THRESHOLD = -1  # malloc.h: M_TRIM_THRESHOLD
 _M_MMAP_THRESHOLD = -3  # malloc.h: M_MMAP_THRESHOLD
+
+_INT_MAX = (1 << 31) - 1  # mallopt takes C int
 
 _done = False
 
 
-def tune_malloc(mmap_threshold: int = 1 << 30) -> bool:
-    """Raise glibc's malloc mmap threshold; returns True on success.
+def tune_malloc(mmap_threshold: int = _INT_MAX) -> bool:
+    """Keep malloc'd pages resident for the process lifetime.
 
-    Safe to call repeatedly (applies once) and a no-op on non-glibc
-    platforms.
+    Two knobs, both needed: M_MMAP_THRESHOLD at INT_MAX so even GB-scale
+    blocks (candidate columns, native triple buffers) come from the heap
+    arena instead of fresh mmap/munmap pairs, and M_TRIM_THRESHOLD at
+    INT_MAX so freeing a block at the heap top does not shrink the heap.
+    Without both, every repetition re-faults its big arrays; on this
+    class of virtualized host a first-touch fault storm over 1.2 GB
+    measured anywhere from 0.4s to 39s (host-side page ballooning).
+
+    Trade-off: RSS stays at peak. Safe to call repeatedly (applies once)
+    and a no-op on non-glibc platforms.
     """
     global _done
     if _done:
@@ -44,10 +55,11 @@ def tune_malloc(mmap_threshold: int = 1 << 30) -> bool:
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         ok = bool(libc.mallopt(_M_MMAP_THRESHOLD, mmap_threshold))
+        ok = bool(libc.mallopt(_M_TRIM_THRESHOLD, _INT_MAX)) and ok
     except OSError:  # non-glibc libc
         return False
     if ok:
         _done = True
     else:
-        logger.debug("mallopt(M_MMAP_THRESHOLD) rejected")
+        logger.debug("mallopt(M_MMAP_THRESHOLD/M_TRIM_THRESHOLD) rejected")
     return ok

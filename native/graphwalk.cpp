@@ -7,11 +7,14 @@
 // pointer-chasing that is not a fit for the TPU device path but must not
 // run as per-edge Python either.  Called via ctypes on int64 arrays.
 
+#include <algorithm>
+#include <atomic>
 #include <chrono>
 #include <cstddef>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -35,6 +38,12 @@ struct PhaseTimer {
     t0 = t1;
   }
 };
+
+template <class I>
+static i64 stitch_tours(i64 n_nodes, i64 n_edges, const I* dst,
+                        const I* mirror, std::vector<I>& tour_data,
+                        const std::vector<i64>& tour_off, i64* cycles_out,
+                        i64* cycle_offsets, PhaseTimer& timer);
 
 // Eulerian bicycle decomposition core, templated on the index type: at
 // <2^31 edges the working arrays are int32, halving the cache traffic of
@@ -95,9 +104,22 @@ static i64 euler_decompose_impl(i64 n_nodes, i64 n_edges, const i64* src64,
     }
     tour_off.push_back((i64)tour_data.size());
   }
+  timer.lap("A subtours");
+  return stitch_tours<I>(n_nodes, n_edges, dst.data(), mirror.data(),
+                         tour_data, tour_off, cycles_out, cycle_offsets,
+                         timer);
+}
+
+// Phases B + C shared by the Hierholzer and pairing decompositions:
+// bucket subtours by binode, stitch each shared-binode group into one
+// bicycle per mirror-connected component.
+template <class I>
+static i64 stitch_tours(i64 n_nodes, i64 n_edges, const I* dst,
+                        const I* mirror, std::vector<I>& tour_data,
+                        const std::vector<i64>& tour_off, i64* cycles_out,
+                        i64* cycle_offsets, PhaseTimer& timer) {
   const i64 n_tours = (i64)tour_off.size() - 1;
   const i64 n_tour_edges = (i64)tour_data.size();
-  timer.lap("A subtours");
 
   // Phase B: bucket tour-edge occurrences by binode key min(v, mirror(v))
   // via counting sort (flat CSR; a std::map of vectors here cost ~6s at
@@ -228,6 +250,99 @@ static i64 euler_decompose_impl(i64 n_nodes, i64 n_edges, const i64* src64,
   timer.lap("C stitch");
   return n_cycles;
 }
+
+// Pairing-based Eulerian bicycle decomposition (the parallel-friendly
+// phase A replacement; see ops/euler.py for the math).  A deterministic
+// mirror-compatible arc pairing pi is built per binode (in-arc i pairs
+// with out-arc i; in-arcs at v are the mirrors of out-arcs at mirror(v),
+// in that derived order).  pi never maps an arc to its own mirror, so no
+// pi-cycle is its own mirror image: cycles come in mirror pairs, and
+// scanning start arcs in ascending order while marking both e and e^1
+// visited keeps exactly one cycle per pair (each biedge covered once).
+// The chase costs ~1 random read per arc vs the Hierholzer cursor scan's
+// ~4-6, and the pairing build is thread-parallel.
+static i64 pairing_decompose_impl(i64 n_nodes, i64 n_edges,
+                                  const int32_t* dst, const int32_t* mirror,
+                                  const i64* out_off,
+                                  const int32_t* out_edges, i64 n_threads,
+                                  i64* cycles_out, i64* cycle_offsets) {
+  using I = int32_t;
+  PhaseTimer timer("euler_pairing");
+  std::vector<I> pi(n_edges);
+  std::atomic<bool> balanced{true};
+
+  auto build = [&](i64 lo, i64 hi) {
+    for (i64 v = lo; v < hi; ++v) {
+      I mv = mirror[v];
+      if ((i64)mv < v) continue;  // the representative handles both sides
+      const i64 ob = out_off[v], oe = out_off[v + 1];
+      const i64 odeg = oe - ob;
+      if ((i64)mv != v) {
+        // in-arcs at v = mirrors of out-arcs at mv, same count iff
+        // balanced; pair rank-to-rank, induce the mirrored pairing at mv
+        const i64 ib = out_off[mv];
+        if (out_off[mv + 1] - ib != odeg) {
+          balanced.store(false, std::memory_order_relaxed);
+          return;
+        }
+        for (i64 i = 0; i < odeg; ++i) {
+          const I a = out_edges[ib + i] ^ (I)1;  // in-arc at v
+          const I b = out_edges[ob + i];         // out-arc at v
+          pi[a] = b;
+          pi[b ^ 1] = a ^ 1;
+        }
+      } else {
+        // self-mirror: fixpoint-free involution on the in-arcs
+        if (odeg & 1) {
+          balanced.store(false, std::memory_order_relaxed);
+          return;
+        }
+        for (i64 i = 0; i + 1 < odeg; i += 2) {
+          const I b0 = out_edges[ob + i], b1 = out_edges[ob + i + 1];
+          pi[b0 ^ 1] = b1;
+          pi[b1 ^ 1] = b0;
+        }
+      }
+    }
+  };
+  if (n_threads > 1 && n_nodes > (i64)1 << 16) {
+    std::vector<std::thread> ts;
+    const i64 chunk = (n_nodes + n_threads - 1) / n_threads;
+    for (i64 t = 0; t < n_threads; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n_nodes) break;
+      ts.emplace_back(build, lo, std::min(n_nodes, lo + chunk));
+    }
+    for (auto& t : ts) t.join();
+  } else {
+    build(0, n_nodes);
+  }
+  if (!balanced.load()) return -1;
+  timer.lap("A' pairing");
+
+  // Extract one cycle per mirror pair, ascending start arc.  e and e^1
+  // sit in the same bitmap word (adjacent bits).
+  std::vector<uint64_t> visited((n_edges + 63) / 64, 0);
+  std::vector<I> tour_data;
+  tour_data.reserve(n_edges / 2 + 1);
+  std::vector<i64> tour_off{0};
+  for (i64 e0 = 0; e0 < n_edges; ++e0) {
+    if ((visited[e0 >> 6] >> (e0 & 63)) & 1) continue;
+    I cur = (I)e0;
+    do {
+      tour_data.push_back(cur);
+      visited[(i64)cur >> 6] |= (1ull << (cur & 63)) | (1ull << ((cur ^ 1) & 63));
+      cur = pi[cur];
+    } while (cur != (I)e0);
+    tour_off.push_back((i64)tour_data.size());
+  }
+  pi.clear();
+  pi.shrink_to_fit();
+  timer.lap("A' extract");
+
+  return stitch_tours<I>(n_nodes, n_edges, dst, mirror, tour_data, tour_off,
+                         cycles_out, cycle_offsets, timer);
+}
 }
 
 extern "C" {
@@ -291,6 +406,22 @@ i64 euler_decompose(i64 n_nodes, i64 n_edges, const i64* src, const i64* dst,
   return euler_decompose_impl<i64>(n_nodes, n_edges, src, dst, mirror_node,
                                    out_off, out_edges, cycles_out,
                                    cycle_offsets);
+}
+
+// Pairing-based Eulerian bicycle decomposition (the default production
+// path; euler_decompose above is the Hierholzer variant kept for
+// comparison/regression).  Takes the graph's native int32 arrays
+// directly -- no int64 conversion copies on either side.  Requires
+// n_edges < 2^31.  Returns like euler_decompose (-1 = unbalanced).
+i64 euler_decompose_pairing(i64 n_nodes, i64 n_edges, const int32_t* dst,
+                            const int32_t* mirror_node, const i64* out_off,
+                            const int32_t* out_edges, i64 n_threads,
+                            i64* cycles_out, i64* cycle_offsets) {
+  if (n_edges >= (i64)INT32_MAX - 1 || n_nodes >= (i64)INT32_MAX - 1)
+    return -4;  // int32 interface ceiling
+  return pairing_decompose_impl(n_nodes, n_edges, dst, mirror_node, out_off,
+                                out_edges, n_threads < 1 ? 1 : n_threads,
+                                cycles_out, cycle_offsets);
 }
 
 // Maximal edge-disjoint biwalk cover (pathtigs).  Walks are extended

@@ -37,6 +37,63 @@ def test_euler_native_matches_python(case):
 
 
 @pytest.mark.parametrize("case", CASES)
+def test_euler_pairing_native_matches_python(case):
+    g = _balanced_graph(case)
+    native_cycles = euler._eulerian_bicycle_decomposition_pairing_native(g)
+    py_cycles = euler.eulerian_bicycle_decomposition_pairing_py(g)
+    assert len(native_cycles) == len(py_cycles)
+    for a, b in zip(native_cycles, py_cycles):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_euler_pairing_equivalent_to_hierholzer(case):
+    """Same bicycle count (one per mirror-connected component), same
+    biedge coverage, every cycle a closed mirror-consuming walk."""
+    g = _balanced_graph(case)
+    c_p = euler.eulerian_bicycle_decomposition(g, method="pairing")
+    c_h = euler.eulerian_bicycle_decomposition(g, method="hierholzer")
+    assert len(c_p) == len(c_h)
+
+    def biedge_cover(cycles):
+        e = np.concatenate(cycles)
+        return np.sort(np.minimum(e, e ^ 1))
+
+    # each biedge exactly once, in exactly one orientation
+    cover = biedge_cover(c_p)
+    assert np.array_equal(cover, biedge_cover(c_h))
+    assert np.array_equal(cover, np.arange(0, g.n_edges, 2))
+    dst, src = g.dsts(), g.srcs()
+    for cyc in c_p:
+        assert np.array_equal(dst[cyc], src[np.roll(cyc, -1)])
+
+
+def test_euler_pairing_self_mirror_and_parallel_edges():
+    """Self-mirror binodes (odd k-1 palindromes) and parallel biedges
+    exercise the fixpoint-free involution and duplicate-slot branches."""
+    from matchtigs_tpu.graph.bigraph import Bigraph
+
+    # self-mirror node 2 with two parallel self-loop biedges plus a
+    # 2-cycle through an ordinary mirror pair
+    mirror = np.array([1, 0, 2], dtype=np.int32)
+    g = Bigraph(3, mirror.copy())
+    g.add_biedge_pair(2, 2, 1, 0, True, 0)
+    g.add_biedge_pair(2, 2, 1, 1, True, 0)
+    g.add_biedge_pair(2, 0, 1, 2, True, 0)
+    g.add_biedge_pair(0, 2, 1, 3, True, 0)
+    assert euler.decomposes_into_eulerian_bicycles(g)
+    c_n = euler._eulerian_bicycle_decomposition_pairing_native(g)
+    c_p = euler.eulerian_bicycle_decomposition_pairing_py(g)
+    assert len(c_n) == len(c_p)
+    for a, b in zip(c_n, c_p):
+        assert np.array_equal(a, b)
+    e = np.concatenate(c_n)
+    assert np.array_equal(
+        np.sort(np.minimum(e, e ^ 1)), np.arange(0, g.n_edges, 2)
+    )
+
+
+@pytest.mark.parametrize("case", CASES)
 def test_pathtigs_native_matches_python(case):
     store, _, k = testing.make_unitig_store(**case)
     g = build_bigraph_from_unitigs(store, k)
