@@ -158,6 +158,16 @@ def _collapse_candidates(
 
 def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
     """Mutates `g` (adds dummy biedges) and returns edge walks."""
+    import time
+
+    t0 = time.monotonic()
+
+    def lap(label):
+        nonlocal t0
+        t1 = time.monotonic()
+        logger.info("%s: %.2fs", label, t1 - t0)
+        t0 = t1
+
     k = config.k
     out_nodes, in_mask, _ = unbalanced_nodes(g)
     diff = g.imbalances()
@@ -179,6 +189,7 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
     stats = SearchStats()
     candidates = collect_candidates(g, out_nodes, in_mask, k, gt_config, stats)
     logger.info("Found %d candidate shortest paths", len(candidates))
+    lap("Candidate phase")
     if config.performance_counters and len(candidates):
         stats.log_ball_sizes(candidates, g.n_nodes, out_nodes)
 
@@ -190,6 +201,7 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
         g, candidates, ids_start, ids_count, n_ids
     )
     logger.info("Collapsed to %d matching edges", len(ka))
+    lap("Candidate collapse")
 
     # Components of the bidirected graph (doubled edges + mirror pairing);
     # each component's Eulerian tour needs >= 1 break, granted free by the
@@ -197,11 +209,13 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
     comp = _bidirected_components(g)
     rep_counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
     id_comp = np.repeat(comp[reps].astype(np.int64), rep_counts)
+    lap("WCC decomposition")
 
     matched_pairs = _allocate_and_match(
         ka, kb, kw, n_ids, id_comp, k, dense_limit=config.dense_limit
     )
     logger.info("Matched %d id pairs", len(matched_pairs))
+    lap("Matching")
 
     if config.matching_file_prefix is not None:
         inst = f"{config.matching_file_prefix}.matching"
@@ -241,17 +255,20 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
 
     assert g.verify_node_pairing()
     assert g.verify_edge_mirror_property()
+    lap("Apply matching")
 
     logger.info("Making graph Eulerian by completing unmatched nodes")
     euler.make_eulerian_with_breaking_edges(g, k, dummy_edge_id)
     if not euler.decomposes_into_eulerian_bicycles(g):
         raise AssertionError("Failed to make the graph Eulerian")
     euler.assert_no_consecutive_dummy_edges(g, k)
+    lap("Balance")
 
     cycles = euler.eulerian_bicycle_decomposition(g)
     logger.info("Found %d Eulerian bicycles", len(cycles))
     tigs = euler.break_cycles(g, cycles, k)
     logger.info("Found %d matchtigs", len(tigs))
+    lap("Euler + break")
     return tigs
 
 

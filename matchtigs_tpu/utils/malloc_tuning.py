@@ -63,3 +63,54 @@ def tune_malloc(mmap_threshold: int = _INT_MAX) -> bool:
     else:
         logger.debug("mallopt(M_MMAP_THRESHOLD/M_TRIM_THRESHOLD) rejected")
     return ok
+
+
+_MADV_POPULATE_WRITE = 23  # linux 5.14+
+
+
+def prewarm_heap(n_bytes: int, chunk: int = 1 << 30) -> bool:
+    """Pre-fault ~n_bytes of heap arena with bulk page population.
+
+    Large numpy allocations otherwise pay first-touch page faults one at
+    a time; on this class of virtualized host a cold 1.2 GB fill measured
+    anywhere from 0.4s to 39s, while MADV_POPULATE_WRITE populates the
+    same range in ~1s of one syscall.  Chunks stay below the (raised)
+    mmap threshold so they extend the reusable heap arena, and with
+    M_TRIM_THRESHOLD at INT_MAX the pages stay resident after free.
+
+    Call after tune_malloc(), sized to the expected peak working set.
+    Returns True if population succeeded (False = unsupported kernel or
+    allocation failure; harmless, first-touch just happens lazily).
+    """
+    if not tune_malloc():
+        return False
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.malloc.restype = ctypes.c_void_p
+        libc.free.argtypes = [ctypes.c_void_p]
+    except OSError:
+        return False
+    ok = True
+    ptrs = []
+    remaining = int(n_bytes)
+    while remaining > 0:
+        size = min(chunk, remaining)
+        p = libc.malloc(ctypes.c_size_t(size))
+        if not p:
+            ok = False
+            break
+        # madvise needs a page-aligned range; align inside the block
+        aligned = (p + 4095) & ~4095
+        alen = (size - (aligned - p)) & ~4095
+        if alen <= 0 or libc.madvise(
+            ctypes.c_void_p(aligned), ctypes.c_size_t(alen),
+            _MADV_POPULATE_WRITE,
+        ) != 0:
+            ok = False  # pre-5.14 kernel: fall back to lazy faulting
+            libc.free(ctypes.c_void_p(p))
+            break
+        ptrs.append(p)
+        remaining -= size
+    for p in ptrs:
+        libc.free(ctypes.c_void_p(p))
+    return ok and remaining <= 0
