@@ -148,7 +148,12 @@ def _collapse_candidates(
     # The same id pair can arise with different weights (unbalanced
     # self-mirror endpoints where d(u->v) != d(v->u)); keep the minimum
     # weight per pair so the matching never uses the longer path.
-    order = np.lexsort((wr, key))
+    wmax = int(wr.max(initial=0))
+    if wmax < 128 and n_ids < (1 << 28):
+        # single packed key (one argsort) instead of a two-key lexsort
+        order = np.argsort(key * 128 + wr, kind="stable")
+    else:
+        order = np.lexsort((wr, key))
     key_s = key[order]
     first = np.ones(len(key_s), dtype=bool)
     first[1:] = key_s[1:] != key_s[:-1]
