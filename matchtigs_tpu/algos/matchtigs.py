@@ -99,7 +99,9 @@ def _collapse_candidates(
     pair edges, vectorized (the GraphMatchingNodeMap product expansion,
     /root/reference/src/implementation/matchtigs/mod.rs:273-305).
 
-    Returns (keys_a, keys_b, w, u, v) arrays, one row per unique id pair.
+    Returns (keys_a, keys_b, w, u, v) arrays, one row per unique id pair,
+    sorted ascending by the pair key ``keys_a * n_ids + keys_b`` (the
+    apply step relies on this to skip a re-sort).
     """
     if len(candidates) == 0:
         e = np.empty(0, dtype=np.int64)
@@ -108,6 +110,10 @@ def _collapse_candidates(
     v = candidates.v
     w = candidates.d
     assert np.all(w >= 1), "zero-weight candidate path"
+    if n_ids < (1 << 23) and int(w.max(initial=0)) < 128:
+        return _collapse_candidates_packed(
+            g, u, v, w, ids_start, ids_count, n_ids
+        )
     cu = ids_count[u]
     cv = ids_count[v]
     # Flat index-arithmetic expansion: candidate r contributes cu*cv rows
@@ -159,6 +165,92 @@ def _collapse_candidates(
     first[1:] = key_s[1:] != key_s[:-1]
     sel = order[first]
     return lo[sel], hi[sel], wr[sel], ur[sel], vr[sel]
+
+
+_IDB = 23  # id bits in the packed collapse row (n_ids < 2^23)
+_ID_MASK = (1 << _IDB) - 1
+
+
+def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
+    """Value-sort collapse: each expanded row packs into ONE int64
+    ``lo<<33 | hi<<10 | w<<3 | o<<2 | su<<1 | sv`` (56 bits), sorted by
+    VALUE — no index permutation, no post-sort gathers, and roughly half
+    the full-length temporaries of the argsort path (the cold 60M-base
+    collapse was fault-bound at 110s / 26.5s warm).
+
+    The three orientation bits recover the concrete edge after dedup —
+    matching ids are shared by a binode and its mirror, so (lo, hi)
+    alone is ambiguous up to mirrors: ``o`` says the lo id belongs to
+    the out-node side, ``su``/``sv`` say whether the out/in node is the
+    canonical class member.  Dedup keeps the minimum (w, o, su, sv) per
+    id pair: the minimum weight, with a deterministic tie-break among
+    equal-weight candidate rows (any of which is a real shortest path).
+    """
+    mirror = g.mirror_node.astype(np.int64)
+    is_canon = np.arange(g.n_nodes, dtype=np.int64) <= mirror
+
+    cu = ids_count[u]
+    cv = ids_count[v]
+    pc = cu * cv
+    multi = pc > 1
+
+    def pack_into(out, uu, vv, ww, aa, bb):
+        o = aa <= bb
+        np.left_shift(np.where(o, aa, bb), _IDB + 10, out=out)
+        out |= np.where(o, bb, aa) << 10
+        out |= ww << 3
+        out |= o.astype(np.int64) << 2
+        out |= is_canon[uu].astype(np.int64) << 1
+        out |= is_canon[vv].astype(np.int64)
+
+    if multi.any():
+        single = ~multi
+        us, vs = u[single], v[single]
+        um, vm, wm = u[multi], v[multi], w[multi]
+        pcm = pc[multi]
+        mtot = int(pcm.sum())
+        base = np.cumsum(pcm) - pcm
+        midx = np.repeat(np.arange(len(um), dtype=np.int64), pcm)
+        off = np.arange(mtot, dtype=np.int64) - base[midx]
+        cvm = cv[multi][midx]
+        i = off // cvm
+        j = off - i * cvm
+        um, vm, wm = um[midx], vm[midx], wm[midx]
+        n1 = len(us)
+        packed = np.empty(n1 + mtot, dtype=np.int64)
+        pack_into(packed[:n1], us, vs, w[single], ids_start[us], ids_start[vs])
+        pack_into(packed[n1:], um, vm, wm, ids_start[um] + i, ids_start[vm] + j)
+    else:
+        packed = np.empty(len(u), dtype=np.int64)
+        pack_into(packed, u, v, w, ids_start[u], ids_start[v])
+
+    packed.sort()
+    key = packed >> 10
+    first = np.empty(len(key), dtype=bool)
+    if len(first):
+        first[0] = True
+        np.not_equal(key[1:], key[:-1], out=first[1:])
+    vals = packed[first]
+    lo = vals >> (_IDB + 10)
+    hi = (vals >> 10) & _ID_MASK
+    keep = lo != hi  # same-id self-loops only from mirror biedges
+    vals, lo, hi = vals[keep], lo[keep], hi[keep]
+    wk = (vals >> 3) & 127
+    o = (vals >> 2) & 1
+    su = (vals >> 1) & 1
+    sv = vals & 1
+
+    # canonical node per id: canonical class reps ascending own the
+    # consecutive id ranges (ids_start is a cumsum over them)
+    canon_nodes = np.flatnonzero((ids_count > 0) & is_canon)
+    node_of_id = np.repeat(canon_nodes, ids_count[canon_nodes])
+    a_node = node_of_id[lo]
+    b_node = node_of_id[hi]
+    u_can = np.where(o == 1, a_node, b_node)
+    v_can = np.where(o == 1, b_node, a_node)
+    ur = np.where(su == 1, u_can, mirror[u_can])
+    vr = np.where(sv == 1, v_can, mirror[v_can])
+    return lo, hi, wk, ur, vr
 
 
 def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
@@ -241,13 +333,14 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
     mp = np.asarray(matched_pairs, dtype=np.int64).reshape(-1, 2)
     dummy_edge_id = len(mp)
     if len(mp):
+        # _collapse_candidates emits rows ascending in lo*n_ids+hi (it
+        # dedups via a sorted first-of-run), so no re-sort is needed
+        # (the argsort here cost ~10s at 35M edges / 60M bases).
         pair_keys = ka * n_ids + kb
-        key_order = np.argsort(pair_keys)
-        sorted_keys = pair_keys[key_order]
         keys = np.minimum(mp[:, 0], mp[:, 1]) * n_ids + np.maximum(
             mp[:, 0], mp[:, 1]
         )
-        idx = key_order[np.searchsorted(sorted_keys, keys)]
+        idx = np.searchsorted(pair_keys, keys)
         assert np.all(pair_keys[idx] == keys), "matched pair has no edge"
         g.add_biedge_pairs(
             src=ku[idx],

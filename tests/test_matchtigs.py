@@ -278,3 +278,73 @@ def test_matchtigs_giant_component_exact():
     lg = sum(k - 1 + int(gg.weights()[t].sum()) for t in tigs_g)
     assert lm <= lg
     testing.assert_tigs_spell_kmer_set(gm, tigs_m, store, k, kmers, allow_duplicates=True)
+
+
+@pytest.mark.parametrize("seed", [0, 2, 5, 9])
+def test_collapse_packed_matches_argsort_path(seed):
+    """The packed value-sort collapse must produce the identical
+    deduplicated (lo, hi, w) set as the argsort path, and its recovered
+    (u, v, w) orientation rows must be real candidate shortest paths."""
+    from matchtigs_tpu.algos.greedytigs import GreedytigConfig, collect_candidates
+    from matchtigs_tpu.algos.matchtigs import (
+        _collapse_candidates_packed,
+        _matching_node_ids,
+    )
+    from matchtigs_tpu.algos import matchtigs as mt_mod
+    from matchtigs_tpu.ops.matching import unbalanced_nodes
+
+    store, _, k = testing.make_unitig_store(
+        genome_length=4000, k=9, seed=seed
+    )
+    g = build_bigraph_from_unitigs(store, k)
+    out_nodes, in_mask, _ = unbalanced_nodes(g)
+    diff = g.imbalances()
+    cands = collect_candidates(g, out_nodes, in_mask, k, GreedytigConfig(k=k))
+    ids_start, ids_count, n_ids, reps, offsets = _matching_node_ids(g, diff)
+    if n_ids == 0 or len(cands) == 0:
+        pytest.skip("balanced graph")
+
+    pa, pb, pw, pu, pv = _collapse_candidates_packed(
+        g, cands.u, cands.v, cands.d, ids_start, ids_count, n_ids
+    )
+    # oracle: the argsort path (force it by calling the body directly)
+    u, v, w = cands.u, cands.v, cands.d
+    cu, cv = ids_count[u], ids_count[v]
+    pc = cu * cv
+    multi = pc > 1
+    if multi.any():
+        um, vm, wm = u[multi], v[multi], w[multi]
+        pcm = pc[multi]
+        mtot = int(pcm.sum())
+        base = np.cumsum(pcm) - pcm
+        midx = np.repeat(np.arange(len(um), dtype=np.int64), pcm)
+        off = np.arange(mtot, dtype=np.int64) - base[midx]
+        cvm = cv[multi][midx]
+        i = off // cvm
+        j = off - i * cvm
+        am = ids_start[um[midx]] + i
+        bm = ids_start[vm[midx]] + j
+        a = np.concatenate([ids_start[u[~multi]], am])
+        b = np.concatenate([ids_start[v[~multi]], bm])
+        ridx = np.concatenate(
+            [np.flatnonzero(~multi), np.flatnonzero(multi)[midx]]
+        )
+    else:
+        a, b, ridx = ids_start[u], ids_start[v], np.arange(len(u))
+    keep = a != b
+    kr = ridx[keep]
+    lo, hi, wr = np.minimum(a, b)[keep], np.maximum(a, b)[keep], w[kr]
+    order = np.lexsort((wr, lo * n_ids + hi))
+    key_s = (lo * n_ids + hi)[order]
+    first = np.ones(len(key_s), dtype=bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    sel = order[first]
+    assert np.array_equal(pa, lo[sel]) and np.array_equal(pb, hi[sel])
+    assert np.array_equal(pw, wr[sel])
+    # orientation rows are real candidates with the right weight
+    cand_set = {
+        (int(x), int(y), int(z))
+        for x, y, z in zip(cands.u, cands.v, cands.d)
+    }
+    for x, y, z in zip(pu.tolist(), pv.tolist(), pw.tolist()):
+        assert (x, y, z) in cand_set
