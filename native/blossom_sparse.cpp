@@ -53,6 +53,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <cstdint>
@@ -1052,9 +1053,18 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
         for (i64 i = 0; i < nl; ++i) mate[i] = -1;
         continue;
       }
+      const bool big = ml > 1000000 && std::getenv("MATCHTIGS_NATIVE_TRACE");
+      auto t0 = std::chrono::steady_clock::now();
       SparseBlossom sb((int)nl, ml, eu + edge_off[c], ev + edge_off[c],
                        ew + edge_off[c]);
       sb.solve();
+      if (big)
+        std::fprintf(
+            stderr, "[blossom-batch] comp %lld: %lld ids %lld edges %.1fs\n",
+            c, nl, ml,
+            std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                          t0)
+                .count());
       if (verify) {
         int bad = sb.verify_optimum();
         if (bad && verify_abort) std::abort();
