@@ -81,16 +81,6 @@ class SparseBlossom {
       nbr_[eu_[e]].push_back(2 * (int)e + 1);  // points toward ev
       nbr_[ev_[e]].push_back(2 * (int)e);      // points toward eu
     }
-    // Weight-descending adjacency enables the scan cutoff: every dual is
-    // >= 0 at all times (uniform init + delta1 bounding the shared S
-    // trajectory), so slack(e) >= dual(v) - w2(e) and a scan of v can
-    // stop at the first neighbor with w2 < dual(v) - 1 -- nothing below
-    // the cut can be tight or forced now; a single rescan sentinel event
-    // (rate-2 worst case) covers the future.  Stable sort keeps a
-    // deterministic order among equal weights.
-    for (auto& lst : nbr_)
-      std::stable_sort(lst.begin(), lst.end(),
-                       [&](int a, int b) { return ew_[a / 2] > ew_[b / 2]; });
     mate_.assign(n_, -1);
     label_.assign(2 * n_, 0);
     label_end_.assign(2 * n_, -1);
@@ -112,8 +102,7 @@ class SparseBlossom {
     bevent_stamp_.assign(2 * n_, kInfEvent);
     tree_of_.assign(2 * n_, -1);
     tree_alive_.assign(n_, 1);
-    // ids [m_, m_ + n_): per-vertex rescan sentinels (scan cutoff)
-    event_stamp_.assign(m_ + n_, kInfEvent);
+    event_stamp_.assign(m_, kInfEvent);
     cur_root_ = -1;
   }
 
@@ -417,17 +406,9 @@ class SparseBlossom {
       // and edges from outside S-vertices to now-unlabeled children
       // switch from rate-0 (S-T, not delta-relevant) to rate-1
       // (S-unlabeled) without any scan: refresh delta events for every
-      // leaf's incident edges under the new top labels.  Leaves here are
-      // T or unlabeled (duals frozen or rising), so edges below
-      // w2 < dual(lv) can never tighten while that holds -- the same
-      // cutoff as the freed-vertex pass.
-      for (int lv : all_leaves) {
-        const i64 ylv = true_dual_v(lv);
-        for (int p : nbr_[lv]) {
-          if (w2(p / 2) < ylv) break;
-          push_event(p / 2);
-        }
-      }
+      // leaf's incident edges under the new top labels.
+      for (int lv : all_leaves)
+        for (int p : nbr_[lv]) push_event(p / 2);
     }
     label_[b] = 0;
     label_end_[b] = -1;
@@ -582,19 +563,8 @@ class SparseBlossom {
         if (get_label(bv0) != 1) continue;  // stale: tree died / relabeled
         cur_root_ = tree_of_[bv0];
         ++dbg_scans;
-        // Scan cutoff: duals never go negative, so slack(e) >= yv - w2(e);
-        // with the adjacency weight-descending, edges past the first
-        // w2 < yv - 1 can be neither tight nor forced (forced slack is 1)
-        // in this drain.  A rescan sentinel at the earliest time the
-        // first skipped edge could tighten (slack falls at most 2 per
-        // unit delta) re-queues v to extend the scan.
-        const i64 yv = true_dual_v(v);
         for (int p : nbr_[v]) {
           i64 k = p / 2;
-          if (w2(k) < yv - 1) {
-            push_event_key(m_ + v, delta_total_ + (yv - w2(k)) / 2);
-            break;
-          }
           int w = endpoint_[p];
           if (in_blossom_[v] == in_blossom_[w]) continue;
           // Tightness is tested directly: cached allow flags go stale in
@@ -667,15 +637,8 @@ class SparseBlossom {
                     if (base_[top] < 0) continue;  // expanded since
                     blossom_leaves(top, leaves_scratch_);
                   }
-                  for (int x : leaves_scratch_) {
-                    // Freed vertices have frozen duals, so edges with
-                    // w2 < dual(x) keep slack >= dual(x) - w2 > 0 for as
-                    // long as x stays unlabeled -- and a relabeling
-                    // re-covers them (S: fresh scan; T: rate-0).  No
-                    // sentinel needed; just stop at the cutoff.
-                    const i64 yx = true_dual_v(x);
+                  for (int x : leaves_scratch_)
                     for (int q : nbr_[x]) {
-                      if (w2(q / 2) < yx) break;
                       int o = endpoint_[q];
                       if (get_label(in_blossom_[o]) != 1) continue;
                       // Requeue the S vertex only when the edge to the
@@ -688,7 +651,6 @@ class SparseBlossom {
                       else
                         push_event(q / 2);
                     }
-                  }
                   members_[r].clear();
                 }
                 if (checktrees) validate_trees("augment");
@@ -743,17 +705,6 @@ class SparseBlossom {
           if (key - delta_total_ >= delta) break;  // cannot beat current best
           events_.pop();
           if (key == event_stamp_[e]) event_stamp_[e] = kInfEvent;
-          if (e >= m_) {
-            // Rescan sentinel: the first edge skipped by v's scan cutoff
-            // could tighten from here on -- requeue v to extend its scan.
-            // Firing early is harmless; a dead/relabeled v is skipped.
-            int v = (int)(e - m_);
-            if (get_label(in_blossom_[v]) != 1) continue;
-            delta = key - delta_total_;
-            delta_type = 5;
-            delta_edge = e;
-            break;
-          }
           int bi = in_blossom_[eu_[e]], bj = in_blossom_[ev_[e]];
           if (bi == bj) continue;
           int li = get_label(bi), lj = get_label(bj);
@@ -837,9 +788,7 @@ class SparseBlossom {
                      dbg_adjusts, delta_type, delta, live_roots,
                      events_.size(), dbg_scans);
       if (delta_type == 1) break;  // free roots hit dual 0: optimum
-      if (delta_type == 5) {
-        queue_.push_back((int)(delta_edge - m_));
-      } else if (delta_type == 2) {
+      if (delta_type == 2) {
         int i = (int)eu_[delta_edge];
         if (get_label(in_blossom_[i]) != 1) i = (int)ev_[delta_edge];
         queue_.push_back(i);
