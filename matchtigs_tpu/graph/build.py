@@ -121,20 +121,18 @@ def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
             f"Unitig {bad} has length {int(lengths[bad])} < k={k}"
         )
 
-    # Gather endpoint (k-1)-mers: prefix and suffix of each unitig,
-    # vectorized unpack straight from the 2-bit arena.
-    pref = store.gather_windows(offsets[:-1], km1)  # [U, k-1]
-    suff = store.gather_windows(offsets[1:] - km1, km1)  # [U, k-1]
-    # Oriented node keys needed: pref, suff, rc(pref), rc(suff).
+    # Endpoint (k-1)-mer node keys: pref, suff, rc(pref), rc(suff).
     if km1 <= 31:
-        # rc keys derived arithmetically from the packed forward keys
-        # (no [U, k-1] rc matrices, half the Horner passes).
-        p_pref = _pack_rows(pref)
-        p_suff = _pack_rows(suff)
+        # keys read straight from the 2-bit arena as bit-sliced words (no
+        # [U, k-1] byte matrices at all); rc keys derived arithmetically.
+        p_pref = store.packed_windows(offsets[:-1], km1)
+        p_suff = store.packed_windows(offsets[1:] - km1, km1)
         packed = np.concatenate(
             [p_pref, p_suff, _rc_packed(p_pref, km1), _rc_packed(p_suff, km1)]
         )
     else:
+        pref = store.gather_windows(offsets[:-1], km1)  # [U, k-1]
+        suff = store.gather_windows(offsets[1:] - km1, km1)  # [U, k-1]
         rc_pref = (3 - pref)[:, ::-1]
         rc_suff = (3 - suff)[:, ::-1]
         all_kmers = np.concatenate([pref, suff, rc_pref, rc_suff], axis=0)

@@ -93,3 +93,25 @@ def test_sequence_store_from_flat_roundtrip():
     assert np.array_equal(clone.packed, store.packed)
     for i in range(len(store)):
         assert np.array_equal(clone.get(i), store.get(i))
+
+
+def test_packed_windows_matches_gather_pack():
+    """packed_windows must produce byte-identical keys to the
+    gather_windows + _pack_rows path at every alignment and length."""
+    import numpy as np
+
+    from matchtigs_tpu.graph.build import _pack_rows
+    from matchtigs_tpu.io.sequence_store import SequenceStore
+
+    rng = np.random.default_rng(11)
+    store = SequenceStore()
+    for _ in range(40):
+        store.add(rng.integers(0, 4, int(rng.integers(8, 90))).astype(np.uint8))
+    store.finalize()
+    total = int(store.offsets[-1])
+    for length in (1, 2, 7, 15, 30, 31):
+        starts = rng.integers(0, total - length + 1, 500).astype(np.int64)
+        want = _pack_rows(store.gather_windows(starts, length))
+        got = store.packed_windows(starts, length)
+        assert got.dtype == np.uint64
+        assert np.array_equal(got, want), length
