@@ -21,6 +21,9 @@ import re
 from dataclasses import dataclass
 from pathlib import Path
 
+import numpy as np
+
+from ..utils import dna
 from .sequence_store import SequenceStore
 
 
@@ -59,21 +62,74 @@ def _iter_fasta_records(stream) -> "iter[tuple[bytes, bytes]]":
         yield header, b"".join(chunks)
 
 
-def read_fasta(path: str | Path) -> tuple[SequenceStore, list[bytes]]:
+def read_fasta(
+    path: str | Path, with_headers: bool = True
+) -> tuple[SequenceStore, list[bytes] | None]:
     """Read unitigs from a (possibly gzipped) fasta file.
 
     Covers both the plain-fasta path (/root/reference/src/bin.rs:891-901)
     and the BCALM2 path (:902-915): BCALM2 headers carry topology
     annotations (``L:+:12:-`` links), but the graph builder re-derives
     topology from the sequences, so both reduce to sequence loading.
+
+    The parse is vectorized over the whole byte buffer: per-record python
+    loops cost ~8us per unitig (60s+ on a 7.8M-unitig human-scale file)
+    against ~2s for the numpy line scan + one bulk encode.
     """
-    store = SequenceStore()
-    headers: list[bytes] = []
     with _open_maybe_gz(path) as f:
-        for header, seq in _iter_fasta_records(f):
-            store.add_ascii(seq)
-            headers.append(header)
-    store.finalize()
+        data = f.read()
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        return SequenceStore.from_flat(
+            np.empty(0, np.uint8), np.zeros(1, np.int64)
+        ), []
+    nl = np.flatnonzero(arr == 10)  # '\n'
+    line_s = np.empty(len(nl) + 1, dtype=np.int64)
+    line_s[0] = 0
+    line_s[1:] = nl + 1
+    line_e = np.append(nl, np.int64(n))
+    line_e -= (line_e > line_s) & (arr[np.maximum(line_e - 1, 0)] == 13)  # \r
+    keep = line_s < line_e
+    line_s, line_e = line_s[keep], line_e[keep]
+    is_hdr = arr[line_s] == ord(">")
+    rec = np.cumsum(is_hdr) - 1
+    if len(rec) and rec[0] < 0:
+        raise ValueError(f"{path}: sequence data before the first '>' header")
+    n_rec = int(rec[-1]) + 1 if len(rec) else 0
+    seq = ~is_hdr
+    lens = (line_e - line_s)[seq]
+    rec_len = np.bincount(rec[seq], weights=lens, minlength=n_rec).astype(
+        np.int64
+    )
+    offsets = np.zeros(n_rec + 1, dtype=np.int64)
+    np.cumsum(rec_len, out=offsets[1:])
+    # Boolean-mask out the non-sequence bytes (newlines, \r, header
+    # lines): headers are the small fraction, so this avoids a
+    # full-length int64 gather index (3.7 GB of temporaries at a 60M-base
+    # file).
+    mask = np.ones(n, dtype=bool)
+    mask[nl] = False
+    cr = nl[arr[np.maximum(nl - 1, 0)] == 13]
+    mask[np.maximum(cr - 1, 0)] = False
+    hs, he = line_s[is_hdr], line_e[is_hdr]
+    hl = he - hs
+    hcsum = np.cumsum(hl)
+    hidx = np.repeat(hs - (hcsum - hl), hl) + np.arange(
+        int(hcsum[-1]) if len(hl) else 0, dtype=np.int64
+    )
+    mask[hidx] = False
+    codes = dna.encode_ascii(arr[mask])
+    assert len(codes) == int(offsets[-1])
+    store = SequenceStore.from_flat(codes, offsets)
+    if not with_headers:
+        return store, None  # 7.8M small bytes objects cost ~3s + 400MB
+    headers = [
+        data[s + 1 : e]
+        for s, e in zip(
+            line_s[is_hdr].tolist(), line_e[is_hdr].tolist()
+        )
+    ]
     return store, headers
 
 
@@ -191,5 +247,5 @@ def load_unitigs(
     if bcalm_in is not None:
         store, links = read_bcalm2(bcalm_in)
         return store, int(k), None, links
-    store, _headers = read_fasta(fa_in)
+    store, _ = read_fasta(fa_in, with_headers=False)
     return store, int(k), None, None
