@@ -181,13 +181,13 @@ def main(argv: list[str] | None = None) -> int:
     _log_mem("After load")
 
     # Pre-fault the working-set arena in one bulk syscall: the compute
-    # phases' candidate columns / sort keys scale with the edge count, and
+    # phases' candidate columns / sort keys scale with the candidate
+    # count (~3.3 per edge at k=31, 24B+8B key each, x2 for scratch), and
     # lazy first-touch faults are pathologically slow on oversubscribed
-    # virtualized hosts (0.4-39s per GB observed).  ~56 bytes per edge
-    # covers candidate columns + acceptance keys + Euler arenas at k=31.
+    # virtualized hosts (0.4-39s per GB observed).
     from .utils.malloc_tuning import prewarm_heap
 
-    prewarm = 56 * graph.n_edges
+    prewarm = 224 * graph.n_edges
     if prewarm > (64 << 20) and prewarm_heap(min(prewarm, 12 << 30)):
         logger.info("Prewarmed %.1f GiB of heap arena", min(prewarm, 12 << 30) / 2**30)
 
