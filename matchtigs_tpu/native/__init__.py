@@ -112,6 +112,10 @@ def load() -> ctypes.CDLL:
     lib.euler_decompose_pairing.argtypes = [
         ll, ll, i32p, i32p, llp, i32p, ll, llp, llp,
     ]
+    lib.euler_decompose_splice.restype = ll
+    lib.euler_decompose_splice.argtypes = [
+        ll, ll, i32p, i32p, llp, i32p, ll, llp, llp,
+    ]
     lib.biwalk_cover.restype = ll
     lib.biwalk_cover.argtypes = [ll, ll] + [llp] * 8
     lib.balance_breaking_edges.restype = ll

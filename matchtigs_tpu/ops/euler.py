@@ -257,7 +257,7 @@ def make_eulerian_with_breaking_edges_py(
 
 
 def eulerian_bicycle_decomposition(
-    g: Bigraph, method: str = "pairing"
+    g: Bigraph, method: str = "splice"
 ) -> list[np.ndarray]:
     """Decompose a balanced bidirected graph into Eulerian bicycles.
 
@@ -278,17 +278,30 @@ def eulerian_bicycle_decomposition(
     oracles.
     """
     try:
-        if method == "pairing" and g.n_edges < 2**31 and g.n_nodes < 2**31:
-            return _eulerian_bicycle_decomposition_pairing_native(g)
+        if g.n_edges < 2**31 and g.n_nodes < 2**31:
+            if method == "splice":
+                return _decompose_native_i32(g, "euler_decompose_splice")
+            if method == "pairing":
+                return _decompose_native_i32(g, "euler_decompose_pairing")
         return _eulerian_bicycle_decomposition_native(g)
     except ImportError:
         logger.warning("native graphwalk unavailable; using python fallback")
+        if method == "splice":
+            return eulerian_bicycle_decomposition_splice_py(g)
         if method == "pairing":
             return eulerian_bicycle_decomposition_pairing_py(g)
         return eulerian_bicycle_decomposition_py(g)
 
 
 def _eulerian_bicycle_decomposition_pairing_native(g: Bigraph) -> list[np.ndarray]:
+    return _decompose_native_i32(g, "euler_decompose_pairing")
+
+
+def _eulerian_bicycle_decomposition_splice_native(g: Bigraph) -> list[np.ndarray]:
+    return _decompose_native_i32(g, "euler_decompose_splice")
+
+
+def _decompose_native_i32(g: Bigraph, fn_name: str) -> list[np.ndarray]:
     import os
 
     from .. import native
@@ -304,7 +317,7 @@ def _eulerian_bicycle_decomposition_pairing_native(g: Bigraph) -> list[np.ndarra
     oe32 = np.ascontiguousarray(out_edges, dtype=np.int32)
     cycles_out = np.empty(E, dtype=np.int64)
     offsets_out = np.empty(E, dtype=np.int64)
-    n_cycles = lib.euler_decompose_pairing(
+    n_cycles = getattr(lib, fn_name)(
         g.n_nodes,
         E,
         native.as_i32_ptr(dst),
@@ -318,7 +331,7 @@ def _eulerian_bicycle_decomposition_pairing_native(g: Bigraph) -> list[np.ndarra
     if n_cycles == -1:
         raise AssertionError("open walk in balanced bidirected graph")
     if n_cycles < 0:
-        raise AssertionError(f"euler_decompose_pairing internal error {n_cycles}")
+        raise AssertionError(f"{fn_name} internal error {n_cycles}")
     res = []
     prev = 0
     for i in range(n_cycles):
@@ -394,19 +407,78 @@ def eulerian_bicycle_decomposition_pairing_py(g: Bigraph) -> list[np.ndarray]:
     return _stitch_subtours_py(g, _subtours_pairing_py(g))
 
 
-def _subtours_pairing_py(g: Bigraph) -> list[list[int]]:
-    """Closed subtours from a deterministic mirror-compatible arc pairing.
+def eulerian_bicycle_decomposition_splice_py(g: Bigraph) -> list[np.ndarray]:
+    """Splice-variant oracle (native euler_decompose_splice): pairing pi
+    plus ONE merged Hierholzer-rotation walk per mirror-connected
+    component — no subtour arena or stitch phase.
+
+    Why one walk reaches the whole component: marking e and e^1 together
+    drops every cycle's mirror image, so an unvisited in-arc at a walk
+    node always starts a fresh whole-cycle-unvisited pi-cycle; and every
+    cycle pair incident to binode {v, mirror v} has an in-arc AT v among
+    its two mirror representations (a cycle through mirror(v) has an
+    out-arc there whose mirror is an in-arc at v), so the persistent
+    cursor scan over in-arcs of visited nodes finds every incident pair
+    in its correctly-flipped representation.
+    """
+    E = g.n_edges
+    if E == 0:
+        return []
+    out_off, out_edges = g.out_csr()
+    out_edges = np.asarray(out_edges, dtype=np.int64)
+    mirror = g.mirror_node
+    dst = g.dsts()
+    pi = _pairing_pi_py(g)
+    visited = np.zeros(E, dtype=bool)
+    cursor = np.asarray(out_off[:-1], dtype=np.int64).copy()
+
+    def mark(e0: int) -> None:
+        cur = e0
+        while True:
+            visited[cur] = True
+            visited[cur ^ 1] = True
+            cur = int(pi[cur])
+            if cur == e0:
+                break
+
+    cycles: list[np.ndarray] = []
+    for e0 in range(E):
+        if visited[e0]:
+            continue
+        mark(e0)
+        out: list[int] = []
+        cur = e0
+        while True:
+            out.append(cur)
+            v = int(dst[cur])
+            mv = int(mirror[v])
+            c = cursor[mv]  # in-arcs at v live in mv's out slice
+            end = int(out_off[mv + 1])
+            while c < end:
+                a2 = int(out_edges[c]) ^ 1
+                if not visited[a2]:
+                    mark(a2)
+                    pi[cur], pi[a2] = pi[a2], pi[cur]
+                c += 1
+            cursor[mv] = c
+            cur = int(pi[cur])
+            if cur == e0:
+                break
+        cycles.append(np.asarray(out, dtype=np.int64))
+    return cycles
+
+
+def _pairing_pi_py(g: Bigraph) -> np.ndarray:
+    """The deterministic mirror-compatible arc pairing pi (int64 [E]).
 
     At each binode, the i-th in-arc pairs with the i-th out-arc, where the
     in-arcs at v are the mirrors of the out-arcs at mirror(v) in CSR
     order; self-mirror nodes pair their in-arcs by a fixpoint-free
-    involution (adjacent CSR ranks).  The successor map pi never sends an
-    arc to its own mirror, so no pi-cycle equals its own mirror image
-    (a self-mirror cycle would force a reflection fixed point m(e)=e —
-    impossible — or an adjacent pair pi(e)=m(e) — forbidden); cycles come
-    in mirror pairs.  Scanning start arcs ascending and marking e and e^1
-    together keeps exactly one cycle per pair: each biedge is covered
-    exactly once.
+    involution (adjacent CSR ranks).  pi never sends an arc to its own
+    mirror, so no pi-cycle equals its own mirror image (a self-mirror
+    cycle would force a reflection fixed point m(e)=e — impossible — or
+    an adjacent pair pi(e)=m(e) — forbidden); cycles come in mirror
+    pairs.
     """
     E = g.n_edges
     out_off, out_edges = g.out_csr()
@@ -440,6 +512,15 @@ def _subtours_pairing_py(g: Bigraph) -> list[list[int]]:
     pi[out_edges[even + 1] ^ 1] = out_edges[even]
     assert not np.any(pi < 0)
     assert not np.any(pi == np.arange(E) ^ 1), "pairing maps arc to mirror"
+    return pi
+
+
+def _subtours_pairing_py(g: Bigraph) -> list[list[int]]:
+    """Closed subtours of the arc pairing: scanning start arcs ascending
+    and marking e and e^1 together keeps exactly one cycle per mirror
+    pair — each biedge covered exactly once."""
+    E = g.n_edges
+    pi = _pairing_pi_py(g)
 
     visited = np.zeros(E, dtype=bool)
     tours: list[list[int]] = []

@@ -343,6 +343,125 @@ static i64 pairing_decompose_impl(i64 n_nodes, i64 n_edges,
   return stitch_tours<I>(n_nodes, n_edges, dst, mirror, tour_data, tour_off,
                          cycles_out, cycle_offsets, timer);
 }
+
+// Splice-based decomposition: pairing pi + ONE merged walk per
+// mirror-connected component, no tour arena / bucket sort / stitch.
+//
+// Invariants that make it work (see ops/euler.py for the pairing math):
+//  * marking e and e^1 together drops each cycle's mirror image, so an
+//    unvisited in-arc at node v always belongs to a whole-cycle-unvisited
+//    pi-cycle — splicing it can never consume both orientations of a
+//    biedge;
+//  * every cycle pair incident to binode {v, mirror v} has an in-arc AT v
+//    among its two mirror representations (a cycle through mirror(v) has
+//    an out-arc there, whose mirror is an in-arc at v), so scanning
+//    in-arcs of the walk's own nodes reaches every pair of the component
+//    — the representation found IS the correctly flipped one;
+//  * in-arcs at v are the mirrors of out-arcs at mirror(v): the cursor
+//    walks the out-CSR slice of mirror(v), no in-CSR needed.
+//
+// The splice itself is the classic Hierholzer rotation over pi: at emit
+// position `cur` (an in-arc at v) an unvisited in-arc a2 at v swaps
+// pi[cur] <-> pi[a2]; the walk detours through a2's cycle and returns.
+static i64 splice_decompose_impl(i64 n_nodes, i64 n_edges, const int32_t* dst,
+                                 const int32_t* mirror, const i64* out_off,
+                                 const int32_t* out_edges, i64 n_threads,
+                                 i64* cycles_out, i64* cycle_offsets) {
+  using I = int32_t;
+  PhaseTimer timer("euler_splice");
+  std::vector<I> pi(n_edges);
+  std::atomic<bool> balanced{true};
+
+  auto build = [&](i64 lo, i64 hi) {
+    for (i64 v = lo; v < hi; ++v) {
+      I mv = mirror[v];
+      if ((i64)mv < v) continue;
+      const i64 ob = out_off[v], oe = out_off[v + 1];
+      const i64 odeg = oe - ob;
+      if ((i64)mv != v) {
+        const i64 ib = out_off[mv];
+        if (out_off[mv + 1] - ib != odeg) {
+          balanced.store(false, std::memory_order_relaxed);
+          return;
+        }
+        for (i64 i = 0; i < odeg; ++i) {
+          const I a = out_edges[ib + i] ^ (I)1;
+          const I b = out_edges[ob + i];
+          pi[a] = b;
+          pi[b ^ 1] = a ^ 1;
+        }
+      } else {
+        if (odeg & 1) {
+          balanced.store(false, std::memory_order_relaxed);
+          return;
+        }
+        for (i64 i = 0; i + 1 < odeg; i += 2) {
+          const I b0 = out_edges[ob + i], b1 = out_edges[ob + i + 1];
+          pi[b0 ^ 1] = b1;
+          pi[b1 ^ 1] = b0;
+        }
+      }
+    }
+  };
+  if (n_threads > 1 && n_nodes > (i64)1 << 16) {
+    std::vector<std::thread> ts;
+    const i64 chunk = (n_nodes + n_threads - 1) / n_threads;
+    for (i64 t = 0; t < n_threads; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n_nodes) break;
+      ts.emplace_back(build, lo, std::min(n_nodes, lo + chunk));
+    }
+    for (auto& t : ts) t.join();
+  } else {
+    build(0, n_nodes);
+  }
+  if (!balanced.load()) return -1;
+  timer.lap("A' pairing");
+
+  std::vector<uint64_t> visited((n_edges + 63) / 64, 0);
+  auto is_visited = [&](I e) -> bool {
+    return (visited[(i64)e >> 6] >> (e & 63)) & 1;
+  };
+  auto mark_cycle = [&](I e0) {
+    I cur = e0;
+    do {
+      visited[(i64)cur >> 6] |=
+          (1ull << (cur & 63)) | (1ull << ((cur ^ 1) & 63));
+      cur = pi[cur];
+    } while (cur != e0);
+  };
+  // persistent per-node cursor over the in-arc list (= out-CSR of mirror)
+  std::vector<i64> cursor(out_off, out_off + n_nodes);
+
+  i64 pos = 0;
+  i64 n_cycles = 0;
+  for (i64 e0 = 0; e0 < n_edges; ++e0) {
+    if (is_visited((I)e0)) continue;
+    mark_cycle((I)e0);
+    I cur = (I)e0;
+    do {
+      cycles_out[pos++] = cur;
+      const I v = dst[cur];
+      const I mv = mirror[v];
+      i64& c = cursor[mv];  // in-arcs at v live in mv's out slice
+      const i64 end = out_off[mv + 1];
+      while (c < end) {
+        const I a2 = out_edges[c] ^ (I)1;
+        if (!is_visited(a2)) {
+          mark_cycle(a2);
+          const I t = pi[cur];
+          pi[cur] = pi[a2];
+          pi[a2] = t;
+        }
+        ++c;
+      }
+      cur = pi[cur];
+    } while (cur != (I)e0);
+    cycle_offsets[n_cycles++] = pos;
+  }
+  timer.lap("splice walk");
+  return n_cycles;
+}
 }
 
 extern "C" {
@@ -422,6 +541,20 @@ i64 euler_decompose_pairing(i64 n_nodes, i64 n_edges, const int32_t* dst,
   return pairing_decompose_impl(n_nodes, n_edges, dst, mirror_node, out_off,
                                 out_edges, n_threads < 1 ? 1 : n_threads,
                                 cycles_out, cycle_offsets);
+}
+
+// Splice decomposition (pairing pi + one merged Hierholzer-rotation walk
+// per component; see splice_decompose_impl).  Same interface/returns as
+// euler_decompose_pairing.
+i64 euler_decompose_splice(i64 n_nodes, i64 n_edges, const int32_t* dst,
+                           const int32_t* mirror_node, const i64* out_off,
+                           const int32_t* out_edges, i64 n_threads,
+                           i64* cycles_out, i64* cycle_offsets) {
+  if (n_edges >= (i64)INT32_MAX - 1 || n_nodes >= (i64)INT32_MAX - 1)
+    return -4;  // int32 interface ceiling
+  return splice_decompose_impl(n_nodes, n_edges, dst, mirror_node, out_off,
+                               out_edges, n_threads < 1 ? 1 : n_threads,
+                               cycles_out, cycle_offsets);
 }
 
 // Maximal edge-disjoint biwalk cover (pathtigs).  Walks are extended

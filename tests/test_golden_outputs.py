@@ -26,12 +26,12 @@ from matchtigs_tpu.ops import euler
 
 GOLDEN = [
     # (algorithm, n_tigs, total_chars, sha256[:16] of spelled codes+offsets)
-    # Pinned for the pairing-based Eulerian decomposition (the default
-    # since round 2); the Hierholzer variant's traversal order differs.
+    # Pinned for the splice Eulerian decomposition (the default since
+    # round 2); pairing/Hierholzer traversal orders differ.
     ("pathtigs", 16, 2095, "fbcf2d6edbf2835b"),
-    ("eulertigs", 16, 2095, "a970bc94afc0aff3"),
-    ("greedytigs", 1, 2000, "24cc2f3fdc24d970"),
-    ("matchtigs", 1, 2000, "24cc2f3fdc24d970"),
+    ("eulertigs", 16, 2095, "9e43f061b4af4fa7"),
+    ("greedytigs", 1, 2000, "db0fe17703c87f7d"),
+    ("matchtigs", 1, 2000, "db0fe17703c87f7d"),
 ]
 
 

@@ -47,6 +47,32 @@ def test_euler_pairing_native_matches_python(case):
 
 
 @pytest.mark.parametrize("case", CASES)
+def test_euler_splice_native_matches_python(case):
+    g = _balanced_graph(case)
+    native_cycles = euler._eulerian_bicycle_decomposition_splice_native(g)
+    py_cycles = euler.eulerian_bicycle_decomposition_splice_py(g)
+    assert len(native_cycles) == len(py_cycles)
+    for a, b in zip(native_cycles, py_cycles):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_euler_splice_equivalent_to_pairing(case):
+    g = _balanced_graph(case)
+    c_s = euler.eulerian_bicycle_decomposition(g, method="splice")
+    c_p = euler.eulerian_bicycle_decomposition(g, method="pairing")
+    assert len(c_s) == len(c_p)  # one bicycle per mirror component
+    e_s = np.concatenate(c_s)
+    e_p = np.concatenate(c_p)
+    assert np.array_equal(
+        np.sort(np.minimum(e_s, e_s ^ 1)), np.sort(np.minimum(e_p, e_p ^ 1))
+    )
+    dst, src = g.dsts(), g.srcs()
+    for cyc in c_s:
+        assert np.array_equal(dst[cyc], src[np.roll(cyc, -1)])
+
+
+@pytest.mark.parametrize("case", CASES)
 def test_euler_pairing_equivalent_to_hierholzer(case):
     """Same bicycle count (one per mirror-connected component), same
     biedge coverage, every cycle a closed mirror-consuming walk."""
@@ -225,6 +251,40 @@ def test_bridging_subtour_single_bicycle_native():
     py = euler.eulerian_bicycle_decomposition_py(_bridge_graph())
     assert len(cycles) == 1
     assert np.array_equal(cycles[0], py[0])
+
+
+def test_bridging_subtour_single_bicycle_splice_and_pairing():
+    """The mirror-side bridge must still merge into ONE bicycle under
+    both pairing-based decompositions."""
+    for method in ("splice", "pairing"):
+        g = _bridge_graph()
+        cycles = euler.eulerian_bicycle_decomposition(g, method=method)
+        assert len(cycles) == 1, method
+        c = cycles[0]
+        assert len(c) == 6
+        assert np.all(g.dsts()[c[:-1]] == g.srcs()[c[1:]])
+        assert g.dsts()[c[-1]] == g.srcs()[c[0]]
+
+
+def test_euler_splice_self_mirror_and_parallel_edges():
+    from matchtigs_tpu.graph.bigraph import Bigraph
+
+    mirror = np.array([1, 0, 2], dtype=np.int32)
+    g = Bigraph(3, mirror.copy())
+    g.add_biedge_pair(2, 2, 1, 0, True, 0)
+    g.add_biedge_pair(2, 2, 1, 1, True, 0)
+    g.add_biedge_pair(2, 0, 1, 2, True, 0)
+    g.add_biedge_pair(0, 2, 1, 3, True, 0)
+    assert euler.decomposes_into_eulerian_bicycles(g)
+    c_n = euler._eulerian_bicycle_decomposition_splice_native(g)
+    c_p = euler.eulerian_bicycle_decomposition_splice_py(g)
+    assert len(c_n) == len(c_p)
+    for a, b in zip(c_n, c_p):
+        assert np.array_equal(a, b)
+    e = np.concatenate(c_n)
+    assert np.array_equal(
+        np.sort(np.minimum(e, e ^ 1)), np.arange(0, g.n_edges, 2)
+    )
 
 
 def test_balancer_native_parallel_biedges():
