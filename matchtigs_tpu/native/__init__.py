@@ -116,6 +116,11 @@ def load() -> ctypes.CDLL:
     lib.euler_decompose_splice.argtypes = [
         ll, ll, i32p, i32p, llp, i32p, ll, llp, llp,
     ]
+    i8p_ = ctypes.POINTER(ctypes.c_byte)
+    lib.break_cycles_flat.restype = ll
+    lib.break_cycles_flat.argtypes = [
+        ll, llp, llp, llp, i8p_, ll, llp, llp,
+    ]
     lib.biwalk_cover.restype = ll
     lib.biwalk_cover.argtypes = [ll, ll] + [llp] * 8
     lib.balance_breaking_edges.restype = ll

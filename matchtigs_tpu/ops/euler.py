@@ -679,7 +679,55 @@ def break_cycles(g: Bigraph, cycles: list[np.ndarray], k: int) -> list[np.ndarra
     breaking dummies (weight >= k) and at a dummy in position 0.
 
     Faithful to /root/reference/src/implementation/eulertigs/mod.rs:126-186.
+    Dispatches to the native flat pass (graphwalk.cpp:break_cycles_flat);
+    break_cycles_py is the oracle (the vectorized python still paid ~2s
+    of gathers/rolls/slice objects at a 19M-edge bicycle).
     """
+    try:
+        from .. import native
+
+        lib = native.load()
+    except ImportError:
+        logger.warning("native graphwalk unavailable; using python fallback")
+        return break_cycles_py(g, cycles, k)
+    if not cycles:
+        return []
+    flat = (
+        np.ascontiguousarray(cycles[0], dtype=np.int64)
+        if len(cycles) == 1
+        else np.concatenate(cycles).astype(np.int64, copy=False)
+    )
+    cycle_off = np.cumsum(
+        np.array([len(c) for c in cycles], dtype=np.int64)
+    )
+    weights = np.ascontiguousarray(g.weights(), dtype=np.int64)
+    dmask = np.ascontiguousarray(g.is_dummy(), dtype=np.int8)
+    E = len(flat)
+    tigs_out = np.empty(E, dtype=np.int64)
+    tig_off = np.empty(max(E, 1), dtype=np.int64)
+    n_tigs = lib.break_cycles_flat(
+        len(cycles),
+        native.as_ll_ptr(flat),
+        native.as_ll_ptr(cycle_off),
+        native.as_ll_ptr(weights),
+        native.as_i8_ptr(dmask),
+        k,
+        native.as_ll_ptr(tigs_out),
+        native.as_ll_ptr(tig_off),
+    )
+    res = []
+    prev = 0
+    for i in range(n_tigs):
+        end = int(tig_off[i])
+        res.append(tigs_out[prev:end].copy())
+        prev = end
+    return res
+
+
+def break_cycles_py(
+    g: Bigraph, cycles: list[np.ndarray], k: int
+) -> list[np.ndarray]:
+    """Python oracle for the native cycle breaker."""
     weights = g.weights()
     dummies = g.is_dummy()
     tigs: list[np.ndarray] = []

@@ -743,3 +743,55 @@ i64 balance_breaking_edges(i64 n_nodes, const i64* diff, const i64* mirror,
   return n_pairs;
 }
 }
+
+// Rotate each bicycle so its longest dummy leads, then break at breaking
+// dummies (weight >= k) and at the position-0 dummy; emit flat tig edge
+// lists.  Faithful to the python break_cycles (ops/euler.py), which is
+// the oracle (/root/reference/src/implementation/eulertigs/mod.rs:126-186
+// semantics); the python loop's per-cycle gathers + rolls + ~1M slice
+// objects cost ~2s at a 19M-edge bicycle.
+// cycles: flat edge ids + per-cycle end offsets (the decomposition's
+// output format).  Returns the tig count; tigs_out (capacity n_edges)
+// and tig_offsets (capacity n_edges) receive flat tigs + end offsets.
+extern "C" i64 break_cycles_flat(i64 n_cycles, const i64* cycles,
+                                 const i64* cycle_off, const i64* weights,
+                                 const signed char* is_dummy, i64 k,
+                                 i64* tigs_out, i64* tig_offsets) {
+  i64 pos = 0;
+  i64 n_tigs = 0;
+  for (i64 c = 0; c < n_cycles; ++c) {
+    const i64 lo = c == 0 ? 0 : cycle_off[c - 1];
+    const i64 hi = cycle_off[c];
+    const i64 len = hi - lo;
+    if (len <= 0) continue;
+    // rotation start: first index attaining the max dummy weight
+    i64 rot = 0;
+    i64 best = 0;
+    for (i64 i = lo; i < hi; ++i) {
+      const i64 e = cycles[i];
+      if (is_dummy[e] && weights[e] > best) {
+        best = weights[e];
+        rot = i - lo;
+      }
+    }
+    // walk the rotated cycle, emitting segments between breaks
+    i64 start = -1;  // current tig start (rotated index), -1 = none
+    for (i64 j = 0; j < len; ++j) {
+      const i64 e = cycles[lo + (rot + j) % len];
+      const bool dummy = is_dummy[e] != 0;
+      const bool brk = dummy && (weights[e] >= k || j == 0);
+      if (brk) {
+        if (start >= 0) {
+          tig_offsets[n_tigs++] = pos;
+          start = -1;
+        }
+        continue;
+      }
+      if (dummy && j == len - 1) continue;  // trailing non-breaking dummy
+      if (start < 0) start = j;
+      tigs_out[pos++] = e;
+    }
+    if (start >= 0) tig_offsets[n_tigs++] = pos;
+  }
+  return n_tigs;
+}

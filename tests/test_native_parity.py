@@ -386,3 +386,20 @@ def test_extract_packed_triples_matches_numpy(seed):
     # row order: native emits row-major per source; the oracle's nonzero
     # is row-major too
     assert np.array_equal(tri.to_triples(), want)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_break_cycles_native_matches_python(case):
+    from matchtigs_tpu.algos.greedytigs import GreedytigConfig, compute_greedytigs
+
+    store, _, k = testing.make_unitig_store(**case)
+    g = build_bigraph_from_unitigs(store, k)
+    # a full greedytig balance gives dummies of both kinds
+    compute_greedytigs(g.copy(), GreedytigConfig(k=k))
+    euler.make_eulerian_with_breaking_edges(g, k, 0)
+    cycles = euler.eulerian_bicycle_decomposition(g)
+    t_n = euler.break_cycles(g, [c.copy() for c in cycles], k)
+    t_p = euler.break_cycles_py(g, [c.copy() for c in cycles], k)
+    assert len(t_n) == len(t_p)
+    for a, b in zip(t_n, t_p):
+        assert np.array_equal(a, b)
