@@ -93,8 +93,11 @@ def spell_walks_flat(
         offsets = np.cumsum([len(p) for p in parts]).astype(np.int64)
         return np.concatenate(parts), offsets
 
-    flat = np.ascontiguousarray(np.concatenate(walks), dtype=np.int64)
-    walk_off = np.cumsum([len(w) for w in walks]).astype(np.int64)
+    from ..ops.walks import Walks
+
+    wk = Walks.from_list(walks)  # no-op when walks is already flat
+    flat = np.ascontiguousarray(wk.flat, dtype=np.int64)
+    walk_off = np.ascontiguousarray(wk.offsets, dtype=np.int64)
     E = g.n_edges
     handle = np.ascontiguousarray(g.handles()[:E], dtype=np.int64)
     weight = np.ascontiguousarray(g.weights()[:E], dtype=np.int64)

@@ -32,6 +32,7 @@ import logging
 import numpy as np
 
 from ..graph.bigraph import Bigraph
+from .walks import Walks
 
 logger = logging.getLogger(__name__)
 
@@ -674,7 +675,7 @@ def _stitch_subtours_py(g: Bigraph, tours: list[list[int]]) -> list[np.ndarray]:
     return cycles
 
 
-def break_cycles(g: Bigraph, cycles: list[np.ndarray], k: int) -> list[np.ndarray]:
+def break_cycles(g: Bigraph, cycles: list[np.ndarray], k: int) -> Walks:
     """Rotate each bicycle so its longest dummy is first, then break at
     breaking dummies (weight >= k) and at a dummy in position 0.
 
@@ -715,13 +716,8 @@ def break_cycles(g: Bigraph, cycles: list[np.ndarray], k: int) -> list[np.ndarra
         native.as_ll_ptr(tigs_out),
         native.as_ll_ptr(tig_off),
     )
-    res = []
-    prev = 0
-    for i in range(n_tigs):
-        end = int(tig_off[i])
-        res.append(tigs_out[prev:end].copy())
-        prev = end
-    return res
+    end = int(tig_off[n_tigs - 1]) if n_tigs else 0
+    return Walks(tigs_out[:end], tig_off[:n_tigs])
 
 
 def break_cycles_py(
