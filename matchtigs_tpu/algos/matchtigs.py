@@ -88,6 +88,38 @@ def _matching_node_ids(g: Bigraph, diff: np.ndarray):
     return ids_start, ids_count, int(offsets[-1]), reps, offsets
 
 
+
+def _expand_candidate_ids(u, v, w, ids_start, ids_count):
+    """Flat product expansion of candidates into id-pair rows: row r of
+    candidate c covers (i-th id of u[c], j-th id of v[c]).  Returns
+    (a, b, wrow, uu, vv): per-row endpoint ids, weight, and originating
+    nodes.  Shared by both collapse paths (packed and argsort)."""
+    cu = ids_count[u]
+    cv = ids_count[v]
+    pc = cu * cv
+    multi = pc > 1
+    if not multi.any():
+        return ids_start[u], ids_start[v], w, u, v
+    single = ~multi
+    um, vm, wm = u[multi], v[multi], w[multi]
+    pcm = pc[multi]
+    mtot = int(pcm.sum())
+    base = np.cumsum(pcm) - pcm
+    midx = np.repeat(np.arange(len(um), dtype=np.int64), pcm)
+    off = np.arange(mtot, dtype=np.int64) - base[midx]
+    cvm = cv[multi][midx]
+    i = off // cvm
+    j = off - i * cvm
+    um, vm, wm = um[midx], vm[midx], wm[midx]
+    us, vs = u[single], v[single]
+    a = np.concatenate([ids_start[us], ids_start[um] + i])
+    b = np.concatenate([ids_start[vs], ids_start[vm] + j])
+    wrow = np.concatenate([w[single], wm])
+    uu = np.concatenate([us, um])
+    vv = np.concatenate([vs, vm])
+    return a, b, wrow, uu, vv
+
+
 def _collapse_candidates(
     g: Bigraph,
     candidates,  # Candidates columns
@@ -114,42 +146,13 @@ def _collapse_candidates(
         return _collapse_candidates_packed(
             g, u, v, w, ids_start, ids_count, n_ids
         )
-    cu = ids_count[u]
-    cv = ids_count[v]
-    # Flat index-arithmetic expansion: candidate r contributes cu*cv rows
-    # (one per id pair).  The previous max_c x max_c masked loop allocated
-    # ~100 full-length temporaries at bench scale (~6s for a 5.2M-row
-    # expansion).
-    pc = cu * cv
-    multi = pc > 1
-    if multi.any():
-        # expand only multi-id candidates (few: unbalanced self-mirrors)
-        um, vm, wm = u[multi], v[multi], w[multi]
-        pcm = pc[multi]
-        mtot = int(pcm.sum())
-        base = np.cumsum(pcm) - pcm
-        midx = np.repeat(np.arange(len(um), dtype=np.int64), pcm)
-        off = np.arange(mtot, dtype=np.int64) - base[midx]
-        cvm = cv[multi][midx]
-        i = off // cvm
-        j = off - i * cvm
-        am = ids_start[um[midx]] + i
-        bm = ids_start[vm[midx]] + j
-        ridx_m = np.flatnonzero(multi)[midx]
-        a = np.concatenate([ids_start[u[~multi]], am])
-        b = np.concatenate([ids_start[v[~multi]], bm])
-        ridx = np.concatenate([np.flatnonzero(~multi), ridx_m])
-    else:
-        a = ids_start[u]
-        b = ids_start[v]
-        ridx = np.arange(len(u), dtype=np.int64)
+    a, b, wrow, uu, vv = _expand_candidate_ids(u, v, w, ids_start, ids_count)
     keep = a != b  # same-id self-loops only from mirror biedges
-    kr = ridx[keep]
     lo = np.minimum(a, b)[keep]
     hi = np.maximum(a, b)[keep]
-    wr = w[kr]
-    ur = u[kr]
-    vr = v[kr]
+    wr = wrow[keep]
+    ur = uu[keep]
+    vr = vv[keep]
     key = lo * n_ids + hi
     # The same id pair can arise with different weights (unbalanced
     # self-mirror endpoints where d(u->v) != d(v->u)); keep the minimum
@@ -189,40 +192,15 @@ def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
     mirror = g.mirror_node.astype(np.int64)
     is_canon = np.arange(g.n_nodes, dtype=np.int64) <= mirror
 
-    cu = ids_count[u]
-    cv = ids_count[v]
-    pc = cu * cv
-    multi = pc > 1
-
-    def pack_into(out, uu, vv, ww, aa, bb):
-        o = aa <= bb
-        np.left_shift(np.where(o, aa, bb), _IDB + 10, out=out)
-        out |= np.where(o, bb, aa) << 10
-        out |= ww << 3
-        out |= o.astype(np.int64) << 2
-        out |= is_canon[uu].astype(np.int64) << 1
-        out |= is_canon[vv].astype(np.int64)
-
-    if multi.any():
-        single = ~multi
-        us, vs = u[single], v[single]
-        um, vm, wm = u[multi], v[multi], w[multi]
-        pcm = pc[multi]
-        mtot = int(pcm.sum())
-        base = np.cumsum(pcm) - pcm
-        midx = np.repeat(np.arange(len(um), dtype=np.int64), pcm)
-        off = np.arange(mtot, dtype=np.int64) - base[midx]
-        cvm = cv[multi][midx]
-        i = off // cvm
-        j = off - i * cvm
-        um, vm, wm = um[midx], vm[midx], wm[midx]
-        n1 = len(us)
-        packed = np.empty(n1 + mtot, dtype=np.int64)
-        pack_into(packed[:n1], us, vs, w[single], ids_start[us], ids_start[vs])
-        pack_into(packed[n1:], um, vm, wm, ids_start[um] + i, ids_start[vm] + j)
-    else:
-        packed = np.empty(len(u), dtype=np.int64)
-        pack_into(packed, u, v, w, ids_start[u], ids_start[v])
+    a, b, wrow, uu, vv = _expand_candidate_ids(u, v, w, ids_start, ids_count)
+    o = a <= b
+    packed = np.empty(len(a), dtype=np.int64)
+    np.left_shift(np.where(o, a, b), _IDB + 10, out=packed)
+    packed |= np.where(o, b, a) << 10
+    packed |= wrow << 3
+    packed |= o.astype(np.int64) << 2
+    packed |= is_canon[uu].astype(np.int64) << 1
+    packed |= is_canon[vv].astype(np.int64)
 
     packed.sort()
     key = packed >> 10

@@ -180,16 +180,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     _log_mem("After load")
 
-    # Pre-fault the working-set arena in one bulk syscall: the compute
-    # phases' candidate columns / sort keys scale with the candidate
-    # count (~3.3 per edge at k=31, 24B+8B key each, x2 for scratch), and
-    # lazy first-touch faults are pathologically slow on oversubscribed
-    # virtualized hosts (0.4-39s per GB observed).
-    from .utils.malloc_tuning import prewarm_heap
+    # Pre-fault the working-set arena in one bulk syscall: the candidate
+    # columns / sort keys of the greedy/optimal matchtig search scale
+    # with the candidate count (~3.3 per edge at k=31, 24B+8B key each,
+    # x2 for scratch), and lazy first-touch faults are pathologically
+    # slow on oversubscribed virtualized hosts (0.4-39s per GB observed).
+    # Only the candidate-building algorithms need it, and the target is
+    # capped by available memory so the prewarm can never thrash a host
+    # the real working set would have fit on.
+    wants_search = any(
+        getattr(opts, f"{algo}_{out}", None)
+        for algo in ("greedytigs", "matchtigs")
+        for out in ("fa_out", "gfa_out", "duplication_bitvector_out")
+    )
+    if wants_search:
+        from .utils.malloc_tuning import available_memory_bytes, prewarm_heap
 
-    prewarm = 224 * graph.n_edges
-    if prewarm > (64 << 20) and prewarm_heap(min(prewarm, 12 << 30)):
-        logger.info("Prewarmed %.1f GiB of heap arena", min(prewarm, 12 << 30) / 2**30)
+        prewarm = min(224 * graph.n_edges, 12 << 30)
+        avail = available_memory_bytes()
+        if avail is not None:
+            prewarm = min(prewarm, avail // 2)
+        if prewarm > (64 << 20) and prewarm_heap(prewarm):
+            logger.info("Prewarmed %.1f GiB of heap arena", prewarm / 2**30)
 
     if opts.blossom5_command:
         logger.info(

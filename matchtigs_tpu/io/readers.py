@@ -112,6 +112,8 @@ def read_fasta(
     mask[nl] = False
     cr = nl[arr[np.maximum(nl - 1, 0)] == 13]
     mask[np.maximum(cr - 1, 0)] = False
+    if arr[-1] == 13:  # file-final \r with no trailing newline
+        mask[-1] = False
     hs, he = line_s[is_hdr], line_e[is_hdr]
     hl = he - hs
     hcsum = np.cumsum(hl)

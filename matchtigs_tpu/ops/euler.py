@@ -279,7 +279,7 @@ def eulerian_bicycle_decomposition(
     oracles.
     """
     try:
-        if g.n_edges < 2**31 and g.n_nodes < 2**31:
+        if g.n_edges < 2**31 - 2 and g.n_nodes < 2**31 - 2:
             if method == "splice":
                 return _decompose_native_i32(g, "euler_decompose_splice")
             if method == "pairing":
@@ -333,13 +333,8 @@ def _decompose_native_i32(g: Bigraph, fn_name: str) -> list[np.ndarray]:
         raise AssertionError("open walk in balanced bidirected graph")
     if n_cycles < 0:
         raise AssertionError(f"{fn_name} internal error {n_cycles}")
-    res = []
-    prev = 0
-    for i in range(n_cycles):
-        end = int(offsets_out[i])
-        res.append(cycles_out[prev:end].copy())
-        prev = end
-    return res
+    end = int(offsets_out[n_cycles - 1]) if n_cycles else 0
+    return Walks(cycles_out[:end], offsets_out[:n_cycles])
 
 
 def _eulerian_bicycle_decomposition_native(g: Bigraph) -> list[np.ndarray]:
@@ -690,17 +685,12 @@ def break_cycles(g: Bigraph, cycles: list[np.ndarray], k: int) -> Walks:
         lib = native.load()
     except ImportError:
         logger.warning("native graphwalk unavailable; using python fallback")
-        return break_cycles_py(g, cycles, k)
-    if not cycles:
-        return []
-    flat = (
-        np.ascontiguousarray(cycles[0], dtype=np.int64)
-        if len(cycles) == 1
-        else np.concatenate(cycles).astype(np.int64, copy=False)
-    )
-    cycle_off = np.cumsum(
-        np.array([len(c) for c in cycles], dtype=np.int64)
-    )
+        return Walks.from_list(break_cycles_py(g, cycles, k))
+    if not len(cycles):
+        return Walks(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    wk = Walks.from_list(cycles)  # no-op when the decomposition's flat form
+    flat = np.ascontiguousarray(wk.flat, dtype=np.int64)
+    cycle_off = np.ascontiguousarray(wk.offsets, dtype=np.int64)
     weights = np.ascontiguousarray(g.weights(), dtype=np.int64)
     dmask = np.ascontiguousarray(g.is_dummy(), dtype=np.int8)
     E = len(flat)

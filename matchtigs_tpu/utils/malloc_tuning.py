@@ -114,3 +114,15 @@ def prewarm_heap(n_bytes: int, chunk: int = 1 << 30) -> bool:
     for p in ptrs:
         libc.free(ctypes.c_void_p(p))
     return ok and remaining <= 0
+
+
+def available_memory_bytes() -> int | None:
+    """MemAvailable from /proc/meminfo, or None when unavailable."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None

@@ -251,26 +251,18 @@ static i64 stitch_tours(i64 n_nodes, i64 n_edges, const I* dst,
   return n_cycles;
 }
 
-// Pairing-based Eulerian bicycle decomposition (the parallel-friendly
-// phase A replacement; see ops/euler.py for the math).  A deterministic
-// mirror-compatible arc pairing pi is built per binode (in-arc i pairs
-// with out-arc i; in-arcs at v are the mirrors of out-arcs at mirror(v),
-// in that derived order).  pi never maps an arc to its own mirror, so no
-// pi-cycle is its own mirror image: cycles come in mirror pairs, and
-// scanning start arcs in ascending order while marking both e and e^1
-// visited keeps exactly one cycle per pair (each biedge covered once).
-// The chase costs ~1 random read per arc vs the Hierholzer cursor scan's
-// ~4-6, and the pairing build is thread-parallel.
-static i64 pairing_decompose_impl(i64 n_nodes, i64 n_edges,
-                                  const int32_t* dst, const int32_t* mirror,
-                                  const i64* out_off,
-                                  const int32_t* out_edges, i64 n_threads,
-                                  i64* cycles_out, i64* cycle_offsets) {
-  using I = int32_t;
-  PhaseTimer timer("euler_pairing");
-  std::vector<I> pi(n_edges);
-  std::atomic<bool> balanced{true};
 
+// Shared by the pairing and splice decompositions: the deterministic
+// mirror-compatible arc pairing pi (see ops/euler.py for the math): the
+// i-th in-arc at v (= mirror of the i-th out-arc at mirror(v)) pairs
+// with the i-th out-arc at v; self-mirror nodes use a fixpoint-free
+// adjacent-rank involution on their in-arcs.  Returns false when the
+// graph is unbalanced.
+static bool build_pairing_pi(i64 n_nodes, const int32_t* mirror,
+                             const i64* out_off, const int32_t* out_edges,
+                             i64 n_threads, std::vector<int32_t>& pi) {
+  using I = int32_t;
+  std::atomic<bool> balanced{true};
   auto build = [&](i64 lo, i64 hi) {
     for (i64 v = lo; v < hi; ++v) {
       I mv = mirror[v];
@@ -278,8 +270,6 @@ static i64 pairing_decompose_impl(i64 n_nodes, i64 n_edges,
       const i64 ob = out_off[v], oe = out_off[v + 1];
       const i64 odeg = oe - ob;
       if ((i64)mv != v) {
-        // in-arcs at v = mirrors of out-arcs at mv, same count iff
-        // balanced; pair rank-to-rank, induce the mirrored pairing at mv
         const i64 ib = out_off[mv];
         if (out_off[mv + 1] - ib != odeg) {
           balanced.store(false, std::memory_order_relaxed);
@@ -292,7 +282,6 @@ static i64 pairing_decompose_impl(i64 n_nodes, i64 n_edges,
           pi[b ^ 1] = a ^ 1;
         }
       } else {
-        // self-mirror: fixpoint-free involution on the in-arcs
         if (odeg & 1) {
           balanced.store(false, std::memory_order_relaxed);
           return;
@@ -317,7 +306,29 @@ static i64 pairing_decompose_impl(i64 n_nodes, i64 n_edges,
   } else {
     build(0, n_nodes);
   }
-  if (!balanced.load()) return -1;
+  return balanced.load();
+}
+
+// Pairing-based Eulerian bicycle decomposition (the parallel-friendly
+// phase A replacement; see ops/euler.py for the math).  A deterministic
+// mirror-compatible arc pairing pi is built per binode (in-arc i pairs
+// with out-arc i; in-arcs at v are the mirrors of out-arcs at mirror(v),
+// in that derived order).  pi never maps an arc to its own mirror, so no
+// pi-cycle is its own mirror image: cycles come in mirror pairs, and
+// scanning start arcs in ascending order while marking both e and e^1
+// visited keeps exactly one cycle per pair (each biedge covered once).
+// The chase costs ~1 random read per arc vs the Hierholzer cursor scan's
+// ~4-6, and the pairing build is thread-parallel.
+static i64 pairing_decompose_impl(i64 n_nodes, i64 n_edges,
+                                  const int32_t* dst, const int32_t* mirror,
+                                  const i64* out_off,
+                                  const int32_t* out_edges, i64 n_threads,
+                                  i64* cycles_out, i64* cycle_offsets) {
+  using I = int32_t;
+  PhaseTimer timer("euler_pairing");
+  std::vector<I> pi(n_edges);
+  if (!build_pairing_pi(n_nodes, mirror, out_off, out_edges, n_threads, pi))
+    return -1;
   timer.lap("A' pairing");
 
   // Extract one cycle per mirror pair, ascending start arc.  e and e^1
@@ -370,52 +381,8 @@ static i64 splice_decompose_impl(i64 n_nodes, i64 n_edges, const int32_t* dst,
   using I = int32_t;
   PhaseTimer timer("euler_splice");
   std::vector<I> pi(n_edges);
-  std::atomic<bool> balanced{true};
-
-  auto build = [&](i64 lo, i64 hi) {
-    for (i64 v = lo; v < hi; ++v) {
-      I mv = mirror[v];
-      if ((i64)mv < v) continue;
-      const i64 ob = out_off[v], oe = out_off[v + 1];
-      const i64 odeg = oe - ob;
-      if ((i64)mv != v) {
-        const i64 ib = out_off[mv];
-        if (out_off[mv + 1] - ib != odeg) {
-          balanced.store(false, std::memory_order_relaxed);
-          return;
-        }
-        for (i64 i = 0; i < odeg; ++i) {
-          const I a = out_edges[ib + i] ^ (I)1;
-          const I b = out_edges[ob + i];
-          pi[a] = b;
-          pi[b ^ 1] = a ^ 1;
-        }
-      } else {
-        if (odeg & 1) {
-          balanced.store(false, std::memory_order_relaxed);
-          return;
-        }
-        for (i64 i = 0; i + 1 < odeg; i += 2) {
-          const I b0 = out_edges[ob + i], b1 = out_edges[ob + i + 1];
-          pi[b0 ^ 1] = b1;
-          pi[b1 ^ 1] = b0;
-        }
-      }
-    }
-  };
-  if (n_threads > 1 && n_nodes > (i64)1 << 16) {
-    std::vector<std::thread> ts;
-    const i64 chunk = (n_nodes + n_threads - 1) / n_threads;
-    for (i64 t = 0; t < n_threads; ++t) {
-      const i64 lo = t * chunk;
-      if (lo >= n_nodes) break;
-      ts.emplace_back(build, lo, std::min(n_nodes, lo + chunk));
-    }
-    for (auto& t : ts) t.join();
-  } else {
-    build(0, n_nodes);
-  }
-  if (!balanced.load()) return -1;
+  if (!build_pairing_pi(n_nodes, mirror, out_off, out_edges, n_threads, pi))
+    return -1;
   timer.lap("A' pairing");
 
   std::vector<uint64_t> visited((n_edges + 63) / 64, 0);

@@ -193,3 +193,16 @@ def test_performance_counters_logged(unitig_fa, tmp_path, caplog):
         ])
     assert rc == 0
     assert any("Ball sizes:" in r.message for r in caplog.records)
+
+
+def test_read_fasta_trailing_cr_no_newline(tmp_path):
+    """CRLF file truncated after the final CR must still parse (the old
+    per-line parser accepted it; regression for the vectorized parse)."""
+    import numpy as np
+
+    p = tmp_path / "cr.fa"
+    p.write_bytes(b">u1\r\nACGTACGT\r\nACGT\r")
+    store, headers = read_fasta(p)
+    assert len(store) == 1
+    assert store.length(0) == 12
+    assert headers == [b"u1"]
