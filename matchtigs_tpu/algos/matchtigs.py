@@ -370,18 +370,12 @@ def _allocate_and_match(
     forced-deletion variants solved and allocated exactly (a 2-unit
     knapsack over per-component deltas, which are always <= 0).
     """
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import connected_components
-
     from ..ops.perfect_matching import component_matching_variants
 
     if n_ids == 0:
         return np.empty((0, 2), dtype=np.int64)
     if len(ka):
-        adj = coo_matrix(
-            (np.ones(len(ka), np.int8), (ka, kb)), shape=(n_ids, n_ids)
-        )
-        _, cc = connected_components(adj, directed=False)
+        cc = _connected_component_labels(n_ids, ka, kb)
     else:
         cc = np.arange(n_ids)
     has_edge = np.zeros(n_ids, dtype=bool)
@@ -718,15 +712,41 @@ def _allocate_and_match(
     return np.asarray(matched_pairs, dtype=np.int64).reshape(-1, 2)
 
 
+
+def _connected_component_labels(n: int, rows, cols) -> np.ndarray:
+    """Undirected connected-component labels (0..n_comps-1, ascending by
+    the component's minimum node id — scipy's labeling).  Native
+    union-find (graphwalk.cpp:wcc_labels; ~0.5s vs scipy's ~7s over 19M
+    edges at 60M-base scale), scipy fallback."""
+    try:
+        from .. import native
+
+        lib = native.load()
+    except ImportError:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        adj = coo_matrix(
+            (np.ones(len(rows), np.int8), (rows, cols)), shape=(n, n)
+        )
+        _, labels = connected_components(adj, directed=False)
+        return labels
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    labels = np.empty(n, dtype=np.int32)
+    lib.wcc_labels(
+        n,
+        len(rows),
+        native.as_i32_ptr(rows),
+        native.as_i32_ptr(cols),
+        native.as_i32_ptr(labels),
+    )
+    return labels
+
+
 def _bidirected_components(g: Bigraph) -> np.ndarray:
     """Connected components over edges + mirror-node pairing (undirected)."""
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import connected_components
-
     n = g.n_nodes
     rows = np.concatenate([g.srcs(), np.arange(n, dtype=np.int32)])
     cols = np.concatenate([g.dsts(), g.mirror_node])
-    data = np.ones(len(rows), dtype=np.int8)
-    adj = coo_matrix((data, (rows, cols)), shape=(n, n))
-    _, labels = connected_components(adj, directed=False)
-    return labels
+    return _connected_component_labels(n, rows, cols)

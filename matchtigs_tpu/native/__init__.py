@@ -117,6 +117,8 @@ def load() -> ctypes.CDLL:
         ll, ll, i32p, i32p, llp, i32p, ll, llp, llp,
     ]
     i8p_ = ctypes.POINTER(ctypes.c_byte)
+    lib.wcc_labels.restype = ll
+    lib.wcc_labels.argtypes = [ll, ll, i32p, i32p, i32p]
     lib.break_cycles_flat.restype = ll
     lib.break_cycles_flat.argtypes = [
         ll, llp, llp, llp, i8p_, ll, llp, llp,

@@ -348,3 +348,24 @@ def test_collapse_packed_matches_argsort_path(seed):
     }
     for x, y, z in zip(pu.tolist(), pv.tolist(), pw.tolist()):
         assert (x, y, z) in cand_set
+
+
+def test_wcc_labels_match_scipy():
+    """Native union-find labels must equal scipy's connected_components
+    labels exactly (same first-appearance ordering), since component
+    iteration order feeds the deterministic free-end allocation."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    from matchtigs_tpu.algos.matchtigs import _connected_component_labels
+
+    rng = np.random.default_rng(4)
+    for trial in range(20):
+        n = int(rng.integers(2, 400))
+        m = int(rng.integers(0, 3 * n))
+        rows = rng.integers(0, n, m).astype(np.int64)
+        cols = rng.integers(0, n, m).astype(np.int64)
+        got = _connected_component_labels(n, rows, cols)
+        adj = coo_matrix((np.ones(m, np.int8), (rows, cols)), shape=(n, n))
+        _, want = connected_components(adj, directed=False)
+        assert np.array_equal(got, want), trial
