@@ -101,7 +101,7 @@ def load() -> ctypes.CDLL:
     ]
     lib.mwm_sparse_batch.restype = ll
     lib.mwm_sparse_batch.argtypes = [
-        ll, llp, llp, llp, llp, llp, ctypes.POINTER(ctypes.c_int), ll,
+        ll, llp, llp, llp, llp, llp, ctypes.POINTER(ctypes.c_int), ll, ll,
     ]
     lib.follow_chains.restype = ll
     lib.follow_chains.argtypes = [ll, llp, ll, llp, llp, llp]

@@ -151,6 +151,8 @@ def max_weight_matching_sparse_batch(
             [(int(ncnt[c]), int(ecnt[c])) for c in top.tolist()],
         )
     mate = np.empty(n_total, dtype=np.int32)
+    import logging as _logging
+
     total = lib.mwm_sparse_batch(
         n_comps,
         native.as_ll_ptr(node_off),
@@ -160,6 +162,9 @@ def max_weight_matching_sparse_batch(
         native.as_ll_ptr(ew),
         mate.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n_threads,
+        # periodic %-progress to stderr while the batch runs (minutes on
+        # giant components); follows the logger's effective level
+        1 if _logging.getLogger(__name__).isEnabledFor(_logging.INFO) else 0,
     )
     return mate, int(total)
 

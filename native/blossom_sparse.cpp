@@ -1028,7 +1028,8 @@ long long mwm_sparse(long long n, long long m, const long long* eu,
 long long mwm_sparse_batch(long long n_comps, const long long* node_off,
                            const long long* edge_off, const long long* eu,
                            const long long* ev, const long long* ew,
-                           int* mate_out, long long n_threads) {
+                           int* mate_out, long long n_threads,
+                           long long progress) {
   std::vector<i64> order(n_comps);
   for (i64 i = 0; i < n_comps; ++i) order[i] = i;
   std::sort(order.begin(), order.end(), [&](i64 a, i64 b) {
@@ -1040,6 +1041,27 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
   int nt = (int)std::max<i64>(1, std::min<i64>(n_threads, 64));
   std::atomic<i64> next{0};
   std::atomic<long long> total{0};
+  std::atomic<i64> ids_done{0};
+  std::atomic<bool> finished{false};
+  // Periodic %-progress (the reference prints dots during its matching,
+  // matchtigs/mod.rs:224-232); the batch solve can run minutes on the
+  // giant component with no other output.
+  std::thread monitor;
+  if (progress) {
+    const i64 ids_total = node_off[n_comps];
+    monitor = std::thread([&, ids_total] {
+      int ticks = 0;
+      while (!finished.load(std::memory_order_relaxed)) {
+        std::this_thread::sleep_for(std::chrono::milliseconds(200));
+        if (++ticks < 25) continue;  // ~5s between reports
+        ticks = 0;
+        i64 d = ids_done.load(std::memory_order_relaxed);
+        std::fprintf(stderr, "[matching] %lld / %lld ids solved (%.0f%%)\n",
+                     d, ids_total,
+                     100.0 * (double)d / (double)std::max<i64>(1, ids_total));
+      }
+    });
+  }
   auto worker = [&] {
     for (;;) {
       i64 oi = next.fetch_add(1);
@@ -1051,6 +1073,7 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
       if (nl <= 0) continue;
       if (nl == 1 || ml == 0) {
         for (i64 i = 0; i < nl; ++i) mate[i] = -1;
+        ids_done.fetch_add(nl, std::memory_order_relaxed);
         continue;
       }
       const bool big = ml > 1000000 && std::getenv("MATCHTIGS_NATIVE_TRACE");
@@ -1070,11 +1093,14 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
         if (bad && verify_abort) std::abort();
       }
       total.fetch_add(sb.extract(mate));
+      ids_done.fetch_add(nl, std::memory_order_relaxed);
     }
   };
   std::vector<std::thread> ths;
   for (int t = 0; t < nt; ++t) ths.emplace_back(worker);
   for (auto& th : ths) th.join();
+  finished.store(true);
+  if (monitor.joinable()) monitor.join();
   return total.load();
 }
 }
