@@ -953,6 +953,10 @@ class SparseBlossom {
     return total;
   }
 
+  // Final vertex duals (doubled-weight space; valid after solve(), which
+  // banks every slot).  Used by the column-generation pricing check.
+  i64 dual_of(int v) const { return dual_[v]; }
+
  private:
   int n_;
   i64 m_;
@@ -999,6 +1003,90 @@ class SparseBlossom {
 
 }  // namespace
 
+// Column-generation solve for giant components: solve on each vertex's
+// top-T incident edges by weight, then PRICE every excluded edge against
+// the final duals.  Exactness certificate: the reduced optimum's duals
+// (y, z) are feasible odd-set duals for the FULL graph, and for any
+// excluded edge slack >= y_u + y_v - w2 (blossom duals z only ADD), so
+// y_u + y_v >= 2w proves the edge can join no better matching.  Edges
+// that fail the check are added and the solve repeats (the reduced set
+// grows monotonically, so the loop terminates; in the worst case it
+// degenerates to the full instance, still exact).  The matching content
+// can differ from a direct full solve among equal-weight optima; the
+// total weight (and with the lexicographic profit encoding, the pair
+// count) is identical.
+static long long solve_priced(i64 nl, i64 ml, const i64* eu, const i64* ev,
+                              const i64* ew, int* mate, bool verify,
+                              bool verify_abort) {
+  const bool trace = std::getenv("MATCHTIGS_NATIVE_TRACE") != nullptr;
+  const int T = 16;
+  // per-vertex incidence (CSR over both endpoints)
+  std::vector<i64> off(nl + 1, 0);
+  for (i64 e = 0; e < ml; ++e) {
+    ++off[eu[e] + 1];
+    ++off[ev[e] + 1];
+  }
+  for (i64 v = 0; v < nl; ++v) off[v + 1] += off[v];
+  std::vector<i64> inc(2 * ml);
+  {
+    std::vector<i64> cur(off.begin(), off.end() - 1);
+    for (i64 e = 0; e < ml; ++e) {
+      inc[cur[eu[e]]++] = e;
+      inc[cur[ev[e]]++] = e;
+    }
+  }
+  std::vector<char> keep(ml, 0);
+  // strict order (weight desc, edge id asc) makes the top-T SET unique,
+  // so nth_element's internal nondeterminism cannot leak into the result
+  auto heavier = [&](i64 a, i64 b) {
+    return ew[a] != ew[b] ? ew[a] > ew[b] : a < b;
+  };
+  for (i64 v = 0; v < nl; ++v) {
+    i64 lo = off[v], hi = off[v + 1];
+    if (hi - lo <= T) {
+      for (i64 i = lo; i < hi; ++i) keep[inc[i]] = 1;
+    } else {
+      std::nth_element(inc.begin() + lo, inc.begin() + lo + T,
+                       inc.begin() + hi, heavier);
+      for (i64 i = lo; i < lo + T; ++i) keep[inc[i]] = 1;
+    }
+  }
+  std::vector<i64> reu, rev, rew;
+  reu.reserve(std::min<i64>(ml, (i64)T * nl));
+  for (i64 e = 0; e < ml; ++e)
+    if (keep[e]) {
+      reu.push_back(eu[e]);
+      rev.push_back(ev[e]);
+      rew.push_back(ew[e]);
+    }
+  for (int round = 0;; ++round) {
+    SparseBlossom sb((int)nl, (i64)reu.size(), reu.data(), rev.data(),
+                     rew.data());
+    sb.solve();
+    if (verify) {
+      int bad = sb.verify_optimum();
+      if (bad && verify_abort) std::abort();
+    }
+    i64 violations = 0;
+    for (i64 e = 0; e < ml; ++e) {
+      if (keep[e]) continue;
+      if (sb.dual_of((int)eu[e]) + sb.dual_of((int)ev[e]) < 2 * ew[e]) {
+        keep[e] = 1;
+        reu.push_back(eu[e]);
+        rev.push_back(ev[e]);
+        rew.push_back(ew[e]);
+        ++violations;
+      }
+    }
+    if (trace)
+      std::fprintf(stderr,
+                   "[blossom-priced] round %d: %zu/%lld edges, %lld priced "
+                   "in\n",
+                   round, reu.size() - violations, ml, violations);
+    if (violations == 0) return sb.extract(mate);
+  }
+}
+
 extern "C" {
 
 // Maximum-weight matching on a sparse general graph.
@@ -1038,6 +1126,11 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
   const bool verify = std::getenv("MATCHTIGS_BLOSSOM_VERIFY") != nullptr;
   const bool verify_abort =
       std::getenv("MATCHTIGS_BLOSSOM_VERIFY_ABORT") != nullptr;
+  // Components at or above this edge count go through the priced
+  // column-generation solve (solve_priced); env knob for testing.
+  i64 price_threshold = 500000;
+  if (const char* pt = std::getenv("MATCHTIGS_PRICE_THRESHOLD"))
+    price_threshold = std::max<i64>(1, std::atoll(pt));
   int nt = (int)std::max<i64>(1, std::min<i64>(n_threads, 64));
   std::atomic<i64> next{0};
   std::atomic<long long> total{0};
@@ -1078,9 +1171,20 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
       }
       const bool big = ml > 1000000 && std::getenv("MATCHTIGS_NATIVE_TRACE");
       auto t0 = std::chrono::steady_clock::now();
-      SparseBlossom sb((int)nl, ml, eu + edge_off[c], ev + edge_off[c],
-                       ew + edge_off[c]);
-      sb.solve();
+      if (ml >= price_threshold) {
+        total.fetch_add(solve_priced(nl, ml, eu + edge_off[c],
+                                     ev + edge_off[c], ew + edge_off[c],
+                                     mate, verify, verify_abort));
+      } else {
+        SparseBlossom sb((int)nl, ml, eu + edge_off[c], ev + edge_off[c],
+                         ew + edge_off[c]);
+        sb.solve();
+        if (verify) {
+          int bad = sb.verify_optimum();
+          if (bad && verify_abort) std::abort();
+        }
+        total.fetch_add(sb.extract(mate));
+      }
       if (big)
         std::fprintf(
             stderr, "[blossom-batch] comp %lld: %lld ids %lld edges %.1fs\n",
@@ -1088,11 +1192,6 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
             std::chrono::duration<double>(std::chrono::steady_clock::now() -
                                           t0)
                 .count());
-      if (verify) {
-        int bad = sb.verify_optimum();
-        if (bad && verify_abort) std::abort();
-      }
-      total.fetch_add(sb.extract(mate));
       ids_done.fetch_add(nl, std::memory_order_relaxed);
     }
   };

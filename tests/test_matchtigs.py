@@ -369,3 +369,40 @@ def test_wcc_labels_match_scipy():
         adj = coo_matrix((np.ones(m, np.int8), (rows, cols)), shape=(n, n))
         _, want = connected_components(adj, directed=False)
         assert np.array_equal(got, want), trial
+
+
+def test_priced_batch_matches_direct_solve(monkeypatch):
+    """The column-generation priced solve (top-T edges + dual pricing)
+    must reach the exact optimum on dense instances where the reduction
+    genuinely drops edges (degrees >> T=16)."""
+    from matchtigs_tpu.ops.perfect_matching import (
+        max_weight_matching_sparse,
+        max_weight_matching_sparse_batch,
+    )
+
+    monkeypatch.setenv("MATCHTIGS_PRICE_THRESHOLD", "1")
+    monkeypatch.setenv("MATCHTIGS_BLOSSOM_VERIFY", "1")
+    monkeypatch.setenv("MATCHTIGS_BLOSSOM_VERIFY_ABORT", "1")
+    rng = np.random.default_rng(8)
+    for trial in range(15):
+        n = int(rng.integers(30, 120))
+        m = int(rng.integers(20 * n, 40 * n))  # avg degree 40-80 >> 16
+        u = rng.integers(0, n, m)
+        v = rng.integers(0, n, m)
+        ok = u != v
+        u, v = u[ok], v[ok]
+        wmax = int(rng.choice([3, 50, 1 << 20]))
+        w = rng.integers(1, wmax + 1, len(u)).astype(np.int64)
+        node_off = np.array([0, n], dtype=np.int64)
+        edge_off = np.array([0, len(u)], dtype=np.int64)
+        mate, total = max_weight_matching_sparse_batch(
+            node_off, edge_off, u.astype(np.int64), v.astype(np.int64), w
+        )
+        edges = np.stack([u, v, w], axis=1).astype(np.int64)
+        _, want = max_weight_matching_sparse(n, edges)
+        assert total == want, (trial, total, want)
+        # mate is a consistent matching
+        for a in range(n):
+            b = int(mate[a])
+            if b >= 0:
+                assert int(mate[b]) == a
