@@ -89,35 +89,41 @@ def _matching_node_ids(g: Bigraph, diff: np.ndarray):
 
 
 
-def _expand_candidate_ids(u, v, w, ids_start, ids_count):
+def _expand_candidate_ids(u, v, w, ids_start, ids_count, extras=()):
     """Flat product expansion of candidates into id-pair rows: row r of
     candidate c covers (i-th id of u[c], j-th id of v[c]).  Returns
-    (a, b, wrow, uu, vv): per-row endpoint ids, weight, and originating
-    nodes.  Shared by both collapse paths (packed and argsort)."""
-    cu = ids_count[u]
-    cv = ids_count[v]
+    (a, b, wrow, *extras_expanded): per-row endpoint ids, weight, and
+    any per-candidate payload columns expanded the same way (the packed
+    collapse passes narrow bool orientation columns instead of full
+    int64 node ids — ~1 GB less fresh allocation at 51M candidates, and
+    first-touch faults are the cold-run cost).  Shared by both collapse
+    paths (packed and argsort); int32 count math for the same reason.
+    """
+    counts32 = ids_count.astype(np.int32, copy=False)
+    cu = counts32[u]
+    cv = counts32[v]
     pc = cu * cv
     multi = pc > 1
     if not multi.any():
-        return ids_start[u], ids_start[v], w, u, v
+        return (ids_start[u], ids_start[v], w, *extras)
     single = ~multi
-    um, vm, wm = u[multi], v[multi], w[multi]
-    pcm = pc[multi]
+    pcm = pc[multi].astype(np.int64)
     mtot = int(pcm.sum())
     base = np.cumsum(pcm) - pcm
-    midx = np.repeat(np.arange(len(um), dtype=np.int64), pcm)
+    midx = np.repeat(np.arange(len(pcm), dtype=np.int64), pcm)
     off = np.arange(mtot, dtype=np.int64) - base[midx]
     cvm = cv[multi][midx]
     i = off // cvm
     j = off - i * cvm
-    um, vm, wm = um[midx], vm[midx], wm[midx]
-    us, vs = u[single], v[single]
-    a = np.concatenate([ids_start[us], ids_start[um] + i])
-    b = np.concatenate([ids_start[vs], ids_start[vm] + j])
-    wrow = np.concatenate([w[single], wm])
-    uu = np.concatenate([us, um])
-    vv = np.concatenate([vs, vm])
-    return a, b, wrow, uu, vv
+    um = u[multi][midx]
+    vm = v[multi][midx]
+    a = np.concatenate([ids_start[u[single]], ids_start[um] + i])
+    b = np.concatenate([ids_start[v[single]], ids_start[vm] + j])
+    wrow = np.concatenate([w[single], w[multi][midx]])
+    out = [a, b, wrow]
+    for col in extras:
+        out.append(np.concatenate([col[single], col[multi][midx]]))
+    return tuple(out)
 
 
 def _collapse_candidates(
@@ -146,7 +152,9 @@ def _collapse_candidates(
         return _collapse_candidates_packed(
             g, u, v, w, ids_start, ids_count, n_ids
         )
-    a, b, wrow, uu, vv = _expand_candidate_ids(u, v, w, ids_start, ids_count)
+    a, b, wrow, uu, vv = _expand_candidate_ids(
+        u, v, w, ids_start, ids_count, extras=(u, v)
+    )
     keep = a != b  # same-id self-loops only from mirror biedges
     lo = np.minimum(a, b)[keep]
     hi = np.maximum(a, b)[keep]
@@ -192,15 +200,17 @@ def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
     mirror = g.mirror_node.astype(np.int64)
     is_canon = np.arange(g.n_nodes, dtype=np.int64) <= mirror
 
-    a, b, wrow, uu, vv = _expand_candidate_ids(u, v, w, ids_start, ids_count)
+    a, b, wrow, su, sv = _expand_candidate_ids(
+        u, v, w, ids_start, ids_count, extras=(is_canon[u], is_canon[v])
+    )
     o = a <= b
     packed = np.empty(len(a), dtype=np.int64)
     np.left_shift(np.where(o, a, b), _IDB + 10, out=packed)
     packed |= np.where(o, b, a) << 10
     packed |= wrow << 3
     packed |= o.astype(np.int64) << 2
-    packed |= is_canon[uu].astype(np.int64) << 1
-    packed |= is_canon[vv].astype(np.int64)
+    packed |= su.astype(np.int64) << 1
+    packed |= sv.astype(np.int64)
 
     packed.sort()
     key = packed >> 10
