@@ -25,7 +25,7 @@ class EulertigConfig:
     k: int
 
 
-def compute_eulertigs(g: Bigraph, config: EulertigConfig) -> list[np.ndarray]:
+def compute_eulertigs(g: Bigraph, config: EulertigConfig) -> "Walks":
     """Mutates `g` (adds breaking dummy biedges) and returns edge walks."""
     k = config.k
     diff = g.imbalances()

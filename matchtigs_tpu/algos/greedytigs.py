@@ -435,7 +435,7 @@ def collect_candidates(
     return result
 
 
-def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> list[np.ndarray]:
+def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> "Walks":
     """Mutates `g` (adds dummy biedges) and returns edge walks."""
     import time
 

@@ -241,7 +241,7 @@ def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
     return lo, hi, wk, ur, vr
 
 
-def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> list[np.ndarray]:
+def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> "Walks":
     """Mutates `g` (adds dummy biedges) and returns edge walks."""
     import time
 
