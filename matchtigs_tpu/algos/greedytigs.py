@@ -156,9 +156,9 @@ class SearchStats:
 
 def _want_mesh(config: GreedytigConfig) -> bool:
     if config.use_mesh == "auto":
-        import jax
+        from ..utils.backend_probe import accelerator_count
 
-        return len(jax.devices()) > 1
+        return accelerator_count() > 1
     return bool(config.use_mesh)
 
 
@@ -171,16 +171,21 @@ def _use_host_engine(config: GreedytigConfig) -> bool:
     # auto: the batched kernel on the XLA CPU backend loses to the native
     # multithreaded Dijkstra; only a real accelerator earns the kernel.
     # A multi-device (virtual or real) mesh still exercises the sharded
-    # path, which the tests rely on.
+    # path, which the tests rely on.  When the accelerator link is dead
+    # (backend init would hang — backend_probe) the host engine is the
+    # only safe path.
     try:
         from .. import native
 
         native.load()
     except ImportError:
         return False  # no native engine available: use the kernel anyway
-    import jax
+    from ..utils.backend_probe import accelerator_count, default_backend
 
-    return jax.default_backend() == "cpu" and len(jax.devices()) == 1
+    backend = default_backend()
+    if backend == "none":
+        return True
+    return backend == "cpu" and accelerator_count() == 1
 
 
 def collect_candidates(
@@ -435,8 +440,16 @@ def collect_candidates(
     return result
 
 
-def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> "Walks":
-    """Mutates `g` (adds dummy biedges) and returns edge walks."""
+def compute_greedytigs(
+    g: Bigraph, config: GreedytigConfig, stats: SearchStats | None = None
+) -> "Walks":
+    """Mutates `g` (adds dummy biedges) and returns edge walks.
+
+    ``stats``, when given, is filled in place with the search-phase
+    counters (device stage times/occupancy, host-routed counts) so
+    callers — bench.py reports the per-chip device sources/s from it —
+    can read them without re-running the search.
+    """
     import time
 
     t_start = time.monotonic()
@@ -449,7 +462,7 @@ def compute_greedytigs(g: Bigraph, config: GreedytigConfig) -> "Walks":
     )
 
     t0 = time.monotonic()
-    stats = SearchStats()
+    stats = stats if stats is not None else SearchStats()
     candidates = collect_candidates(g, out_nodes, in_mask, k, config, stats)
     stats.log()
     if config.performance_counters and len(candidates):
