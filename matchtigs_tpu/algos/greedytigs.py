@@ -78,6 +78,14 @@ class GreedytigConfig:
     # the analog of the reference's --dijkstra-performance-data-type
     # Complete heap/distance-array statistics (greedytigs/mod.rs:646-673).
     performance_counters: bool = False
+    # Host search strategy — the analog of the reference's monomorphized
+    # Dijkstra strategy selection (--dijkstra-node-weight-array-type,
+    # /root/reference/src/implementation/mod.rs:62-83, dispatch
+    # greedytigs/mod.rs:92-198): "dial" = Dial-bucket queue + dense epoch
+    # distance arrays (the framework default, analog of
+    # EpochNodeWeightArray); "heap" = per-source binary heap + hashmap
+    # distance map (the reference's default HashbrownHashMap semantics).
+    host_strategy: str = "dial"
 
 
 @dataclass
@@ -162,6 +170,17 @@ def _want_mesh(config: GreedytigConfig) -> bool:
     return bool(config.use_mesh)
 
 
+def _host_search_fn(config: GreedytigConfig):
+    """Resolve the host search engine from the strategy selection."""
+    from ..ops import sssp
+
+    if config.host_strategy == "heap":
+        return sssp.reference_dijkstra_candidates
+    if config.host_strategy != "dial":
+        raise ValueError(f"unknown host_strategy: {config.host_strategy!r}")
+    return sssp.host_dijkstra_candidates
+
+
 def _use_host_engine(config: GreedytigConfig) -> bool:
     """True when the search should skip the device kernel entirely."""
     if config.engine == "host":
@@ -200,14 +219,14 @@ def collect_candidates(
     import time
 
     if _use_host_engine(config):
-        from ..ops.sssp import host_dijkstra_candidates
+        host_dijkstra = _host_search_fn(config)
 
         dg = build_device_graph(g, renumber=False)
         stats = stats if stats is not None else SearchStats()
         stats.sources = len(out_nodes)
         stats.host_routed = len(out_nodes)
         t0 = time.monotonic()
-        res = host_dijkstra_candidates(
+        res = host_dijkstra(
             dg,
             np.asarray(out_nodes, dtype=np.int64),
             k - 1,
@@ -268,7 +287,7 @@ def collect_candidates(
         if hard.any() and not hard.all():
             import threading
 
-            from ..ops.sssp import host_dijkstra_candidates
+            host_dijkstra_candidates = _host_search_fn(config)
 
             hard_sources = pending[hard]
             stats.host_routed = len(hard_sources)
@@ -390,7 +409,7 @@ def collect_candidates(
             if config.overflow_mode == "host" and host_available:
                 # Finish the heavy tail with the native host Dijkstra
                 # (keeps a single compiled device program shape).
-                from ..ops.sssp import host_dijkstra_candidates
+                host_dijkstra_candidates = _host_search_fn(config)
 
                 stats.retries += 1
                 stats.stage_sources.append(len(pending))

@@ -62,6 +62,8 @@ class MatchtigConfig:
     host_threads: int | None = None
     # Opt-in per-source search counters; see GreedytigConfig.
     performance_counters: bool = False
+    # Host search strategy ("dial" | "heap"); see GreedytigConfig.
+    host_strategy: str = "dial"
 
 
 def _matching_node_ids(g: Bigraph, diff: np.ndarray):
@@ -270,6 +272,7 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> "Walks":
         batch_size=config.batch_size,
         host_threads=config.host_threads,
         performance_counters=config.performance_counters,
+        host_strategy=config.host_strategy,
     )
     stats = SearchStats()
     candidates = collect_candidates(g, out_nodes, in_mask, k, gt_config, stats)

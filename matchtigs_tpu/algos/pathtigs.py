@@ -17,27 +17,28 @@ import logging
 import numpy as np
 
 from ..graph.bigraph import Bigraph
+from ..ops.walks import Walks
 
 logger = logging.getLogger(__name__)
 
 
-def compute_pathtigs(g: Bigraph) -> list[np.ndarray]:
+def compute_pathtigs(g: Bigraph) -> Walks:
     """Dispatches to the native C++ pass when available; the python
     implementation below is the fallback and test oracle."""
     try:
         return _compute_pathtigs_native(g)
     except ImportError:
         logger.warning("native graphwalk unavailable; using python fallback")
-        return compute_pathtigs_py(g)
+        return Walks.from_list(compute_pathtigs_py(g))
 
 
-def _compute_pathtigs_native(g: Bigraph) -> list[np.ndarray]:
+def _compute_pathtigs_native(g: Bigraph) -> Walks:
     from .. import native
 
     lib = native.load()
     E = g.n_edges
     if E == 0:
-        return []
+        return Walks(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     out_off, out_edges, in_off, in_edges = g.csr()
     p = native.as_ll_ptr
     src = np.ascontiguousarray(g.srcs(), dtype=np.int64)
@@ -60,12 +61,9 @@ def _compute_pathtigs_native(g: Bigraph) -> list[np.ndarray]:
         p(walks_out),
         p(offsets_out),
     )
-    walks = []
-    prev = 0
-    for i in range(n_walks):
-        end = int(offsets_out[i])
-        walks.append(walks_out[prev:end].copy())
-        prev = end
+    offsets = offsets_out[:n_walks].copy()
+    used = int(offsets[-1]) if n_walks else 0
+    walks = Walks(walks_out[:used], offsets)
     logger.info("Found %d pathtigs", len(walks))
     return walks
 

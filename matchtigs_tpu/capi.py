@@ -120,47 +120,49 @@ class TigGraphBuilder:
         return g
 
     def compute_tigs(
-        self, tig_algorithm: int, k: int, threads: int = 1
+        self, tig_algorithm: int, k: int, threads: int | None = None
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Returns (tigs_edges, tigs_inserts, tigs_limits) flat arrays."""
+        """Returns (tigs_edges, tigs_inserts, tigs_limits) flat arrays.
+
+        ``threads`` reaches the matchtig variants' host search — the
+        reference forwards its ``threads`` argument into the algorithm
+        configurations the same way (clib.rs:280-410).
+        """
         assert self.graph is not None, "call build_graph first"
         g = self.graph
         if tig_algorithm == 1:
-            tigs = [np.asarray([e]) for e in range(0, g.n_edges, 2)]
-        elif tig_algorithm == 2:
-            tigs = compute_pathtigs(g)
-        elif tig_algorithm == 3:
-            tigs = compute_eulertigs(g, EulertigConfig(k=k))
-        elif tig_algorithm == 4:
-            tigs = compute_matchtigs(g, MatchtigConfig(k=k))
-        elif tig_algorithm == 5:
-            tigs = compute_greedytigs(g, GreedytigConfig(k=k))
+            # unitig passthrough (clib.rs:351-361): one walk per biedge pair
+            flat = np.arange(0, g.n_edges, 2, dtype=np.int64)
+            limits = np.arange(1, len(flat) + 1, dtype=np.int64)
         else:
-            raise ValueError(f"Unknown tigs algorithm identifier {tig_algorithm}")
+            if tig_algorithm == 2:
+                tigs = compute_pathtigs(g)
+            elif tig_algorithm == 3:
+                tigs = compute_eulertigs(g, EulertigConfig(k=k))
+            elif tig_algorithm == 4:
+                tigs = compute_matchtigs(
+                    g, MatchtigConfig(k=k, host_threads=threads)
+                )
+            elif tig_algorithm == 5:
+                tigs = compute_greedytigs(
+                    g, GreedytigConfig(k=k, host_threads=threads)
+                )
+            else:
+                raise ValueError(
+                    f"Unknown tigs algorithm identifier {tig_algorithm}"
+                )
+            flat = np.asarray(tigs.flat, dtype=np.int64)
+            limits = np.asarray(tigs.offsets, dtype=np.int64)
 
-        edges_out: list[np.ndarray] = []
-        inserts_out: list[np.ndarray] = []
-        limits = np.zeros(len(tigs), dtype=np.int64)
-        total = 0
-        handles = g.handles()
-        forwards = g.forwards()
-        weights = g.weights()
-        dummies = g.is_dummy()
-        for i, tig in enumerate(tigs):
-            t = np.asarray(tig)
-            sign = np.where(forwards[t], 1, -1)
-            edges_out.append(handles[t] * sign)
-            inserts_out.append(np.where(dummies[t], weights[t], 0))
-            total += len(t)
-            limits[i] = total
-        if edges_out:
-            return (
-                np.concatenate(edges_out),
-                np.concatenate(inserts_out),
-                limits,
-            )
+        # Vectorized flattening (clib.rs:393-407 loop semantics): signed
+        # unitig id per edge, dummy k-mer insert counts, prefix-sum limits.
+        sign = np.where(np.asarray(g.forwards())[flat], 1, -1)
+        edges = np.asarray(g.handles())[flat] * sign
+        inserts = np.where(
+            np.asarray(g.is_dummy())[flat], np.asarray(g.weights())[flat], 0
+        )
         return (
-            np.empty(0, dtype=np.int64),
-            np.empty(0, dtype=np.int64),
+            edges.astype(np.int64, copy=False),
+            inserts.astype(np.int64, copy=False),
             limits,
         )

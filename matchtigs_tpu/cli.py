@@ -121,8 +121,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-level", default="Info")
     # Reference-CLI compatibility: accepted, mapped or ignored with a note.
     p.add_argument("--blossom5-command", help=argparse.SUPPRESS)
-    p.add_argument("--dijkstra-node-weight-array-type", help=argparse.SUPPRESS)
-    p.add_argument("--dijkstra-heap-type", help=argparse.SUPPRESS)
+    p.add_argument(
+        "--dijkstra-node-weight-array-type",
+        choices=("EpochNodeWeightArray", "HashbrownHashMap"),
+        help="host Dijkstra distance-structure strategy "
+        "(reference flag, src/implementation/mod.rs:62-83): "
+        "EpochNodeWeightArray selects the dense epoch-array Dial engine "
+        "(framework default), HashbrownHashMap the binary-heap + hashmap "
+        "engine (the reference's default semantics)",
+    )
+    p.add_argument(
+        "--dijkstra-heap-type",
+        choices=("StdBinaryHeap",),
+        help="heap strategy (reference flag; StdBinaryHeap is the only "
+        "value the reference defines, src/implementation/mod.rs:86-103)",
+    )
     p.add_argument("--dijkstra-performance-data-type", help=argparse.SUPPRESS)
     p.add_argument(
         "--dijkstra-staged-parallelism-divisor", type=float, help=argparse.SUPPRESS
@@ -148,9 +161,46 @@ def _want_counters(opts) -> bool:
     return bool(v) and v.lower() not in ("none", "off")
 
 
+def _host_strategy(opts) -> str:
+    """Map the reference's Dijkstra strategy flags to a host engine
+    (reference dispatch: /root/reference/src/implementation/mod.rs:62-126,
+    greedytigs/mod.rs:92-198).  Unset -> the framework's own default."""
+    v = opts.dijkstra_node_weight_array_type
+    if v is None:
+        return "dial"
+    strategy = "heap" if v == "HashbrownHashMap" else "dial"
+    logger.info(
+        "Dijkstra strategy: %s + %s -> host engine %r",
+        opts.dijkstra_heap_type or "StdBinaryHeap",
+        v,
+        strategy,
+    )
+    return strategy
+
+
 def _log_mem(label: str) -> None:
+    """Per-phase memory snapshot at info level — the analog of the
+    reference's log_memory_usage after every phase
+    (/root/reference/src/bin.rs:842-848, called at 872, 921, 998)."""
     peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    logger.debug("%s peak memory usage: %d KiB", label, peak_kb)
+    current_kb = None
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    current_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    if current_kb is not None:
+        logger.info(
+            "%s memory usage: %.1f MiB physical (peak %.1f MiB)",
+            label,
+            current_kb / 1024,
+            peak_kb / 1024,
+        )
+    else:
+        logger.info("%s peak memory usage: %.1f MiB", label, peak_kb / 1024)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -267,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
                         opts.use_mesh
                     ],
                     performance_counters=_want_counters(opts),
+                    host_strategy=_host_strategy(opts),
                 ),
             )
         else:
@@ -280,6 +331,7 @@ def main(argv: list[str] | None = None) -> int:
                     dense_limit=opts.matching_dense_limit,
                     matching_file_prefix=opts.matching_file_prefix,
                     performance_counters=_want_counters(opts),
+                    host_strategy=_host_strategy(opts),
                 ),
             )
         compute_time = time.monotonic() - t0

@@ -206,3 +206,64 @@ def test_read_fasta_trailing_cr_no_newline(tmp_path):
     assert len(store) == 1
     assert store.length(0) == 12
     assert headers == [b"u1"]
+
+
+def test_dijkstra_strategy_flags(unitig_fa, tmp_path, caplog):
+    """The reference's Dijkstra strategy flags select a real host engine
+    (reference dispatch src/implementation/mod.rs:62-126): HashbrownHashMap
+    maps to the binary-heap + hashmap engine, EpochNodeWeightArray to the
+    Dial-bucket epoch-array engine; outputs are identical."""
+    import logging
+
+    path, kmers, k = unitig_fa
+    out_default = tmp_path / "default.fa"
+    out_heap = tmp_path / "heap.fa"
+    assert (
+        main(
+            ["--fa-in", str(path), "-k", str(k),
+             "--greedytigs-fa-out", str(out_default),
+             "--dijkstra-node-weight-array-type", "EpochNodeWeightArray",
+             "--log-level", "Warning"]
+        )
+        == 0
+    )
+    with caplog.at_level(logging.INFO, logger="matchtigs_tpu"):
+        assert (
+            main(
+                ["--fa-in", str(path), "-k", str(k),
+                 "--greedytigs-fa-out", str(out_heap),
+                 "--dijkstra-heap-type", "StdBinaryHeap",
+                 "--dijkstra-node-weight-array-type", "HashbrownHashMap",
+                 "--log-level", "Warning"]
+            )
+            == 0
+        )
+    assert any("host engine 'heap'" in r.message for r in caplog.records)
+    assert out_default.read_bytes() == out_heap.read_bytes()
+
+
+def test_dijkstra_strategy_flag_rejects_unknown(unitig_fa, tmp_path):
+    path, _, k = unitig_fa
+    with pytest.raises(SystemExit):
+        main(
+            ["--fa-in", str(path), "-k", str(k),
+             "--greedytigs-fa-out", str(tmp_path / "x.fa"),
+             "--dijkstra-node-weight-array-type", "BTreeMap"]
+        )
+
+
+def test_phase_memory_logged_at_info(unitig_fa, tmp_path, caplog):
+    """The reference logs a memory snapshot after every phase at info
+    level (src/bin.rs:842-848 called at 872, 921, 998)."""
+    import logging
+
+    path, _, k = unitig_fa
+    with caplog.at_level(logging.INFO, logger="matchtigs_tpu"):
+        main(
+            ["--fa-in", str(path), "-k", str(k),
+             "--eulertigs-fa-out", str(tmp_path / "e.fa"),
+             "--log-level", "Warning"]
+        )
+    mem_lines = [r.message for r in caplog.records if "memory usage" in r.message]
+    assert any("After load" in m for m in mem_lines)
+    assert any("After eulertigs" in m for m in mem_lines)
