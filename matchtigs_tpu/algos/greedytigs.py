@@ -333,17 +333,21 @@ def collect_candidates(
         stats.capacity_final = capacity
         t_dev = time.monotonic()
         if use_mesh:
-            nodes, dist, overflow, _ = sharded_bounded_sssp(
+            # Same pipeline as the single-device path: one dispatch for
+            # the whole stage (per-shard fori_loop batching), packed
+            # downloads, shared native extraction below.  Result rows
+            # follow the re-striped source order (row_sources); padding
+            # rows carry the sentinel source id.
+            nodes, dist, overflow, row_sources = sharded_bounded_sssp(
                 dg,
-                in_mask,
                 pending,
                 max_weight=k - 1,
                 capacity=capacity,
                 mesh=mesh,
                 batch_size=batch_size,
+                return_packed=host_available,
             )
-            # dist is already INF where not a valid candidate
-            valid_mask_applied = True
+            real = row_sources != np.int32(dg.n_nodes)
         else:
             nodes, dist, overflow = batched_bounded_sssp(
                 dg,
@@ -353,14 +357,15 @@ def collect_candidates(
                 batch_size=batch_size,
                 return_packed=host_available,
             )
-            valid_mask_applied = False
+            row_sources = pending
+            real = None
         stage_t = time.monotonic() - t_dev
         logger.info("Device stage: %d sources in %.2fs", len(pending), stage_t)
         stats.stage_times.append(stage_t)
         stats.stage_overflow_frac.append(
-            float(overflow.sum()) / max(1, len(overflow))
+            float(overflow.sum()) / max(1, len(pending))
         )
-        done = ~overflow
+        done = ~overflow if real is None else (~overflow & real)
         if dist is None:
             # Packed result: native parallel filter + id translation
             # (replaces the numpy unpack/nonzero/gather chain below).
@@ -368,7 +373,7 @@ def collect_candidates(
 
             t_ext = time.monotonic()
             tri = extract_packed_candidates(
-                dg, nodes, pending, done, in_mask
+                dg, nodes, row_sources, done, in_mask
             )
             logger.info(
                 "Extracted %d triples from %dx%d packed slots in %.2fs",
@@ -391,10 +396,9 @@ def collect_candidates(
             if np.any(done):
                 dn = nodes[done]
                 dd = dist[done]
-                srcs = pending[done]
+                srcs = row_sources[done]
                 valid = (dn != sentinel) & (dd >= 1) & (dd < INF)
-                if not valid_mask_applied:
-                    valid &= in_mask[np.minimum(dn, len(in_mask) - 1)]
+                valid &= in_mask[np.minimum(dn, len(in_mask) - 1)]
                 s_idx, c_idx = np.nonzero(valid)
                 if len(s_idx):
                     chunks.append(
@@ -404,7 +408,9 @@ def collect_candidates(
                             dd[s_idx, c_idx].astype(np.int64),
                         )
                     )
-        pending = pending[overflow]
+        pending = (
+            pending[overflow] if real is None else row_sources[overflow & real]
+        )
         if len(pending) > 0:
             if config.overflow_mode == "host" and host_available:
                 # Finish the heavy tail with the native host Dijkstra

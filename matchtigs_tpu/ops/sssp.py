@@ -163,17 +163,7 @@ def _can_pack_out(dg: DeviceGraph, max_weight: int) -> bool:
     )
 
 
-# NOTE: no donate_argnums — XLA's donation/aliasing analysis through the
-# inner while_loop inflates compile time ~100x on this backend; the
-# on-device buffer copies it avoids cost only a few ms per step.
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "capacity", "max_rounds", "deg_pad", "packed", "batch",
-        "n_batches", "pack_out",
-    ),
-)
-def _sssp_run_batches(
+def _run_batches_impl(
     nbr,
     nw,
     sources_all,  # int32 [S_pad] resident on device
@@ -186,21 +176,25 @@ def _sssp_run_batches(
     n_batches: int,
     pack_out: bool,
 ):
-    """Run every batch of the search inside ONE device program.
-
-    The per-batch python dispatch loop this replaces cost one host round
-    trip per batch through the high-latency device tunnel (~3.5s of a
-    4.3s device stage at 84 batches); a ``fori_loop`` over the batch
-    index keeps the whole stage on device with a single dispatch and a
-    single result download.  With pack_out (packed mode), (node, dist)
-    pairs come down as ONE int32 per slot — distances occupy the low
-    DIST_BITS — halving the result download through the device link.
-    """
+    """Shared body of the one-dispatch batched stage: a ``fori_loop``
+    over batch indices accumulating results in device buffers.  Jitted
+    directly for the single-device path (:func:`_sssp_run_batches`) and
+    called per-shard inside ``shard_map`` by the mesh path
+    (:func:`matchtigs_tpu.parallel.mesh.sharded_bounded_sssp`), so both
+    run the identical kernel pipeline."""
     S_pad = sources_all.shape[0]
     C = capacity
-    nodes_buf0 = jnp.zeros((S_pad, C), dtype=jnp.int32)
-    dist_buf0 = jnp.zeros((S_pad, C) if not pack_out else (1, 1), jnp.int32)
-    over_buf0 = jnp.zeros((S_pad,), dtype=bool)
+    # Init buffers derived from `sources_all` so that under shard_map the
+    # whole fori_loop carry is uniformly axis-varying (same trick as the
+    # kernel's carry init).
+    zero_col = (sources_all * 0)[:, None]
+    nodes_buf0 = jnp.zeros((S_pad, C), dtype=jnp.int32) + zero_col
+    dist_buf0 = (
+        jnp.zeros((S_pad, C), jnp.int32) + zero_col
+        if not pack_out
+        else jnp.zeros((1, 1), jnp.int32) + sources_all[0] * 0
+    )
+    over_buf0 = sources_all < jnp.int32(-(1 << 30))  # all False; varying
 
     def body(i, bufs):
         nodes_buf, dist_buf, over_buf = bufs
@@ -242,6 +236,54 @@ def _sssp_run_batches(
 
     return jax.lax.fori_loop(
         0, n_batches, body, (nodes_buf0, dist_buf0, over_buf0)
+    )
+
+
+# NOTE: no donate_argnums — XLA's donation/aliasing analysis through the
+# inner while_loop inflates compile time ~100x on this backend; the
+# on-device buffer copies it avoids cost only a few ms per step.
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "capacity", "max_rounds", "deg_pad", "packed", "batch",
+        "n_batches", "pack_out",
+    ),
+)
+def _sssp_run_batches(
+    nbr,
+    nw,
+    sources_all,
+    max_weight,
+    capacity: int,
+    max_rounds: int,
+    deg_pad: int,
+    packed: bool,
+    batch: int,
+    n_batches: int,
+    pack_out: bool,
+):
+    """Run every batch of the search inside ONE device program.
+
+    The per-batch python dispatch loop this replaces cost one host round
+    trip per batch through the high-latency device tunnel (~3.5s of a
+    4.3s device stage at 84 batches); a ``fori_loop`` over the batch
+    index keeps the whole stage on device with a single dispatch and a
+    single result download.  With pack_out (packed mode), (node, dist)
+    pairs come down as ONE int32 per slot — distances occupy the low
+    DIST_BITS — halving the result download through the device link.
+    """
+    return _run_batches_impl(
+        nbr,
+        nw,
+        sources_all,
+        max_weight,
+        capacity=capacity,
+        max_rounds=max_rounds,
+        deg_pad=deg_pad,
+        packed=packed,
+        batch=batch,
+        n_batches=n_batches,
+        pack_out=pack_out,
     )
 
 

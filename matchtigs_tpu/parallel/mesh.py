@@ -4,10 +4,23 @@ The reference's only parallelism is a shared-memory thread pool with a
 mutex work queue (SURVEY.md §2.3 P1-P6).  The TPU-native analog per
 BASELINE.json: the graph's padded adjacency is replicated to every device
 (HBM-resident, read-only), the *source batch* of the bounded shortest-path
-phase is sharded across a 1-D mesh axis, and per-device candidate counts /
-buffers are merged with XLA collectives (psum / implicit all-gather via
-output sharding) riding ICI.  Matching and Euler stitching run replicated
+phase is sharded across a 1-D mesh axis, and results come back sharded
+(allgathered on host read).  Matching and Euler stitching run replicated
 and deterministic on host.
+
+Pipeline parity with the single-device path (ops/sssp.py): the sharded
+program runs the SAME one-dispatch ``fori_loop`` batch accumulation
+(``_run_batches_impl``) per shard, downloads packed one-int32-per-slot
+results, and feeds the same native extraction
+(:func:`matchtigs_tpu.ops.sssp.extract_packed_candidates`) — one device
+dispatch per stage regardless of batch count, half the link traffic of
+unpacked downloads.
+
+Load balance: sources arrive difficulty-ordered (hardest first, see
+greedytigs source prep); they are striped round-robin across devices so
+every device sees the same difficulty profile and local batches converge
+uniformly.  Results carry their source ids, so no inverse permutation is
+ever needed downstream.
 """
 
 from __future__ import annotations
@@ -20,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.device_graph import DeviceGraph
-from ..ops.sssp import INF, _can_pack, _sssp_kernel
+from ..ops.sssp import _can_pack, _can_pack_out, _run_batches_impl
 
 SOURCE_AXIS = "sources"
 
@@ -75,78 +88,80 @@ def _to_host_global(x) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("capacity", "max_rounds", "deg_pad", "packed", "mesh"),
+    static_argnames=(
+        "capacity", "max_rounds", "deg_pad", "packed", "batch",
+        "n_batches", "pack_out", "mesh",
+    ),
 )
-def _sharded_sssp_step(
+def _sharded_run_batches(
     nbr,
     nw,
-    in_mask,
-    sources,
+    sources_all,  # int32 [S_pad] sharded over the mesh axis
     max_weight,
-    capacity,
-    max_rounds,
-    deg_pad,
-    packed,
-    mesh,
+    capacity: int,
+    max_rounds: int,
+    deg_pad: int,
+    packed: bool,
+    batch: int,
+    n_batches: int,  # per-device batch count
+    pack_out: bool,
+    mesh: Mesh,
 ):
-    """One full device step over the mesh: sharded batched SSSP + target
-    filtering + a psum of candidate counts (collective merge).
+    """The whole sharded stage as ONE device program: every device runs
+    the single-device ``fori_loop`` batch accumulation over its local
+    source shard; graph arrays replicated, sources/results sharded."""
 
-    sources are sharded over the mesh axis; graph arrays are replicated.
-    Outputs come back with the source axis sharded (allgather happens
-    implicitly when the host reads the global arrays).
-    """
-
-    def step(nbr, nw, in_mask, sources, max_weight):
-        nodes, dist, overflow, _ = _sssp_kernel(
+    def local(nbr, nw, sources_local, max_weight):
+        return _run_batches_impl(
             nbr,
             nw,
-            sources,
+            sources_local,
             max_weight,
             capacity=capacity,
             max_rounds=max_rounds,
             deg_pad=deg_pad,
             packed=packed,
+            batch=batch,
+            n_batches=n_batches,
+            pack_out=pack_out,
         )
-        sentinel = jnp.int32(nbr.shape[0] - 1)
-        is_cand = (
-            (nodes != sentinel)
-            & (dist >= 1)
-            & (dist < INF)
-            & in_mask[jnp.minimum(nodes, sentinel)]
-        )
-        cand_dist = jnp.where(is_cand, dist, INF)
-        local_count = jnp.sum(is_cand.astype(jnp.int32))
-        total_count = jax.lax.psum(local_count, SOURCE_AXIS)
-        return nodes, cand_dist, overflow, total_count
 
-    spec_sharded = P(SOURCE_AXIS)
-    spec_repl = P()
-    out = jax.shard_map(
-        step,
+    sharded = P(SOURCE_AXIS)
+    repl = P()
+    # dist_buf is a (1,1) placeholder in pack_out mode; sharding it over
+    # the axis is harmless (global (n_dev, 1), never read).
+    return jax.shard_map(
+        local,
         mesh=mesh,
-        in_specs=(spec_repl, spec_repl, spec_repl, spec_sharded, spec_repl),
-        out_specs=(spec_sharded, spec_sharded, spec_sharded, spec_repl),
-    )(nbr, nw, in_mask, sources, max_weight)
-    return out
+        in_specs=(repl, repl, sharded, repl),
+        out_specs=(sharded, sharded, sharded),
+    )(nbr, nw, sources_all, max_weight)
 
 
 def sharded_bounded_sssp(
     dg: DeviceGraph,
-    in_mask: np.ndarray,
     sources: np.ndarray,
     max_weight: int,
     capacity: int = 128,
     mesh: Mesh | None = None,
     batch_size: int | None = None,
+    return_packed: bool = True,
 ):
-    """Data-parallel batched SSSP over all mesh devices.
+    """Data-parallel batched SSSP over all mesh devices, one dispatch.
 
-    Returns (nodes [S, C], cand_dist [S, C], overflow [S], total_count):
-    cand_dist is INF where the entry is not a valid (target, >=1) candidate.
-    `batch_size` is the per-device batch; the global batch is
-    batch_size * n_devices, looped over the source list with padding so
-    only one program shape is ever compiled.
+    Returns ``(result, dist, overflow, srcs)`` where rows of ``result``
+    correspond to ``srcs`` (the internally re-striped source order —
+    results carry source ids, downstream never needs the original
+    order); rows with ``srcs == dg.n_nodes`` are padding.  With
+    ``return_packed`` (and a packable graph) ``result`` is the raw
+    ``(node << DIST_BITS) | dist`` int32 matrix for
+    :func:`~matchtigs_tpu.ops.sssp.extract_packed_candidates` and
+    ``dist`` is None — identical contract to
+    ``batched_bounded_sssp(..., return_packed=True)``.
+
+    ``batch_size`` is the per-device batch; each device loops over its
+    local batches inside the compiled program (one program shape, one
+    dispatch per stage).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -155,46 +170,52 @@ def sharded_bounded_sssp(
     S = len(sources)
     if batch_size is None:
         batch_size = max(1, -(-S // n_dev))
-    global_batch = batch_size * n_dev
-    mask = np.zeros(dg.n_nodes + 1, dtype=bool)
-    mask[: len(in_mask)] = in_mask
+    batch_size = max(1, min(batch_size, max(1, -(-S // n_dev))))
+    n_batches = max(1, -(-S // (batch_size * n_dev)))
+    local_len = n_batches * batch_size
+    S_pad = local_len * n_dev
 
-    nbr = _make_global(mesh, P(), dg.nbr)
-    nw = _make_global(mesh, P(), dg.nw)
-    mask_d = _make_global(mesh, P(), mask)
-
-    all_nodes, all_dist, all_over = [], [], []
-    total = 0
-    for start in range(0, max(S, 1), global_batch):
-        chunk = sources[start : start + global_batch]
-        n_real = len(chunk)
-        if n_real == 0:
-            break
-        pad = global_batch - n_real
-        if pad:
-            chunk = np.concatenate(
-                [chunk, np.full(pad, dg.n_nodes, dtype=np.int32)]
-            )
-        sources_d = _make_global(mesh, P(SOURCE_AXIS), chunk)
-        nodes, cand_dist, overflow, count = _sharded_sssp_step(
-            nbr,
-            nw,
-            mask_d,
-            sources_d,
-            jnp.int32(max_weight),
-            capacity=capacity,
-            max_rounds=int(max_weight),
-            deg_pad=dg.deg_pad,
-            packed=_can_pack(dg, max_weight),
-            mesh=mesh,
-        )
-        all_nodes.append(_to_host_global(nodes)[:n_real])
-        all_dist.append(_to_host_global(cand_dist)[:n_real])
-        all_over.append(_to_host_global(overflow)[:n_real])
-        total += int(count)
-    return (
-        np.concatenate(all_nodes),
-        np.concatenate(all_dist),
-        np.concatenate(all_over),
-        total,
+    # Stripe sources round-robin over devices: global difficulty order
+    # becomes per-device difficulty order, so each device's batch i holds
+    # the same difficulty band (uniform while-loop convergence) and the
+    # load is balanced.  srcs[d * local_len + j] = padded[j * n_dev + d].
+    padded = np.full(S_pad, dg.n_nodes, dtype=np.int32)
+    padded[:S] = sources
+    srcs = np.ascontiguousarray(
+        padded.reshape(local_len, n_dev).T.reshape(-1)
     )
+
+    nbr_d, nw_d = dg.device_buffers()
+    nbr = _make_global(mesh, P(), nbr_d)
+    nw = _make_global(mesh, P(), nw_d)
+    sources_d = _make_global(mesh, P(SOURCE_AXIS), srcs)
+
+    packed = _can_pack(dg, max_weight)
+    pack_out = _can_pack_out(dg, max_weight)
+    nodes_buf, dist_buf, over_buf = _sharded_run_batches(
+        nbr,
+        nw,
+        sources_d,
+        jnp.int32(max_weight),
+        capacity=capacity,
+        max_rounds=int(max_weight),
+        deg_pad=dg.deg_pad,
+        packed=packed,
+        batch=batch_size,
+        n_batches=n_batches,
+        pack_out=pack_out,
+        mesh=mesh,
+    )
+    overflow = _to_host_global(over_buf)
+    result = _to_host_global(nodes_buf)
+    if not pack_out:
+        return result, _to_host_global(dist_buf), overflow, srcs
+    if return_packed:
+        return result, None, overflow, srcs
+    from ..ops.sssp import DIST_BITS, INF
+
+    dist_cap = np.int32((1 << DIST_BITS) - 1)
+    dist = result & dist_cap
+    result = result >> DIST_BITS
+    np.putmask(dist, dist == dist_cap, INF)
+    return result, dist, overflow, srcs
