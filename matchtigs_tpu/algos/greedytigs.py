@@ -50,7 +50,10 @@ class GreedytigConfig:
     # radius), so the ladder starts small to keep sort widths minimal.
     initial_capacity: int = 16
     max_capacity: int = 1 << 16
-    batch_size: int = 8192
+    # Device lane count. Measured on v5e at bench scale (683k sources,
+    # k=31, C=8): pool 4096 -> 618k sources/s (best; 8192 -> 557k,
+    # 2048 -> 419k), batch 8192 -> 304k.
+    batch_size: int = 4096
     # "auto": shard source batches over the mesh when >1 device is
     # available; True/False force it.
     use_mesh: bool | str = "auto"
@@ -59,6 +62,12 @@ class GreedytigConfig:
     # tiny fraction of sources); "ladder" retries on device with 4x
     # capacity per stage (one compiled shape per stage).
     overflow_mode: str = "host"
+    # Device scheduler: "pool" keeps a persistent pool of batch_size
+    # lanes, retiring each source the round it converges or overflows
+    # and refilling from the stream (near-full slot occupancy under
+    # skewed convergence); "batch" runs fixed batches to their slowest
+    # member's convergence (ops/sssp.py).
+    device_schedule: str = "pool"
     # Sources whose minimum incident edge weight is <= this threshold are
     # routed straight to the native host Dijkstra, running concurrently
     # with the device batches (they sit in dense tangles with deep
@@ -356,6 +365,7 @@ def collect_candidates(
                 capacity=capacity,
                 batch_size=batch_size,
                 return_packed=host_available,
+                schedule=config.device_schedule,
             )
             row_sources = pending
             real = None

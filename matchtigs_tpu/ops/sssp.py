@@ -43,6 +43,75 @@ INF = np.int32(1 << 20)  # > any bounded distance, safe against int32 overflow
 DIST_BITS = 7  # distances < 128 (k <= 128); nodes < 2^24 for packed sorts
 
 
+def _make_sort2(packed: bool, dist_cap):
+    """Sorter for (node, dist) pairs along axis 1 by (node, dist) or
+    (dist, node); single packed int32 key when ids fit."""
+
+    def sort2(a_nodes, a_dist, by_node_first: bool):
+        if packed:
+            if by_node_first:
+                key = (a_nodes << DIST_BITS) | a_dist
+                key = jax.lax.sort(key, dimension=1)
+                return key >> DIST_BITS, key & dist_cap
+            key = (a_dist << (31 - DIST_BITS - 1)) | a_nodes
+            # dist in high bits: requires nodes < 2^(31-DIST_BITS-1)
+            key = jax.lax.sort(key, dimension=1)
+            return key & ((1 << (31 - DIST_BITS - 1)) - 1), key >> (
+                31 - DIST_BITS - 1
+            )
+        if by_node_first:
+            n, d = jax.lax.sort((a_nodes, a_dist), num_keys=2, dimension=1)
+            return n, d
+        d, n = jax.lax.sort((a_dist, a_nodes), num_keys=2, dimension=1)
+        return n, d
+
+    return sort2
+
+
+def _relax_round(
+    nbr, nw, nodes, dist, overflow, max_weight, dist_cap, sort2, deg_pad
+):
+    """One bounded relaxation round on an [S, C] working set: expansion
+    gather, per-node min-dedup, distance compaction back to C slots.
+    Returns (nodes, dist, overflow, witness) — witness is the (count,
+    sum-of-dists) pair, monotone under relaxation, so witness equality
+    across one round certifies the per-source fixpoint (absent overflow,
+    which is flagged separately and handled by the retry ladder)."""
+    S, C = nodes.shape
+    sentinel = jnp.int32(nbr.shape[0] - 1)
+    live = dist <= max_weight
+    nn = jnp.where(live[:, :, None], nbr[nodes], sentinel)
+    nd = dist[:, :, None] + nw[nodes]
+    ok = (nn != sentinel) & (nd <= max_weight)
+    cand_nodes = jnp.where(ok, nn, sentinel).reshape(S, C * deg_pad)
+    cand_dist = jnp.where(ok, nd, dist_cap).reshape(S, C * deg_pad)
+
+    all_nodes = jnp.concatenate([nodes, cand_nodes], axis=1)
+    all_dist = jnp.concatenate([dist, cand_dist], axis=1)
+
+    # Per-node min via (node, dist) sort + first-of-run.
+    sn, sd = sort2(all_nodes, all_dist, by_node_first=True)
+    first = jnp.concatenate(
+        [jnp.ones((S, 1), dtype=bool), sn[:, 1:] != sn[:, :-1]], axis=1
+    )
+    keep = first & (sd < dist_cap) & (sn != sentinel)
+    sd = jnp.where(keep, sd, dist_cap)
+    sn = jnp.where(keep, sn, sentinel)
+
+    # Compact to the C closest entries; a valid entry beyond C means
+    # the resource limit was exceeded for this source.
+    dn, dd = sort2(sn, sd, by_node_first=False)
+    new_nodes = dn[:, :C]
+    new_dist = dd[:, :C]
+    overflow = overflow | (dd[:, C] < dist_cap)
+
+    valid = new_dist < dist_cap
+    count = valid.sum(axis=1, dtype=jnp.int32)
+    dsum = jnp.where(valid, new_dist, 0).sum(axis=1, dtype=jnp.int32)
+    witness = jnp.stack([count, dsum], axis=1)
+    return new_nodes, new_dist, overflow, witness
+
+
 @functools.partial(
     jax.jit, static_argnames=("capacity", "max_rounds", "deg_pad", "packed")
 )
@@ -64,26 +133,7 @@ def _sssp_kernel(
     # fallback (k >= 128 or huge graphs) it is derived from max_rounds,
     # which callers always set to int(max_weight).
     dist_cap = jnp.int32((1 << DIST_BITS) - 1 if packed else max_rounds + 1)
-
-    def sort2(a_nodes, a_dist, by_node_first: bool):
-        """Sort (node, dist) pairs along axis 1 by (node, dist) or
-        (dist, node); single packed int32 key when ids fit."""
-        if packed:
-            if by_node_first:
-                key = (a_nodes << DIST_BITS) | a_dist
-                key = jax.lax.sort(key, dimension=1)
-                return key >> DIST_BITS, key & dist_cap
-            key = (a_dist << (31 - DIST_BITS - 1)) | a_nodes
-            # dist in high bits: requires nodes < 2^(31-DIST_BITS-1)
-            key = jax.lax.sort(key, dimension=1)
-            return key & ((1 << (31 - DIST_BITS - 1)) - 1), key >> (
-                31 - DIST_BITS - 1
-            )
-        if by_node_first:
-            n, d = jax.lax.sort((a_nodes, a_dist), num_keys=2, dimension=1)
-            return n, d
-        d, n = jax.lax.sort((a_dist, a_nodes), num_keys=2, dimension=1)
-        return n, d
+    sort2 = _make_sort2(packed, dist_cap)
 
     # Init carry derived from `sources` so that under shard_map the whole
     # carry is uniformly axis-varying.
@@ -98,36 +148,10 @@ def _sssp_kernel(
 
     def round_body(state):
         nodes, dist, overflow, witness, changed, r = state
-        live = dist <= max_weight
-        nn = jnp.where(live[:, :, None], nbr[nodes], sentinel)
-        nd = dist[:, :, None] + nw[nodes]
-        ok = (nn != sentinel) & (nd <= max_weight)
-        cand_nodes = jnp.where(ok, nn, sentinel).reshape(S, C * deg_pad)
-        cand_dist = jnp.where(ok, nd, dist_cap).reshape(S, C * deg_pad)
-
-        all_nodes = jnp.concatenate([nodes, cand_nodes], axis=1)
-        all_dist = jnp.concatenate([dist, cand_dist], axis=1)
-
-        # Per-node min via (node, dist) sort + first-of-run.
-        sn, sd = sort2(all_nodes, all_dist, by_node_first=True)
-        first = jnp.concatenate(
-            [jnp.ones((S, 1), dtype=bool), sn[:, 1:] != sn[:, :-1]], axis=1
+        new_nodes, new_dist, overflow, new_witness = _relax_round(
+            nbr, nw, nodes, dist, overflow, max_weight, dist_cap, sort2,
+            deg_pad,
         )
-        keep = first & (sd < dist_cap) & (sn != sentinel)
-        sd = jnp.where(keep, sd, dist_cap)
-        sn = jnp.where(keep, sn, sentinel)
-
-        # Compact to the C closest entries; a valid entry beyond C means
-        # the resource limit was exceeded for this source.
-        dn, dd = sort2(sn, sd, by_node_first=False)
-        new_nodes = dn[:, :C]
-        new_dist = dd[:, :C]
-        overflow = overflow | (dd[:, C] < dist_cap)
-
-        valid = new_dist < dist_cap
-        count = valid.sum(axis=1, dtype=jnp.int32)
-        dsum = jnp.where(valid, new_dist, 0).sum(axis=1, dtype=jnp.int32)
-        new_witness = jnp.stack([count, dsum], axis=1)
         changed = jnp.any(new_witness != witness)
         return new_nodes, new_dist, overflow, new_witness, changed, r + 1
 
@@ -239,6 +263,143 @@ def _run_batches_impl(
     )
 
 
+def _pool_impl(
+    nbr,
+    nw,
+    sources_all,  # int32 [S_pad] resident on device
+    max_weight,
+    capacity: int,
+    max_rounds: int,
+    deg_pad: int,
+    packed: bool,
+    pool: int,
+    pack_out: bool,
+):
+    """Persistent compacted source pool: the whole search as ONE device
+    while_loop at ~full slot occupancy.
+
+    The batched scheduler (:func:`_run_batches_impl`) runs each batch of
+    S sources until its *slowest* source converges — measured occupancy
+    17-31%, because ball sizes and convergence rounds are heavily skewed
+    (the TPU analog of the reference's work-stealing queue sitting idle,
+    greedytigs/mod.rs:276-341).  Here a fixed pool of P lanes each hold
+    one in-flight source; every iteration runs one relaxation round on
+    all P lanes, then *retires* lanes that converged (witness stable) or
+    overflowed (the retry ladder / host tail recomputes those anyway, so
+    burning more rounds on them is pure waste) by scattering their rows
+    into the result buffers and refilling the lane with the next source
+    from the stream.  Work ≈ sum of per-source rounds instead of
+    sum of per-batch max rounds.
+
+    Retired rows land at their source's position in ``sources_all`` order
+    (row i of the result belongs to sources_all[i]); exhausted lanes park
+    on a trash row at index S_pad.  Returns (nodes_buf, dist_buf,
+    over_buf) of S_pad+1 rows — callers slice off the trash row.
+    """
+    S_pad = sources_all.shape[0]
+    C = capacity
+    P = pool
+    sentinel = jnp.int32(nbr.shape[0] - 1)
+    dist_cap = jnp.int32((1 << DIST_BITS) - 1 if packed else max_rounds + 1)
+    out_cap = jnp.int32((1 << DIST_BITS) - 1)
+    sort2 = _make_sort2(packed, dist_cap)
+    col0 = jnp.arange(C, dtype=jnp.int32)[None, :] == 0  # [1, C]
+
+    def lane_init(src):  # src: int32 [P] device node ids (sentinel = idle)
+        nodes = jnp.where(col0, src[:, None], sentinel)
+        dist = jnp.where(col0, jnp.zeros((P, 1), jnp.int32), dist_cap)
+        wit = jnp.stack(
+            [jnp.ones((P,), jnp.int32), jnp.zeros((P,), jnp.int32)], axis=1
+        )
+        return nodes, dist, wit
+
+    def fetch(idx):  # idx: int32 [P] indices into sources_all
+        live = idx < S_pad
+        src = sources_all[jnp.clip(idx, 0, S_pad - 1)]
+        return jnp.where(live, src, sentinel)
+
+    # Result buffers have one extra trash row (index S_pad) that absorbs
+    # writes from idle lanes and from lanes still in flight.
+    zero_rows = jnp.zeros((S_pad + 1, C), jnp.int32) + (sources_all[0] * 0)
+    nodes_buf0 = zero_rows
+    dist_buf0 = zero_rows if not pack_out else jnp.zeros((1, 1), jnp.int32)
+    over_buf0 = jnp.zeros((S_pad + 1,), bool) | (sources_all[0] < -(1 << 30))
+
+    idx0 = jnp.arange(P, dtype=jnp.int32)
+    nodes0, dist0, wit0 = lane_init(fetch(idx0))
+    over0 = jnp.zeros((P,), bool)
+    r0 = jnp.zeros((P,), jnp.int32)
+
+    def cond(state):
+        idx = state[0]
+        return jnp.any(idx < S_pad)
+
+    def body(state):
+        (idx, cursor, nodes, dist, over, wit, r_lane,
+         nodes_buf, dist_buf, over_buf) = state
+        nodes, dist, over, wit_new = _relax_round(
+            nbr, nw, nodes, dist, over, max_weight, dist_cap, sort2, deg_pad
+        )
+        r_lane = r_lane + 1
+        # Retire on fixpoint, on overflow (downstream recomputes those
+        # sources at higher capacity / on host), or on the defensive
+        # round cap (bounded dists guarantee convergence in
+        # max_rounds + 1; the cap turns any violation into an overflow
+        # retry instead of a hang).
+        capped = r_lane > jnp.int32(max_rounds + 1)
+        over = over | capped
+        retire = jnp.all(wit_new == wit, axis=1) | over
+
+        # Scatter retiring lanes' results; everyone else writes trash.
+        w_idx = jnp.where(retire & (idx < S_pad), idx, S_pad)
+        if pack_out:
+            dist_small = jnp.where(dist > max_weight, out_cap, dist)
+            nodes_buf = nodes_buf.at[w_idx].set(
+                (nodes << DIST_BITS) | dist_small
+            )
+        else:
+            nodes_buf = nodes_buf.at[w_idx].set(nodes)
+            dist_buf = dist_buf.at[w_idx].set(dist)
+        over_buf = over_buf.at[w_idx].set(over)
+
+        # Refill retired lanes from the stream (exhausted -> idle lane).
+        rank = jnp.cumsum(retire.astype(jnp.int32)) - retire
+        idx = jnp.where(retire, cursor + rank, idx)
+        cursor = cursor + retire.sum(dtype=jnp.int32)
+        f_nodes, f_dist, f_wit = lane_init(fetch(idx))
+        keep = ~retire
+        nodes = jnp.where(keep[:, None], nodes, f_nodes)
+        dist = jnp.where(keep[:, None], dist, f_dist)
+        wit = jnp.where(keep[:, None], wit_new, f_wit)
+        over = over & keep
+        r_lane = jnp.where(keep, r_lane, 0)
+        return (idx, cursor, nodes, dist, over, wit, r_lane,
+                nodes_buf, dist_buf, over_buf)
+
+    state = (idx0, jnp.int32(P), nodes0, dist0, over0, wit0, r0,
+             nodes_buf0, dist_buf0, over_buf0)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[7], state[8], state[9]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "capacity", "max_rounds", "deg_pad", "packed", "pool", "pack_out",
+    ),
+)
+def _sssp_run_pool(
+    nbr, nw, sources_all, max_weight,
+    capacity: int, max_rounds: int, deg_pad: int, packed: bool,
+    pool: int, pack_out: bool,
+):
+    return _pool_impl(
+        nbr, nw, sources_all, max_weight,
+        capacity=capacity, max_rounds=max_rounds, deg_pad=deg_pad,
+        packed=packed, pool=pool, pack_out=pack_out,
+    )
+
+
 # NOTE: no donate_argnums — XLA's donation/aliasing analysis through the
 # inner while_loop inflates compile time ~100x on this backend; the
 # on-device buffer copies it avoids cost only a few ms per step.
@@ -294,6 +455,7 @@ def batched_bounded_sssp(
     capacity: int = 128,
     batch_size: int | None = None,
     return_packed: bool = False,
+    schedule: str = "batch",
 ):
     """All-targets bounded shortest paths from each source.
 
@@ -301,10 +463,14 @@ def batched_bounded_sssp(
     of reachable nodes with distance <= max_weight (sentinel-padded, dist
     INF), and whether the search hit the capacity limit (incomplete).
 
-    All batches run device-resident: sources go up once, per-batch results
-    accumulate into donated device buffers, and the three result arrays
-    come down once — the per-batch host round-trips that dominate on
-    high-latency links are eliminated.
+    The whole search runs device-resident in one dispatch: sources go up
+    once and the result arrays come down once.  ``schedule`` picks the
+    device scheduler: "batch" runs fixed source batches to their slowest
+    member's convergence (:func:`_sssp_run_batches`); "pool" keeps a
+    persistent pool of ``batch_size`` lanes, retiring each source the
+    round it converges or overflows and refilling immediately
+    (:func:`_pool_impl`) — near-full slot occupancy under skewed
+    convergence.
     """
     sources = np.asarray(sources, dtype=np.int32)
     S = len(sources)
@@ -321,25 +487,50 @@ def batched_bounded_sssp(
     packed = _can_pack(dg, max_weight)
     pack_out = _can_pack_out(dg, max_weight)
 
-    n_batches = -(-S // batch_size)
-    S_pad = n_batches * batch_size
-    padded = np.full(S_pad, dg.n_nodes, dtype=np.int32)
-    padded[:S] = sources
-    sources_d = jnp.asarray(padded)
+    if schedule == "pool":
+        # The pool handles ragged S natively (sentinel sources converge
+        # in two rounds; idle lanes park on the trash row), but padding
+        # to a pool multiple keeps the set of compiled program shapes
+        # small — every distinct S_pad is a (cheap, outer-shape) remote
+        # recompile.  Result rows stay in source order.
+        S_pad = -(-S // batch_size) * batch_size
+        padded = np.full(S_pad, dg.n_nodes, dtype=np.int32)
+        padded[:S] = sources
+        sources_d = jnp.asarray(padded)
+        nodes_buf, dist_buf, over_buf = _sssp_run_pool(
+            nbr,
+            nw,
+            sources_d,
+            jnp.int32(max_weight),
+            capacity=capacity,
+            max_rounds=int(max_weight),
+            deg_pad=dg.deg_pad,
+            packed=packed,
+            pool=batch_size,
+            pack_out=pack_out,
+        )
+    elif schedule == "batch":
+        n_batches = -(-S // batch_size)
+        S_pad = n_batches * batch_size
+        padded = np.full(S_pad, dg.n_nodes, dtype=np.int32)
+        padded[:S] = sources
+        sources_d = jnp.asarray(padded)
 
-    nodes_buf, dist_buf, over_buf = _sssp_run_batches(
-        nbr,
-        nw,
-        sources_d,
-        jnp.int32(max_weight),
-        capacity=capacity,
-        max_rounds=int(max_weight),
-        deg_pad=dg.deg_pad,
-        packed=packed,
-        batch=batch_size,
-        n_batches=n_batches,
-        pack_out=pack_out,
-    )
+        nodes_buf, dist_buf, over_buf = _sssp_run_batches(
+            nbr,
+            nw,
+            sources_d,
+            jnp.int32(max_weight),
+            capacity=capacity,
+            max_rounds=int(max_weight),
+            deg_pad=dg.deg_pad,
+            packed=packed,
+            batch=batch_size,
+            n_batches=n_batches,
+            pack_out=pack_out,
+        )
+    else:
+        raise ValueError(f"unknown schedule: {schedule!r}")
     if pack_out:
         key = np.asarray(nodes_buf)[:S]
         over = np.asarray(over_buf)[:S]

@@ -147,3 +147,69 @@ def test_two_key_sort_with_packed_output(monkeypatch):
         b = {(int(n), int(d)) for n, d in zip(got[0][i], got[1][i]) if d < sssp_mod.INF}
         assert a == b, i
     assert np.array_equal(ref[2], got[2])
+
+
+@pytest.mark.parametrize("pack", [True, False])
+def test_pool_schedule_matches_batch_schedule(monkeypatch, pack):
+    """The persistent-pool scheduler must agree with the batch scheduler
+    per source: identical (node, dist) sets for non-overflowed sources
+    and identical overflow flags (retirement-on-overflow may stop a
+    pool lane earlier, but the overflow *decision* is the same witness:
+    a valid entry beyond slot C)."""
+    from matchtigs_tpu.ops import sssp as sssp_mod
+
+    store, _, k = testing.make_unitig_store(genome_length=6000, k=11, seed=5)
+    g = build_bigraph_from_unitigs(store, k)
+    dg = build_device_graph(g)
+    rng = np.random.default_rng(1)
+    sources = rng.choice(
+        g.n_nodes, size=min(100, g.n_nodes), replace=False
+    ).astype(np.int32)
+    if not pack:
+        monkeypatch.setattr(sssp_mod, "_can_pack", lambda *a: False)
+
+    for cap in (4, 64):  # overflowing and complete regimes
+        bn, bd, bo = sssp_mod.batched_bounded_sssp(
+            dg, sources, max_weight=k - 1, capacity=cap, batch_size=16
+        )
+        # pool smaller than S: exercises refill; also ragged (29) vs S
+        pn, pd, po = sssp_mod.batched_bounded_sssp(
+            dg, sources, max_weight=k - 1, capacity=cap, batch_size=29,
+            schedule="pool",
+        )
+        assert np.array_equal(bo, po), cap
+        for i in range(len(sources)):
+            if bo[i]:
+                continue
+            a = {(int(n), int(d)) for n, d in zip(bn[i], bd[i]) if d < sssp_mod.INF}
+            b = {(int(n), int(d)) for n, d in zip(pn[i], pd[i]) if d < sssp_mod.INF}
+            assert a == b, (cap, i)
+
+
+def test_pool_schedule_packed_output_path():
+    """Pool scheduler with return_packed (the production extraction
+    contract): packed rows must decode to the batch scheduler's sets."""
+    from matchtigs_tpu.ops import sssp as sssp_mod
+
+    store, _, k = testing.make_unitig_store(genome_length=4000, k=9, seed=7)
+    g = build_bigraph_from_unitigs(store, k)
+    dg = build_device_graph(g)
+    sources = np.arange(min(50, g.n_nodes), dtype=np.int32)
+    key, none, over = sssp_mod.batched_bounded_sssp(
+        dg, sources, max_weight=k - 1, capacity=64, batch_size=16,
+        schedule="pool", return_packed=True,
+    )
+    assert none is None
+    bn, bd, bo = sssp_mod.batched_bounded_sssp(
+        dg, sources, max_weight=k - 1, capacity=64, batch_size=16
+    )
+    assert np.array_equal(over, bo)
+    cap = np.int32((1 << sssp_mod.DIST_BITS) - 1)
+    for i in range(len(sources)):
+        if over[i]:
+            continue
+        d = key[i] & cap
+        n = key[i] >> sssp_mod.DIST_BITS
+        a = {(int(nn), int(dd)) for nn, dd in zip(n, d) if dd < cap}
+        b = {(int(nn), int(dd)) for nn, dd in zip(bn[i], bd[i]) if dd < sssp_mod.INF}
+        assert a == b, i
