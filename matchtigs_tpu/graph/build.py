@@ -167,9 +167,7 @@ def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
     return g
 
 
-def build_bigraph_from_links(
-    store: SequenceStore, links: list[tuple[int, bool, int, bool]], k: int
-) -> Bigraph:
+def build_bigraph_from_links(store: SequenceStore, links, k: int) -> Bigraph:
     """Construct the node bigraph from explicit topology links.
 
     The reference's GFA/BCALM2 input path (L-lines / header annotations,
@@ -178,28 +176,40 @@ def build_bigraph_from_links(
     numbering), rather than by (k-1)-mer hashing.  For true compacted de
     Bruijn unitig sets both constructions agree; this path skips sequence
     hashing entirely.
+
+    ``links`` is an :class:`matchtigs_tpu.io.readers.Links` column
+    container (or any iterable of (a, sa, b, sb) rows).  The slot merge
+    runs through the native union-find (graphwalk.cpp:wcc_labels; the
+    per-link python find/union loop cost minutes over the ~15M links of
+    a 60M-base BCALM2 file).
     """
+    from ..io.readers import Links
+
+    links = Links.from_rows(links) if not isinstance(links, Links) else links
     n_uni = len(store)
-    parent = np.arange(n_uni * 4, dtype=np.int64)
+    if len(links) and (
+        links.a.min(initial=0) < 0
+        or links.b.min(initial=0) < 0
+        or links.a.max(initial=-1) >= n_uni
+        or links.b.max(initial=-1) >= n_uni
+    ):
+        raise ValueError("link references a unitig id out of range")
+    a4 = links.a * 4
+    b4 = links.b * 4
+    # slot numbering per unitig: 0 = in(+), 1 = out(-), 2 = out(+),
+    # 3 = in(-); a link (a, sa) -> (b, sb) merges a's outgoing slot with
+    # b's incoming slot, and symmetrically for the mirror orientation.
+    out_a = a4 + np.where(links.sa, 2, 1)
+    in_b = b4 + np.where(links.sb, 0, 3)
+    mirror_in_a = a4 + np.where(links.sa, 3, 0)
+    mirror_out_b = b4 + np.where(links.sb, 1, 2)
+    src = np.concatenate([out_a, mirror_in_a]).astype(np.int32)
+    dst = np.concatenate([in_b, mirror_out_b]).astype(np.int32)
+    from ..algos.matchtigs import _connected_component_labels
 
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, sa, b, sb in links:
-        out_a = a * 4 + (2 if sa else 1)
-        in_b = b * 4 + (0 if sb else 3)
-        mirror_in_a = a * 4 + (3 if sa else 0)
-        mirror_out_b = b * 4 + (1 if sb else 2)
-        parent[find(out_a)] = find(in_b)
-        parent[find(mirror_in_a)] = find(mirror_out_b)
-
-    roots = np.asarray([find(i) for i in range(len(parent))], dtype=np.int64)
-    _, node_of_slot = np.unique(roots, return_inverse=True)
+    node_of_slot = _connected_component_labels(n_uni * 4, src, dst).astype(
+        np.int64
+    )
     n_nodes = int(node_of_slot.max(initial=-1)) + 1
 
     u = np.arange(n_uni, dtype=np.int64)

@@ -113,3 +113,91 @@ def test_gfa_links_before_segments(tmp_path):
     assert len(props.links) == len(links)
     g2 = build_bigraph_from_links(store2, props.links, k)
     assert sorted(g2.imbalances().tolist()) == sorted(g.imbalances().tolist())
+
+
+def test_gfa_string_names_fallback(tmp_path):
+    """Non-numeric segment names route through the python name map."""
+    store, _, k = testing.make_unitig_store(genome_length=3000, k=9, seed=5)
+    g = build_bigraph_from_unitigs(store, k)
+    links = _links_from_overlap_graph(g)
+    path = tmp_path / "named.gfa"
+    with open(path, "wb") as f:
+        f.write(b"H\tKL:Z:%d\n" % k)
+        for i in range(len(store)):
+            f.write(b"S\tutg%d\t%s\n" % (i, store.get_ascii(i)))
+        for a, sa, b, sb in links:
+            f.write(
+                b"L\tutg%d\t%s\tutg%d\t%s\t%dM\n"
+                % (a, b"+" if sa else b"-", b, b"+" if sb else b"-", k - 1)
+            )
+    store2, props = read_gfa(path)
+    assert len(props.links) == len(links)
+    g2 = build_bigraph_from_links(store2, props.links, k)
+    assert sorted(g2.imbalances().tolist()) == sorted(g.imbalances().tolist())
+
+
+def test_gfa_leading_zero_names_fallback(tmp_path):
+    """'01' and '1' are distinct names; the numeric fast path must bail."""
+    path = tmp_path / "zeros.gfa"
+    with open(path, "wb") as f:
+        f.write(b"H\tKL:Z:5\n")
+        f.write(b"S\t01\tACGTACGT\n")
+        f.write(b"S\t1\tCGTACGTA\n")
+        f.write(b"L\t01\t+\t1\t+\t4M\n")
+    store, props = read_gfa(path)
+    assert len(store) == 2
+    assert len(props.links) == 1
+    a, sa, b, sb = next(iter(props.links))
+    assert (a, b) == (0, 1)
+
+
+def test_gfa_unresolved_link_names_dropped(tmp_path):
+    """Links naming unknown segments are dropped (both name styles)."""
+    for names in ((b"7", b"99"), (b"x", b"y")):
+        path = tmp_path / ("drop_%s.gfa" % names[0].decode())
+        with open(path, "wb") as f:
+            f.write(b"H\tKL:Z:5\n")
+            f.write(b"S\t%s\tACGTACGT\n" % names[0])
+            f.write(b"L\t%s\t+\t%s\t-\t4M\n" % (names[0], names[1]))
+            f.write(b"L\t%s\t+\t%s\t-\t4M\n" % (names[0], names[0]))
+        store, props = read_gfa(path)
+        assert len(props.links) == 1, names
+        a, sa, b, sb = next(iter(props.links))
+        assert (a, sa, b, sb) == (0, True, 0, False), names
+
+
+def test_bcalm2_malformed_tags_skipped(tmp_path):
+    """Stencil candidates without a full L:s:id:s shape are ignored."""
+    path = tmp_path / "mal.bcalm.fa"
+    with open(path, "wb") as f:
+        f.write(b">0 LN:i:8 L:+:1:- L:+:x:- XL:+:1:+ L:-:1 KL:+:2:+\n")
+        f.write(b"ACGTACGT\n")
+        f.write(b">1 L:-:0:+\nCGTACGTA\n")
+    store, links = read_bcalm2(path)
+    got = sorted(iter(links))
+    assert got == [(0, True, 1, False), (1, False, 0, True)]
+
+
+def test_empty_inputs(tmp_path):
+    from matchtigs_tpu.io.readers import read_fasta
+
+    for name, reader in (
+        ("e.fa", read_fasta),
+        ("e.gfa", read_gfa),
+        ("e.bcalm.fa", read_bcalm2),
+    ):
+        p = tmp_path / name
+        p.write_bytes(b"")
+        store, _ = reader(p)
+        assert len(store) == 0, name
+
+
+def test_links_column_container_roundtrip():
+    from matchtigs_tpu.io.readers import Links
+
+    rows = [(0, True, 1, False), (1, False, 0, True)]
+    ln = Links.from_rows(rows)
+    assert len(ln) == 2
+    assert list(iter(ln)) == rows
+    assert Links.from_rows(ln) is ln
+    assert len(Links.from_rows([])) == 0 and not Links.from_rows([])
