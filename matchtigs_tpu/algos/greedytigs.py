@@ -355,6 +355,7 @@ def collect_candidates(
                 mesh=mesh,
                 batch_size=batch_size,
                 return_packed=host_available,
+                schedule=config.device_schedule,
             )
             real = row_sources != np.int32(dg.n_nodes)
         else:

@@ -306,11 +306,12 @@ def _pool_impl(
     col0 = jnp.arange(C, dtype=jnp.int32)[None, :] == 0  # [1, C]
 
     def lane_init(src):  # src: int32 [P] device node ids (sentinel = idle)
+        # every output is derived from `src` so that under shard_map the
+        # whole while_loop carry is uniformly axis-varying
+        zero = src * 0
         nodes = jnp.where(col0, src[:, None], sentinel)
-        dist = jnp.where(col0, jnp.zeros((P, 1), jnp.int32), dist_cap)
-        wit = jnp.stack(
-            [jnp.ones((P,), jnp.int32), jnp.zeros((P,), jnp.int32)], axis=1
-        )
+        dist = jnp.where(col0, zero[:, None], dist_cap)
+        wit = jnp.stack([zero + 1, zero], axis=1)
         return nodes, dist, wit
 
     def fetch(idx):  # idx: int32 [P] indices into sources_all
@@ -325,10 +326,11 @@ def _pool_impl(
     dist_buf0 = zero_rows if not pack_out else jnp.zeros((1, 1), jnp.int32)
     over_buf0 = jnp.zeros((S_pad + 1,), bool) | (sources_all[0] < -(1 << 30))
 
-    idx0 = jnp.arange(P, dtype=jnp.int32)
+    lane0 = sources_all[0] * 0  # axis-varying zero (see lane_init)
+    idx0 = jnp.arange(P, dtype=jnp.int32) + lane0
     nodes0, dist0, wit0 = lane_init(fetch(idx0))
-    over0 = jnp.zeros((P,), bool)
-    r0 = jnp.zeros((P,), jnp.int32)
+    over0 = jnp.zeros((P,), bool) | (lane0 < -1)
+    r0 = jnp.zeros((P,), jnp.int32) + lane0
 
     def cond(state):
         idx = state[0]
@@ -376,7 +378,7 @@ def _pool_impl(
         return (idx, cursor, nodes, dist, over, wit, r_lane,
                 nodes_buf, dist_buf, over_buf)
 
-    state = (idx0, jnp.int32(P), nodes0, dist0, over0, wit0, r0,
+    state = (idx0, jnp.int32(P) + lane0, nodes0, dist0, over0, wit0, r0,
              nodes_buf0, dist_buf0, over_buf0)
     state = jax.lax.while_loop(cond, body, state)
     return state[7], state[8], state[9]

@@ -9,9 +9,10 @@ phase is sharded across a 1-D mesh axis, and results come back sharded
 and deterministic on host.
 
 Pipeline parity with the single-device path (ops/sssp.py): the sharded
-program runs the SAME one-dispatch ``fori_loop`` batch accumulation
-(``_run_batches_impl``) per shard, downloads packed one-int32-per-slot
-results, and feeds the same native extraction
+program runs the SAME one-dispatch scheduler per shard — the
+persistent-pool retire/refill loop (``_pool_impl``, default) or the
+``fori_loop`` batch accumulation (``_run_batches_impl``) — downloads
+packed one-int32-per-slot results, and feeds the same native extraction
 (:func:`matchtigs_tpu.ops.sssp.extract_packed_candidates`) — one device
 dispatch per stage regardless of batch count, half the link traffic of
 unpacked downloads.
@@ -33,7 +34,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.device_graph import DeviceGraph
-from ..ops.sssp import _can_pack, _can_pack_out, _run_batches_impl
+from ..ops.sssp import _can_pack, _can_pack_out, _pool_impl, _run_batches_impl
 
 SOURCE_AXIS = "sources"
 
@@ -138,6 +139,61 @@ def _sharded_run_batches(
     )(nbr, nw, sources_all, max_weight)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "capacity", "max_rounds", "deg_pad", "packed", "pool", "pack_out",
+        "mesh",
+    ),
+)
+def _sharded_run_pool(
+    nbr,
+    nw,
+    sources_all,  # int32 [S_pad] sharded over the mesh axis
+    max_weight,
+    capacity: int,
+    max_rounds: int,
+    deg_pad: int,
+    packed: bool,
+    pool: int,
+    pack_out: bool,
+    mesh: Mesh,
+):
+    """Sharded persistent-pool stage: every device runs the single-device
+    pool scheduler (:func:`matchtigs_tpu.ops.sssp._pool_impl`) over its
+    local source shard — per-device while_loops terminate independently
+    (no collectives inside), so a device that drains its shard early
+    simply finishes its program early.  The per-shard trash row is
+    sliced off inside the shard, keeping global rows aligned with the
+    re-striped source order."""
+
+    def local(nbr, nw, sources_local, max_weight):
+        nodes_buf, dist_buf, over_buf = _pool_impl(
+            nbr,
+            nw,
+            sources_local,
+            max_weight,
+            capacity=capacity,
+            max_rounds=max_rounds,
+            deg_pad=deg_pad,
+            packed=packed,
+            pool=pool,
+            pack_out=pack_out,
+        )
+        if not pack_out:
+            dist_buf = dist_buf[:-1]
+        return nodes_buf[:-1], dist_buf, over_buf[:-1]
+
+    sharded = P(SOURCE_AXIS)
+    repl = P()
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(repl, repl, sharded, repl),
+        out_specs=(sharded, sharded, sharded),
+    )(nbr, nw, sources_all, max_weight)
+
+
 def sharded_bounded_sssp(
     dg: DeviceGraph,
     sources: np.ndarray,
@@ -146,6 +202,7 @@ def sharded_bounded_sssp(
     mesh: Mesh | None = None,
     batch_size: int | None = None,
     return_packed: bool = True,
+    schedule: str = "pool",
 ):
     """Data-parallel batched SSSP over all mesh devices, one dispatch.
 
@@ -192,20 +249,37 @@ def sharded_bounded_sssp(
 
     packed = _can_pack(dg, max_weight)
     pack_out = _can_pack_out(dg, max_weight)
-    nodes_buf, dist_buf, over_buf = _sharded_run_batches(
-        nbr,
-        nw,
-        sources_d,
-        jnp.int32(max_weight),
-        capacity=capacity,
-        max_rounds=int(max_weight),
-        deg_pad=dg.deg_pad,
-        packed=packed,
-        batch=batch_size,
-        n_batches=n_batches,
-        pack_out=pack_out,
-        mesh=mesh,
-    )
+    if schedule == "pool":
+        nodes_buf, dist_buf, over_buf = _sharded_run_pool(
+            nbr,
+            nw,
+            sources_d,
+            jnp.int32(max_weight),
+            capacity=capacity,
+            max_rounds=int(max_weight),
+            deg_pad=dg.deg_pad,
+            packed=packed,
+            pool=batch_size,
+            pack_out=pack_out,
+            mesh=mesh,
+        )
+    elif schedule == "batch":
+        nodes_buf, dist_buf, over_buf = _sharded_run_batches(
+            nbr,
+            nw,
+            sources_d,
+            jnp.int32(max_weight),
+            capacity=capacity,
+            max_rounds=int(max_weight),
+            deg_pad=dg.deg_pad,
+            packed=packed,
+            batch=batch_size,
+            n_batches=n_batches,
+            pack_out=pack_out,
+            mesh=mesh,
+        )
+    else:
+        raise ValueError(f"unknown schedule: {schedule!r}")
     overflow = _to_host_global(over_buf)
     result = _to_host_global(nodes_buf)
     if not pack_out:

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 import jax
 
@@ -22,10 +23,11 @@ def _candidate_set(cands):
     return set(zip(cands.u.tolist(), cands.v.tolist(), cands.d.tolist()))
 
 
-def test_sharded_sssp_matches_single_device():
+@pytest.mark.parametrize("schedule", ["pool", "batch"])
+def test_sharded_sssp_matches_single_device(schedule):
     """The mesh path runs the identical pipeline (packed download +
     native extraction) and must produce the same candidate triples as
-    the single-device path."""
+    the single-device path — under both device schedulers."""
     store, _, k = testing.make_unitig_store(genome_length=5000, k=11, seed=0)
     g = build_bigraph_from_unitigs(store, k)
     dg = build_device_graph(g)
@@ -37,7 +39,8 @@ def test_sharded_sssp_matches_single_device():
     mesh = make_mesh()
     sources = np.asarray(out_nodes, dtype=np.int32)
     packed_m, dist_m, over_m, srcs_m = sharded_bounded_sssp(
-        dg, sources, max_weight=k - 1, capacity=256, mesh=mesh, batch_size=4
+        dg, sources, max_weight=k - 1, capacity=256, mesh=mesh, batch_size=4,
+        schedule=schedule,
     )
     assert dist_m is None, "mesh path must use packed downloads"
     real = srcs_m != dg.n_nodes
