@@ -65,6 +65,33 @@ def test_golden_pipeline_outputs(name, n_tigs, total, digest):
     assert h == digest, f"{name} output changed: {h} != pinned {digest}"
 
 
+# A branchy 4-strain pangenome with repeats (2,276 unitigs, 558
+# eulertigs): large enough to reach traversal-order, balancer-tie, and
+# matching-reduction paths the 2000-base fixture cannot.  Pins
+# determinism (splice decomposition default), not reference bytes.
+GOLDEN_PANGENOME = [
+    ("pathtigs", 558, 17914, "35031c73b4375f25"),
+    ("eulertigs", 558, 17914, "c60ea2b96d4adb38"),
+    ("greedytigs", 152, 14989, "3e6abff55bbad8b7"),
+    ("matchtigs", 151, 14970, "e6485723e649ad36"),
+]
+
+
+@pytest.mark.parametrize("name,n_tigs,total,digest", GOLDEN_PANGENOME)
+def test_golden_pangenome_outputs(name, n_tigs, total, digest):
+    store, _, k = testing.make_pangenome_store(
+        genome_length=20000, k=13, n_strains=4, mutation_rate=0.02,
+        seed=11, with_repeats=True,
+    )
+    g = build_bigraph_from_unitigs(store, k)
+    tigs = _compute(name, g, k)
+    flat, off = spell_walks_flat(g, tigs, store, k)
+    assert len(tigs) == n_tigs
+    assert int(off[-1]) == total
+    h = hashlib.sha256(flat.tobytes() + off.tobytes()).hexdigest()[:16]
+    assert h == digest, f"{name} output changed: {h} != pinned {digest}"
+
+
 @pytest.mark.parametrize("name", [g[0] for g in GOLDEN])
 def test_outputs_identical_across_runs(name):
     store, _, k = testing.make_unitig_store(genome_length=3000, k=11, seed=6)
