@@ -48,7 +48,14 @@ class GreedytigConfig:
     # overflowing sources are retried with 4x capacity until complete.
     # Balls are tiny for most sources (the k-1 distance bound caps the
     # radius), so the ladder starts small to keep sort widths minimal.
-    initial_capacity: int = 16
+    # Result-slot capacity C of the first device stage. Ball sizes are
+    # heavily skewed (mean ~1.2 valid slots at k=31): C=4 halves the
+    # kernel's sort width vs C=8 and ran 951k sources/s vs 588k at bench
+    # scale (720k vs 333k at 60M) on v5e; the ~19% of sources that
+    # overflow C=4 finish on the host tail (overflow_mode="host") or
+    # re-run through the 4x capacity ladder. Deep-ball regimes (k >= 63)
+    # should raise this.
+    initial_capacity: int = 4
     max_capacity: int = 1 << 16
     # Device lane count. Measured on v5e at bench scale (683k sources,
     # k=31, C=8): pool 4096 -> 618k sources/s (best; 8192 -> 557k,
@@ -75,7 +82,10 @@ class GreedytigConfig:
     # set and gate batch convergence).  -1 disables the split.
     host_route_threshold: int = 2
     # Reverse-Cuthill-McKee node renumbering for HBM gather locality.
-    renumber: bool = True
+    # Measured on v5e: device-neutral at 1.6M nodes (588k vs 552k
+    # sources/s) and HARMFUL at 10.2M nodes (333k vs 387k) while its
+    # serial scipy BFS costs 9s of host time there — off by default.
+    renumber: bool = False
     # Threads for the native host Dijkstra (None = all cores).
     host_threads: int | None = None
     # Search engine: "auto" uses the device kernel when an accelerator is
