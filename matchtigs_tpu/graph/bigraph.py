@@ -248,7 +248,9 @@ class Bigraph:
                 return off, order
         n = self.n_nodes
         keys = keys_fn()
-        order = np.argsort(keys, kind="stable").astype(np.int64)
+        from ..utils.sorting import stable_order
+
+        order = stable_order(keys, n)
         off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(np.bincount(keys, minlength=n), out=off[1:])
         self._csr_cache[side] = (E, off, order)

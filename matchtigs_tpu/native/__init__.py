@@ -165,6 +165,8 @@ def load() -> ctypes.CDLL:
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.unique_u64_inverse.restype = ll
     lib.unique_u64_inverse.argtypes = [ll, u64p, u64p, i32p, ll]
+    lib.stable_order_i32.restype = None
+    lib.stable_order_i32.argtypes = [ll, i32p, ll, llp, ll]
     lib.extract_packed_triples.restype = ll
     lib.extract_packed_triples.argtypes = [
         ll, ll, i32p, i32p, i8p, i8p, i32p, ll, ll, llpp,

@@ -114,7 +114,9 @@ def _build_device_graph(
     nbr = np.full((n + 1, deg_pad), n, dtype=np.int32)
     nw = np.full((n + 1, deg_pad), weight_cap, dtype=np.int32)
 
-    order = np.argsort(src, kind="stable")
+    from ..utils.sorting import stable_order
+
+    order = stable_order(src, n)
     slot = np.arange(len(src)) - np.repeat(
         np.concatenate([[0], np.cumsum(deg)[:-1]]), deg
     )

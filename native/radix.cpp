@@ -159,3 +159,98 @@ extern "C" i64 unique_u64_inverse(i64 n, const u64* keys, u64* uniq_out,
   }
   return n_uniq;
 }
+
+// Stable sort permutation over int32 keys in [0, n_keys):
+// order_out[r] = original index of the r-th entry under (key, index)
+// order — identical to np.argsort(keys, kind="stable"), which is the
+// CSR bucketing step of graph/bigraph.py and ops/device_graph.py and
+// cost ~2.1s single-threaded over 22.8M edges at the 60M-base scale.
+//
+// Two-level counting sort: an MT histogram pass buckets by the key's
+// top bits (per-thread counts laid out thread-major within each bucket,
+// so contiguous thread slices preserve original-index order = stability),
+// an MT scatter fills per-bucket (key, index) runs, and each bucket is
+// finished independently by a cache-resident counting sort over the low
+// key bits.
+extern "C" void stable_order_i32(i64 n, const int32_t* keys, i64 n_keys,
+                                 i64* order_out, i64 n_threads) {
+  if (n <= 0) return;
+  int key_bits = 1;
+  while (((i64)1 << key_bits) < n_keys) ++key_bits;
+  const int low_bits = std::min(14, key_bits);
+  const int bb = key_bits - low_bits;
+  const i64 nb = (i64)1 << bb;
+  const i64 nlow = (i64)1 << low_bits;
+  const int nt = (int)std::max<i64>(1, std::min<i64>(n_threads, 16));
+  const i64 chunk = (n + nt - 1) / nt;
+
+  std::vector<i64> counts((size_t)nt * nb, 0);
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) {
+      ths.emplace_back([&, t] {
+        i64* c = counts.data() + (size_t)t * nb;
+        const i64 lo = t * chunk, hi = std::min<i64>(n, lo + chunk);
+        for (i64 i = lo; i < hi; ++i) ++c[(u64)(uint32_t)keys[i] >> low_bits];
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  std::vector<i64> bucket_base(nb + 1, 0);
+  {
+    i64 acc = 0;
+    for (i64 b = 0; b < nb; ++b) {
+      bucket_base[b] = acc;
+      for (int t = 0; t < nt; ++t) {
+        i64 c = counts[(size_t)t * nb + b];
+        counts[(size_t)t * nb + b] = acc;
+        acc += c;
+      }
+    }
+    bucket_base[nb] = acc;
+  }
+  std::vector<int32_t> tmp_key(n);
+  std::vector<i64> tmp_idx(n);
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) {
+      ths.emplace_back([&, t] {
+        i64* c = counts.data() + (size_t)t * nb;
+        const i64 lo = t * chunk, hi = std::min<i64>(n, lo + chunk);
+        for (i64 i = lo; i < hi; ++i) {
+          const i64 pos = c[(u64)(uint32_t)keys[i] >> low_bits]++;
+          tmp_key[pos] = keys[i];
+          tmp_idx[pos] = i;
+        }
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  {
+    std::atomic<i64> next(0);
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) {
+      ths.emplace_back([&] {
+        std::vector<i64> c(nlow);
+        for (;;) {
+          const i64 b = next.fetch_add(1);
+          if (b >= nb) break;
+          const i64 lo = bucket_base[b], hi = bucket_base[b + 1];
+          if (lo == hi) continue;
+          std::fill(c.begin(), c.end(), 0);
+          const i64 mask = nlow - 1;
+          for (i64 i = lo; i < hi; ++i) ++c[tmp_key[i] & mask];
+          i64 acc = lo;
+          for (i64 v = 0; v < nlow; ++v) {
+            const i64 cnt = c[v];
+            c[v] = acc;
+            acc += cnt;
+          }
+          for (i64 i = lo; i < hi; ++i)
+            order_out[c[tmp_key[i] & mask]++] = tmp_idx[i];
+        }
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+}

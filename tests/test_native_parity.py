@@ -403,3 +403,29 @@ def test_break_cycles_native_matches_python(case):
     assert len(t_n) == len(t_p)
     for a, b in zip(t_n, t_p):
         assert np.array_equal(a, b)
+
+
+def test_stable_order_matches_numpy_argsort():
+    """native stable_order_i32 == np.argsort(kind='stable') bit-exactly,
+    over uniform, skewed, and degenerate key distributions."""
+    from matchtigs_tpu.utils import sorting
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.integers(0, 1_000_000, size=200_000).astype(np.int32),
+        rng.integers(0, 7, size=150_000).astype(np.int32),  # heavy dups
+        np.zeros(100_000, dtype=np.int32),  # one bucket
+        np.sort(rng.integers(0, 50_000, size=120_000)).astype(np.int32),
+        rng.integers(0, 50_000, size=120_000)[::-1].copy().astype(np.int32),
+    ]
+    for i, keys in enumerate(cases):
+        n_keys = int(keys.max(initial=0)) + 1
+        got = sorting.stable_order(keys, n_keys)
+        want = np.argsort(keys, kind="stable").astype(np.int64)
+        assert np.array_equal(got, want), i
+    # below the native threshold: numpy path
+    small = rng.integers(0, 100, size=64).astype(np.int32)
+    assert np.array_equal(
+        sorting.stable_order(small, 100),
+        np.argsort(small, kind="stable"),
+    )
