@@ -390,15 +390,38 @@ static i64 splice_decompose_impl(i64 n_nodes, i64 n_edges, const int32_t* dst,
     return (visited[(i64)e >> 6] >> (e & 63)) & 1;
   };
   auto mark_cycle = [&](I e0) {
+    // e and e^1 differ only in bit 0, so both bits share one word: a
+    // single OR of the aligned 2-bit mask marks the mirror pair.
     I cur = e0;
     do {
-      visited[(i64)cur >> 6] |=
-          (1ull << (cur & 63)) | (1ull << ((cur ^ 1) & 63));
+      visited[(i64)cur >> 6] |= 3ull << (cur & 62);
       cur = pi[cur];
     } while (cur != e0);
   };
-  // persistent per-node cursor over the in-arc list (= out-CSR of mirror)
+  // The emit loop's per-arc work is DRAM-latency bound (dependent random
+  // loads); precompute mdst[e] = mirror[dst[e]] (one MT gather pass) so
+  // the two chained loads become one.
+  std::vector<I> mdst(n_edges);
+  {
+    const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+    std::vector<std::thread> ts;
+    const i64 chunk = (n_edges + nt - 1) / nt;
+    for (i64 t = 0; t < nt; ++t) {
+      ts.emplace_back([&, t] {
+        const i64 lo = t * chunk, hi = std::min<i64>(n_edges, lo + chunk);
+        for (i64 e = lo; e < hi; ++e) mdst[e] = mirror[dst[e]];
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  timer.lap("mdst gather");
+  // Persistent per-node cursor over the in-arc list (= out-CSR of
+  // mirror).  The scan runs to exhaustion on a node's first visit, so
+  // revisits (mean ~half of emits at degree ~2) need only the -1
+  // sentinel read — not the out_off[mv + 1] bound.
   std::vector<i64> cursor(out_off, out_off + n_nodes);
+  for (i64 v = 0; v < n_nodes; ++v)
+    if (cursor[v] >= out_off[v + 1]) cursor[v] = -1;
 
   i64 pos = 0;
   i64 n_cycles = 0;
@@ -408,19 +431,20 @@ static i64 splice_decompose_impl(i64 n_nodes, i64 n_edges, const int32_t* dst,
     I cur = (I)e0;
     do {
       cycles_out[pos++] = cur;
-      const I v = dst[cur];
-      const I mv = mirror[v];
-      i64& c = cursor[mv];  // in-arcs at v live in mv's out slice
-      const i64 end = out_off[mv + 1];
-      while (c < end) {
-        const I a2 = out_edges[c] ^ (I)1;
-        if (!is_visited(a2)) {
-          mark_cycle(a2);
-          const I t = pi[cur];
-          pi[cur] = pi[a2];
-          pi[a2] = t;
-        }
-        ++c;
+      const I mv = mdst[cur];  // in-arcs at dst[cur] live in mv's out slice
+      i64 c = cursor[mv];
+      if (c >= 0) {
+        const i64 end = out_off[mv + 1];
+        do {
+          const I a2 = out_edges[c] ^ (I)1;
+          if (!is_visited(a2)) {
+            mark_cycle(a2);
+            const I t = pi[cur];
+            pi[cur] = pi[a2];
+            pi[a2] = t;
+          }
+        } while (++c < end);
+        cursor[mv] = -1;
       }
       cur = pi[cur];
     } while (cur != (I)e0);
