@@ -44,9 +44,13 @@ logger = logging.getLogger(__name__)
 @dataclass
 class MatchtigConfig:
     k: int
-    initial_capacity: int = 16
+    # Same measured v5e optima as GreedytigConfig: C=4 halves the kernel
+    # sort width (and avoids the ~10-min remote compile of the C=16
+    # body); overflowed sources recompute exactly on the host tail, so
+    # the candidate set is identical either way.
+    initial_capacity: int = 4
     max_capacity: int = 1 << 16
-    batch_size: int = 8192
+    batch_size: int = 4096
     # If set, the collapsed matching instance and its solution are written
     # to <prefix>.matching / <prefix>.matching.solution — the durable
     # intermediate analog of the reference's blossom5 files

@@ -1019,7 +1019,14 @@ static long long solve_priced(i64 nl, i64 ml, const i64* eu, const i64* ev,
                               const i64* ew, int* mate, bool verify,
                               bool verify_abort) {
   const bool trace = std::getenv("MATCHTIGS_NATIVE_TRACE") != nullptr;
-  const int T = 16;
+  // Initial per-vertex top-K edge cut.  K trades initial instance size
+  // against pricing rounds (each round is a full re-solve; blossom duals
+  // cannot warm-start across added edges without Blossom-V-style dual
+  // surgery).  Measured on the 60M giant (176k ids / 26.9M edges),
+  // K=16: 4 solves of ~1.9M edges.
+  int T = 16;
+  if (const char* tk = std::getenv("MATCHTIGS_PRICE_TOPK"))
+    T = std::max(1, std::atoi(tk));
   // per-vertex incidence (CSR over both endpoints)
   std::vector<i64> off(nl + 1, 0);
   for (i64 e = 0; e < ml; ++e) {
@@ -1155,6 +1162,19 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
       }
     });
   }
+  // Size-class accounting under MATCHTIGS_NATIVE_TRACE: where do the
+  // batch's core-seconds go — the priced giant, mid tangles, or the
+  // long tail of tiny components?
+  const bool trace = std::getenv("MATCHTIGS_NATIVE_TRACE") != nullptr;
+  constexpr i64 kClasses = 4;  // <=32 edges, <=4096, < price, priced
+  std::atomic<i64> cls_n[kClasses], cls_ms[kClasses];
+  for (i64 i = 0; i < kClasses; ++i) {
+    cls_n[i].store(0);
+    cls_ms[i].store(0);
+  }
+  auto class_of = [&](i64 ml) {
+    return ml <= 32 ? 0 : ml <= 4096 ? 1 : ml < price_threshold ? 2 : 3;
+  };
   auto worker = [&] {
     for (;;) {
       i64 oi = next.fetch_add(1);
@@ -1169,7 +1189,7 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
         ids_done.fetch_add(nl, std::memory_order_relaxed);
         continue;
       }
-      const bool big = ml > 1000000 && std::getenv("MATCHTIGS_NATIVE_TRACE");
+      const bool big = ml > 1000000 && trace;
       auto t0 = std::chrono::steady_clock::now();
       if (ml >= price_threshold) {
         total.fetch_add(solve_priced(nl, ml, eu + edge_off[c],
@@ -1192,6 +1212,14 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
             std::chrono::duration<double>(std::chrono::steady_clock::now() -
                                           t0)
                 .count());
+      if (trace) {
+        i64 us = std::chrono::duration_cast<std::chrono::microseconds>(
+                     std::chrono::steady_clock::now() - t0)
+                     .count();
+        const i64 cl = class_of(ml);
+        cls_n[cl].fetch_add(1, std::memory_order_relaxed);
+        cls_ms[cl].fetch_add(us, std::memory_order_relaxed);
+      }
       ids_done.fetch_add(nl, std::memory_order_relaxed);
     }
   };
@@ -1200,6 +1228,13 @@ long long mwm_sparse_batch(long long n_comps, const long long* node_off,
   for (auto& th : ths) th.join();
   finished.store(true);
   if (monitor.joinable()) monitor.join();
+  if (trace) {
+    const char* names[kClasses] = {"<=32e", "<=4096e", "<price", "priced"};
+    for (i64 i = 0; i < kClasses; ++i)
+      if (cls_n[i].load())
+        std::fprintf(stderr, "[blossom-batch] class %s: %lld comps, %.1f core-s\n",
+                     names[i], cls_n[i].load(), cls_ms[i].load() / 1e6);
+  }
   return total.load();
 }
 }
