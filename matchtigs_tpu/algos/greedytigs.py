@@ -80,7 +80,11 @@ class GreedytigConfig:
     # with the device batches (they sit in dense tangles with deep
     # multi-hop balls, exactly the ones that overflow the device working
     # set and gate batch convergence).  -1 disables the split.
-    host_route_threshold: int = 2
+    # Measured at 60M on v5e with the pool C=4 kernel: threshold 1
+    # beats 2 (26.5s vs 29.2s end-to-end) — the faster device stage
+    # left the host as the straggler (4.3s join wait); weight-2 sources
+    # retire early as overflow and finish in the host tail instead.
+    host_route_threshold: int = 1
     # Reverse-Cuthill-McKee node renumbering for HBM gather locality.
     # Measured on v5e: device-neutral at 1.6M nodes (588k vs 552k
     # sources/s) and HARMFUL at 10.2M nodes (333k vs 387k) while its
