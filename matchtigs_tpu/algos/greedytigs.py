@@ -281,6 +281,11 @@ def collect_candidates(
         from ..parallel.mesh import make_mesh, sharded_bounded_sssp
 
         mesh = make_mesh()
+    else:
+        # Start the adjacency upload now (dispatch is async): the ~8
+        # bytes/edge transfer rides the link while source prep and the
+        # concurrent host Dijkstra launch below do host work.
+        dg.device_buffers()
     chunks: list[Candidates] = []
 
     pending = dg.map_sources(np.asarray(out_nodes, dtype=np.int32))
