@@ -41,9 +41,12 @@ def compute_eulertigs(g: Bigraph, config: EulertigConfig) -> "Walks":
 
     if not euler.decomposes_into_eulerian_bicycles(g):
         raise AssertionError("Failed to make the graph Eulerian")
-    euler.assert_no_consecutive_dummy_edges(g, k)
-    assert g.verify_node_pairing()
-    assert g.verify_edge_mirror_property()
+    from ..utils.debug import debug_checks
+
+    if debug_checks():  # debug_assert! analogs, off in production
+        euler.assert_no_consecutive_dummy_edges(g, k)
+        assert g.verify_node_pairing()
+        assert g.verify_edge_mirror_property()
 
     logger.info("Finding Eulerian bicycles")
     cycles = euler.eulerian_bicycle_decomposition(g)

@@ -551,15 +551,21 @@ def compute_greedytigs(
         )
         dummy_edge_id = n
 
-    assert g.verify_node_pairing()
-    assert g.verify_edge_mirror_property()
+    # Full-graph invariant scans: debug_assert! analogs, off in production
+    # (utils/debug.py) — they cost ~0.9s + an in-CSR build at 60M bases.
+    from ..utils.debug import debug_checks
+
+    if debug_checks():
+        assert g.verify_node_pairing()
+        assert g.verify_edge_mirror_property()
 
     t0 = time.monotonic()
     logger.info("Making graph Eulerian by adding breaking dummy edges")
     euler.make_eulerian_with_breaking_edges(g, k, dummy_edge_id)
     if not euler.decomposes_into_eulerian_bicycles(g):
         raise AssertionError("Failed to make the graph Eulerian")
-    euler.assert_no_consecutive_dummy_edges(g, k)
+    if debug_checks():
+        euler.assert_no_consecutive_dummy_edges(g, k)
     logger.info("Balancing took %.2fs", time.monotonic() - t0)
 
     t0 = time.monotonic()

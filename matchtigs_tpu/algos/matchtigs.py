@@ -346,15 +346,19 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> "Walks":
             dummy_id=np.arange(1, len(mp) + 1, dtype=np.int64),
         )
 
-    assert g.verify_node_pairing()
-    assert g.verify_edge_mirror_property()
+    from ..utils.debug import debug_checks
+
+    if debug_checks():  # debug_assert! analogs, off in production
+        assert g.verify_node_pairing()
+        assert g.verify_edge_mirror_property()
     lap("Apply matching")
 
     logger.info("Making graph Eulerian by completing unmatched nodes")
     euler.make_eulerian_with_breaking_edges(g, k, dummy_edge_id)
     if not euler.decomposes_into_eulerian_bicycles(g):
         raise AssertionError("Failed to make the graph Eulerian")
-    euler.assert_no_consecutive_dummy_edges(g, k)
+    if debug_checks():
+        euler.assert_no_consecutive_dummy_edges(g, k)
     lap("Balance")
 
     cycles = euler.eulerian_bicycle_decomposition(g)

@@ -114,8 +114,11 @@ class TigGraphBuilder:
             forward=np.ones(self.unitig_amount, dtype=bool),
             dummy_id=np.zeros(self.unitig_amount, dtype=np.int64),
         )
-        assert g.verify_node_pairing()
-        assert g.verify_edge_mirror_property()
+        from .utils.debug import debug_checks
+
+        if debug_checks():  # debug_assert! analogs, off in production
+            assert g.verify_node_pairing()
+            assert g.verify_edge_mirror_property()
         self.graph = g
         return g
 

@@ -83,9 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--host-route-threshold",
         type=int,
-        default=2,
+        default=1,
         help="route sources whose min incident edge weight is <= this to the "
-        "concurrent host Dijkstra (-1 disables the split)",
+        "concurrent host Dijkstra (-1 disables the split); 1 matches the "
+        "A/B-measured GreedytigConfig default (26.5s vs 29.2s at 60M on v5e)",
     )
     p.add_argument(
         "--use-mesh",

@@ -70,6 +70,14 @@ class Bigraph:
         self.edge_forward = np.zeros(cap, dtype=bool)
         self.edge_dummy_id = np.zeros(cap, dtype=np.int64)  # 0 = original
         self._csr_cache: tuple | None = None
+        # (edge_count, out_degrees, in_degrees): degrees are recomputed
+        # incrementally over the appended edge tail (edges are append-only),
+        # so the repeated imbalance scans of a pipeline run (unbalanced
+        # scan, balancer, Eulerian precondition) cost one bincount over the
+        # new dummies instead of three over all edges.  Cached arrays are
+        # immutable (extension allocates new ones), so copies share them.
+        self._deg_cache: tuple | None = None
+        self._sm_cache: np.ndarray | None = None
 
     # -- construction -----------------------------------------------------
 
@@ -188,24 +196,52 @@ class Bigraph:
         return self.mirror_node[v] == v
 
     def self_mirror_mask(self) -> np.ndarray:
-        return self.mirror_node == np.arange(self.n_nodes, dtype=np.int32)
+        if self._sm_cache is None:
+            self._sm_cache = self.mirror_node == np.arange(
+                self.n_nodes, dtype=np.int32
+            )
+        return self._sm_cache
 
     # -- degrees / imbalance ----------------------------------------------
 
+    def _degrees(self):
+        """(out_degrees, in_degrees), cached per edge count (see __init__)."""
+        E = self._n_edges
+        cache = self._deg_cache
+        if cache is not None and cache[0] == E:
+            return cache[1], cache[2]
+        if cache is not None and cache[0] < E:
+            e0, out, inn = cache
+            out = out + np.bincount(
+                self.edge_src[e0:E], minlength=self.n_nodes
+            )
+            inn = inn + np.bincount(
+                self.edge_dst[e0:E], minlength=self.n_nodes
+            )
+        else:
+            out = np.bincount(self.srcs(), minlength=self.n_nodes).astype(
+                np.int64
+            )
+            inn = np.bincount(self.dsts(), minlength=self.n_nodes).astype(
+                np.int64
+            )
+        self._deg_cache = (E, out, inn)
+        return out, inn
+
     def out_degrees(self) -> np.ndarray:
-        return np.bincount(self.srcs(), minlength=self.n_nodes).astype(np.int64)
+        return self._degrees()[0]
 
     def in_degrees(self) -> np.ndarray:
-        return np.bincount(self.dsts(), minlength=self.n_nodes).astype(np.int64)
+        return self._degrees()[1]
 
     def imbalances(self) -> np.ndarray:
         """Per-node Eulerian imbalance, vectorized.
 
         Mirrors ``compute_eulerian_superfluous_out_biedges`` for every node:
         outdeg - indeg for ordinary nodes, outdeg mod 2 for self-mirrors.
+        Returns a fresh array (degrees are cached; callers may mutate).
         """
-        out = self.out_degrees()
-        inn = self.in_degrees()
+        out, inn = self._degrees()
         diff = out - inn
         sm = self.self_mirror_mask()
         diff[sm] = out[sm] % 2
@@ -303,4 +339,8 @@ class Bigraph:
         # copy can share them; only the dict itself must be private.
         if self._csr_cache is not None:
             g._csr_cache = dict(self._csr_cache)
+        # Degree-cache arrays are likewise immutable (incremental extension
+        # allocates fresh arrays), so sharing the tuple is safe.
+        g._deg_cache = self._deg_cache
+        g._sm_cache = self._sm_cache
         return g

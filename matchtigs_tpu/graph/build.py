@@ -163,7 +163,10 @@ def build_bigraph_from_unitigs(store: SequenceStore, k: int) -> Bigraph:
         forward=np.ones(n_uni, dtype=bool),
         dummy_id=np.zeros(n_uni, dtype=np.int64),
     )
-    assert g.verify_node_pairing()
+    from ..utils.debug import debug_checks
+
+    if debug_checks():  # debug_assert! analog, off in production
+        assert g.verify_node_pairing()
     return g
 
 
@@ -234,8 +237,11 @@ def build_bigraph_from_links(store: SequenceStore, links, k: int) -> Bigraph:
         forward=np.ones(n_uni, dtype=bool),
         dummy_id=np.zeros(n_uni, dtype=np.int64),
     )
-    assert g.verify_node_pairing()
-    assert g.verify_edge_mirror_property()
+    from ..utils.debug import debug_checks
+
+    if debug_checks():  # debug_assert! analogs, off in production
+        assert g.verify_node_pairing()
+        assert g.verify_edge_mirror_property()
     return g
 
 

@@ -128,6 +128,31 @@ def _make_eulerian_native(g: Bigraph, k: int, dummy_edge_id: int) -> int:
     # ceil(#odd-self-mirrors / 2) and its odd leftover consumes one in-unit
     # already counted in the positive sum.
     sm = g.self_mirror_mask()
+    if logger.isEnabledFor(logging.INFO):
+        # Imbalance-distribution statistics, matching the reference's
+        # pre-balance log lines (mod.rs:428-479): unmatched node counts,
+        # total dummies to add, and the histogram of differences 1/2/3/4
+        # over non-self-mirror binodes.
+        pos = diff[(diff > 0) & ~sm]
+        n_sm = int(np.count_nonzero(sm & (diff != 0)))
+        hist = np.bincount(np.minimum(pos, 5).astype(np.int64), minlength=6)
+        logger.info(
+            "Adding edges for %d unmatched in_nodes, %d unmatched "
+            "out_nodes and %d unmatched self_mirror_nodes",
+            len(pos),
+            int(np.count_nonzero((diff < 0) & ~sm)),
+            n_sm,
+        )
+        logger.info(
+            "%d edges need to be added in total",
+            (int(pos.sum()) + n_sm) // 2,
+        )
+        logger.info(
+            "%d/%d/%d/%d binodes that are not self-mirrors have "
+            "difference 1/2/3/4 (%d larger)",
+            int(hist[1]), int(hist[2]), int(hist[3]), int(hist[4]),
+            int(hist[5]),
+        )
     bound = int(np.sum(diff[(diff > 0) & ~sm]))
     bound += (int(np.count_nonzero(sm & (diff != 0))) + 1) // 2
     capacity = max(1, bound)

@@ -10,6 +10,10 @@ __graft_entry__.dryrun_multichip.
 
 import os
 
+# Debug-build invariant checks (the analog of the reference's
+# debug_assert!, off in production) always run under the test suite.
+os.environ.setdefault("MATCHTIGS_DEBUG_CHECKS", "1")
+
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
