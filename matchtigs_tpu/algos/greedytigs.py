@@ -282,10 +282,14 @@ def collect_candidates(
 
         mesh = make_mesh()
     else:
-        # Start the adjacency upload now (dispatch is async): the ~8
-        # bytes/edge transfer rides the link while source prep and the
-        # concurrent host Dijkstra launch below do host work.
-        dg.device_buffers()
+        # Start the adjacency upload now (dispatch is async): the
+        # transfer rides the link while source prep and the concurrent
+        # host Dijkstra launch below do host work.  Same packed/unpacked
+        # choice as the kernel dispatch (ops/sssp.py) so the upload is
+        # the one the stage reuses.
+        from ..ops.sssp import _can_pack_adj
+
+        dg.device_buffers(adj_packed=_can_pack_adj(dg, k - 1))
     chunks: list[Candidates] = []
 
     pending = dg.map_sources(np.asarray(out_nodes, dtype=np.int32))

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .candidates import Candidates
-from .device_graph import DeviceGraph
+from .device_graph import ADJ_W_BITS, ADJ_W_MASK, DeviceGraph
 
 INF = np.int32(1 << 20)  # > any bounded distance, safe against int32 overflow
 DIST_BITS = 7  # distances < 128 (k <= 128); nodes < 2^24 for packed sorts
@@ -69,19 +69,33 @@ def _make_sort2(packed: bool, dist_cap):
 
 
 def _relax_round(
-    nbr, nw, nodes, dist, overflow, max_weight, dist_cap, sort2, deg_pad
+    nbr, nw, nodes, dist, overflow, max_weight, dist_cap, sort2, deg_pad,
+    adj_packed: bool = False,
 ):
     """One bounded relaxation round on an [S, C] working set: expansion
     gather, per-node min-dedup, distance compaction back to C slots.
     Returns (nodes, dist, overflow, witness) — witness is the (count,
     sum-of-dists) pair, monotone under relaxation, so witness equality
     across one round certifies the per-source fixpoint (absent overflow,
-    which is flagged separately and handled by the retry ladder)."""
+    which is flagged separately and handled by the retry ladder).
+
+    With ``adj_packed`` the adjacency arrives as ONE int32 per slot
+    (``nbr`` holds ``(neighbor << ADJ_W_BITS) | weight``, ``nw`` unused):
+    one expansion gather instead of two — half the HBM random traffic of
+    the round's dominant op.  Requires max_weight < ADJ_W_MASK (clamped
+    weights then exceed the bound and filter exactly like the original).
+    """
     S, C = nodes.shape
-    sentinel = jnp.int32(nbr.shape[0] - 1)
     live = dist <= max_weight
-    nn = jnp.where(live[:, :, None], nbr[nodes], sentinel)
-    nd = dist[:, :, None] + nw[nodes]
+    if adj_packed:
+        sentinel = jnp.int32((nbr.shape[0] - 1))
+        a = nbr[nodes]
+        nn = jnp.where(live[:, :, None], a >> ADJ_W_BITS, sentinel)
+        nd = dist[:, :, None] + (a & ADJ_W_MASK)
+    else:
+        sentinel = jnp.int32(nbr.shape[0] - 1)
+        nn = jnp.where(live[:, :, None], nbr[nodes], sentinel)
+        nd = dist[:, :, None] + nw[nodes]
     ok = (nn != sentinel) & (nd <= max_weight)
     cand_nodes = jnp.where(ok, nn, sentinel).reshape(S, C * deg_pad)
     cand_dist = jnp.where(ok, nd, dist_cap).reshape(S, C * deg_pad)
@@ -113,17 +127,19 @@ def _relax_round(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("capacity", "max_rounds", "deg_pad", "packed")
+    jax.jit,
+    static_argnames=("capacity", "max_rounds", "deg_pad", "packed", "adj_packed"),
 )
 def _sssp_kernel(
-    nbr: jax.Array,  # int32 [N+1, deg_pad]
-    nw: jax.Array,  # int32 [N+1, deg_pad]
+    nbr: jax.Array,  # int32 [N+1, deg_pad]; packed slots when adj_packed
+    nw: jax.Array,  # int32 [N+1, deg_pad]; unused when adj_packed
     sources: jax.Array,  # int32 [S]
     max_weight: jax.Array,  # int32 scalar
     capacity: int,
     max_rounds: int,
     deg_pad: int,
     packed: bool = True,
+    adj_packed: bool = False,
 ):
     S = sources.shape[0]
     C = capacity
@@ -150,7 +166,7 @@ def _sssp_kernel(
         nodes, dist, overflow, witness, changed, r = state
         new_nodes, new_dist, overflow, new_witness = _relax_round(
             nbr, nw, nodes, dist, overflow, max_weight, dist_cap, sort2,
-            deg_pad,
+            deg_pad, adj_packed,
         )
         changed = jnp.any(new_witness != witness)
         return new_nodes, new_dist, overflow, new_witness, changed, r + 1
@@ -187,6 +203,21 @@ def _can_pack_out(dg: DeviceGraph, max_weight: int) -> bool:
     )
 
 
+def _can_pack_adj(dg: DeviceGraph, max_weight: int) -> bool:
+    """Adjacency packing (one int32 per slot: neighbor id + clamped
+    weight): needs node ids < 2^24 and a search bound under the weight
+    clamp, so clamped weights (== ADJ_W_MASK) filter exactly like their
+    originals.  Independent of the sort packing — the 10.2M-node config
+    runs two-key sorts over a packed adjacency."""
+    return max_weight < ADJ_W_MASK and dg.can_pack_adj
+
+
+def _dummy_nw():
+    """Placeholder nw operand for adj_packed kernels (the traced arg must
+    exist; the static branch never reads it)."""
+    return jnp.zeros((1, 1), dtype=jnp.int32)
+
+
 def _run_batches_impl(
     nbr,
     nw,
@@ -199,6 +230,7 @@ def _run_batches_impl(
     batch: int,
     n_batches: int,
     pack_out: bool,
+    adj_packed: bool = False,
 ):
     """Shared body of the one-dispatch batched stage: a ``fori_loop``
     over batch indices accumulating results in device buffers.  Jitted
@@ -233,6 +265,7 @@ def _run_batches_impl(
             max_rounds=max_rounds,
             deg_pad=deg_pad,
             packed=packed,
+            adj_packed=adj_packed,
         )
         if pack_out:
             # empty slots carry dist_cap (== max_rounds + 1 in two-key
@@ -274,6 +307,7 @@ def _pool_impl(
     packed: bool,
     pool: int,
     pack_out: bool,
+    adj_packed: bool = False,
 ):
     """Persistent compacted source pool: the whole search as ONE device
     while_loop at ~full slot occupancy.
@@ -340,7 +374,8 @@ def _pool_impl(
         (idx, cursor, nodes, dist, over, wit, r_lane,
          nodes_buf, dist_buf, over_buf) = state
         nodes, dist, over, wit_new = _relax_round(
-            nbr, nw, nodes, dist, over, max_weight, dist_cap, sort2, deg_pad
+            nbr, nw, nodes, dist, over, max_weight, dist_cap, sort2, deg_pad,
+            adj_packed,
         )
         r_lane = r_lane + 1
         # Retire on fixpoint, on overflow (downstream recomputes those
@@ -388,17 +423,18 @@ def _pool_impl(
     jax.jit,
     static_argnames=(
         "capacity", "max_rounds", "deg_pad", "packed", "pool", "pack_out",
+        "adj_packed",
     ),
 )
 def _sssp_run_pool(
     nbr, nw, sources_all, max_weight,
     capacity: int, max_rounds: int, deg_pad: int, packed: bool,
-    pool: int, pack_out: bool,
+    pool: int, pack_out: bool, adj_packed: bool = False,
 ):
     return _pool_impl(
         nbr, nw, sources_all, max_weight,
         capacity=capacity, max_rounds=max_rounds, deg_pad=deg_pad,
-        packed=packed, pool=pool, pack_out=pack_out,
+        packed=packed, pool=pool, pack_out=pack_out, adj_packed=adj_packed,
     )
 
 
@@ -409,7 +445,7 @@ def _sssp_run_pool(
     jax.jit,
     static_argnames=(
         "capacity", "max_rounds", "deg_pad", "packed", "batch",
-        "n_batches", "pack_out",
+        "n_batches", "pack_out", "adj_packed",
     ),
 )
 def _sssp_run_batches(
@@ -424,6 +460,7 @@ def _sssp_run_batches(
     batch: int,
     n_batches: int,
     pack_out: bool,
+    adj_packed: bool = False,
 ):
     """Run every batch of the search inside ONE device program.
 
@@ -447,6 +484,7 @@ def _sssp_run_batches(
         batch=batch,
         n_batches=n_batches,
         pack_out=pack_out,
+        adj_packed=adj_packed,
     )
 
 
@@ -485,7 +523,10 @@ def batched_bounded_sssp(
     if batch_size is None:
         batch_size = S
     batch_size = max(1, min(batch_size, S))
-    nbr, nw = dg.device_buffers()
+    adj_packed = _can_pack_adj(dg, max_weight)
+    nbr, nw = dg.device_buffers(adj_packed=adj_packed)
+    if nw is None:
+        nw = _dummy_nw()
     packed = _can_pack(dg, max_weight)
     pack_out = _can_pack_out(dg, max_weight)
 
@@ -510,6 +551,7 @@ def batched_bounded_sssp(
             packed=packed,
             pool=batch_size,
             pack_out=pack_out,
+            adj_packed=adj_packed,
         )
     elif schedule == "batch":
         n_batches = -(-S // batch_size)
@@ -530,6 +572,7 @@ def batched_bounded_sssp(
             batch=batch_size,
             n_batches=n_batches,
             pack_out=pack_out,
+            adj_packed=adj_packed,
         )
     else:
         raise ValueError(f"unknown schedule: {schedule!r}")

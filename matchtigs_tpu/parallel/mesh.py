@@ -34,7 +34,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.device_graph import DeviceGraph
-from ..ops.sssp import _can_pack, _can_pack_out, _pool_impl, _run_batches_impl
+from ..ops.sssp import (
+    _can_pack,
+    _can_pack_adj,
+    _can_pack_out,
+    _pool_impl,
+    _run_batches_impl,
+)
 
 SOURCE_AXIS = "sources"
 
@@ -91,7 +97,7 @@ def _to_host_global(x) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "capacity", "max_rounds", "deg_pad", "packed", "batch",
-        "n_batches", "pack_out", "mesh",
+        "n_batches", "pack_out", "mesh", "adj_packed",
     ),
 )
 def _sharded_run_batches(
@@ -107,6 +113,7 @@ def _sharded_run_batches(
     n_batches: int,  # per-device batch count
     pack_out: bool,
     mesh: Mesh,
+    adj_packed: bool = False,
 ):
     """The whole sharded stage as ONE device program: every device runs
     the single-device ``fori_loop`` batch accumulation over its local
@@ -125,6 +132,7 @@ def _sharded_run_batches(
             batch=batch,
             n_batches=n_batches,
             pack_out=pack_out,
+            adj_packed=adj_packed,
         )
 
     sharded = P(SOURCE_AXIS)
@@ -143,7 +151,7 @@ def _sharded_run_batches(
     jax.jit,
     static_argnames=(
         "capacity", "max_rounds", "deg_pad", "packed", "pool", "pack_out",
-        "mesh",
+        "mesh", "adj_packed",
     ),
 )
 def _sharded_run_pool(
@@ -158,6 +166,7 @@ def _sharded_run_pool(
     pool: int,
     pack_out: bool,
     mesh: Mesh,
+    adj_packed: bool = False,
 ):
     """Sharded persistent-pool stage: every device runs the single-device
     pool scheduler (:func:`matchtigs_tpu.ops.sssp._pool_impl`) over its
@@ -179,6 +188,7 @@ def _sharded_run_pool(
             packed=packed,
             pool=pool,
             pack_out=pack_out,
+            adj_packed=adj_packed,
         )
         if not pack_out:
             dist_buf = dist_buf[:-1]
@@ -242,7 +252,10 @@ def sharded_bounded_sssp(
         padded.reshape(local_len, n_dev).T.reshape(-1)
     )
 
-    nbr_d, nw_d = dg.device_buffers()
+    adj_packed = _can_pack_adj(dg, max_weight)
+    nbr_d, nw_d = dg.device_buffers(adj_packed=adj_packed)
+    if nw_d is None:  # placeholder operand; the static branch never reads it
+        nw_d = np.zeros((1, 1), dtype=np.int32)
     nbr = _make_global(mesh, P(), nbr_d)
     nw = _make_global(mesh, P(), nw_d)
     sources_d = _make_global(mesh, P(SOURCE_AXIS), srcs)
@@ -262,6 +275,7 @@ def sharded_bounded_sssp(
             pool=batch_size,
             pack_out=pack_out,
             mesh=mesh,
+            adj_packed=adj_packed,
         )
     elif schedule == "batch":
         nodes_buf, dist_buf, over_buf = _sharded_run_batches(
@@ -277,6 +291,7 @@ def sharded_bounded_sssp(
             n_batches=n_batches,
             pack_out=pack_out,
             mesh=mesh,
+            adj_packed=adj_packed,
         )
     else:
         raise ValueError(f"unknown schedule: {schedule!r}")

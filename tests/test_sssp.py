@@ -213,3 +213,52 @@ def test_pool_schedule_packed_output_path():
         a = {(int(nn), int(dd)) for nn, dd in zip(n, d) if dd < cap}
         b = {(int(nn), int(dd)) for nn, dd in zip(bn[i], bd[i]) if dd < sssp_mod.INF}
         assert a == b, i
+
+
+def test_packed_adjacency_matches_unpacked():
+    """adj_packed=True (one int32 per adjacency slot) must reproduce the
+    two-buffer kernel bit for bit, including overflow flags and clamped
+    out-of-bound weights."""
+    from matchtigs_tpu.ops import sssp as sssp_mod
+
+    store, _, k = testing.make_unitig_store(genome_length=6000, k=11, seed=4)
+    g = build_bigraph_from_unitigs(store, k)
+    dg = build_device_graph(g)
+    assert sssp_mod._can_pack_adj(dg, k - 1)
+    sources = np.arange(min(64, g.n_nodes), dtype=np.int32)
+
+    res = {}
+    for adj_packed in (False, True):
+        nbr, nw = dg.device_buffers(adj_packed=adj_packed)
+        if nw is None:
+            nw = sssp_mod._dummy_nw()
+        for schedule, extra in (
+            ("pool", dict(pool=16)),
+            ("batch", dict(batch=16, n_batches=len(sources) // 16)),
+        ):
+            fn = (
+                sssp_mod._sssp_run_pool
+                if schedule == "pool"
+                else sssp_mod._sssp_run_batches
+            )
+            nodes_buf, dist_buf, over_buf = fn(
+                nbr,
+                nw,
+                np.asarray(sources),
+                np.int32(k - 1),
+                capacity=32,
+                max_rounds=k - 1,
+                deg_pad=dg.deg_pad,
+                packed=True,
+                pack_out=True,
+                adj_packed=adj_packed,
+                **extra,
+            )
+            res[(adj_packed, schedule)] = (
+                np.asarray(nodes_buf),
+                np.asarray(over_buf),
+            )
+    for schedule in ("pool", "batch"):
+        a, b = res[(False, schedule)], res[(True, schedule)]
+        assert np.array_equal(a[0], b[0]), schedule
+        assert np.array_equal(a[1], b[1]), schedule
