@@ -133,6 +133,10 @@ def load() -> ctypes.CDLL:
     lib.greedy_accept_scan_perm.argtypes = [
         ll, llp, llp, llp, llp, llp, llp, i8p, llp,
     ]
+    lib.greedy_accept_scan_mt.restype = ll
+    lib.greedy_accept_scan_mt.argtypes = [
+        ll, llp, llp, llp, llp, llp, i8p, llp, ll, ll,
+    ]
     lib.spell_walks_packed.restype = ll
     lib.spell_walks_packed.argtypes = [
         llp, llp, ll, llp, llp, i8p, i8p, u8p, llp, ll, u8p, llp,

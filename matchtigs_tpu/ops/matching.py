@@ -119,6 +119,8 @@ def _greedy_accept_native(
 ) -> np.ndarray:
     """Scan candidates (in `order` if given, else already sorted);
     returns accepted [A, 3] rows in original coordinates."""
+    import os
+
     from .. import native
 
     lib = native.load()
@@ -130,10 +132,20 @@ def _greedy_accept_native(
     sm = np.ascontiguousarray(g.self_mirror_mask(), dtype=np.int8)
     accepted = np.empty(M, dtype=np.int64)
     p = native.as_ll_ptr
-    n_acc = lib.greedy_accept_scan_perm(
-        M, None if order is None else p(order), p(cu), p(cv), p(cd),
-        p(m64), p(mirror), native.as_i8_ptr(sm), p(accepted),
-    )
+    if order is None and M >= (1 << 21):
+        # Pre-sorted big scans run the chunked-speculation MT variant
+        # (exact: multiplicity monotonicity makes snapshot rejects
+        # permanent; identical accepted set, parity-tested).
+        n_acc = lib.greedy_accept_scan_mt(
+            M, p(cu), p(cv), p(cd), p(m64), p(mirror),
+            native.as_i8_ptr(sm), p(accepted),
+            min(os.cpu_count() or 1, 16), 1 << 19,
+        )
+    else:
+        n_acc = lib.greedy_accept_scan_perm(
+            M, None if order is None else p(order), p(cu), p(cv), p(cd),
+            p(m64), p(mirror), native.as_i8_ptr(sm), p(accepted),
+        )
     m[:] = m64  # propagate multiplicity updates to the caller's array
     sel = accepted[:n_acc]
     return np.stack([cu[sel], cv[sel], cd[sel]], axis=1)

@@ -17,8 +17,31 @@
 #include <thread>
 #include <vector>
 
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
+
 namespace {
 using i64 = long long;
+
+// Ask the kernel for transparent huge pages on a freshly-allocated,
+// not-yet-touched range: the pointer-chasing passes issue tens of
+// millions of random loads over 100MB+ arrays, where 4KB pages cost a
+// TLB miss per load.  Must run before first touch so the faults map
+// huge pages directly (khugepaged would collapse too late for a
+// one-shot pass).  No-op off Linux / when THP is disabled.
+static void advise_huge(void* p, size_t bytes) {
+#if defined(__linux__) && defined(MADV_HUGEPAGE)
+  const uintptr_t HUGE = (uintptr_t)1 << 21;
+  uintptr_t a = (uintptr_t)p;
+  uintptr_t lo = (a + HUGE - 1) & ~(HUGE - 1);
+  uintptr_t hi = (a + bytes) & ~(HUGE - 1);
+  if (hi > lo) madvise((void*)lo, hi - lo, MADV_HUGEPAGE);
+#else
+  (void)p;
+  (void)bytes;
+#endif
+}
 
 // MATCHTIGS_NATIVE_TRACE=1 prints per-phase wall times to stderr
 // (observability analog of the reference's --dijkstra-performance-data).
@@ -260,7 +283,8 @@ static i64 stitch_tours(i64 n_nodes, i64 n_edges, const I* dst,
 // graph is unbalanced.
 static bool build_pairing_pi(i64 n_nodes, const int32_t* mirror,
                              const i64* out_off, const int32_t* out_edges,
-                             i64 n_threads, std::vector<int32_t>& pi) {
+                             i64 n_threads, int32_t* pi,
+                             i64 stride = 1) {
   using I = int32_t;
   std::atomic<bool> balanced{true};
   auto build = [&](i64 lo, i64 hi) {
@@ -278,8 +302,8 @@ static bool build_pairing_pi(i64 n_nodes, const int32_t* mirror,
         for (i64 i = 0; i < odeg; ++i) {
           const I a = out_edges[ib + i] ^ (I)1;  // in-arc at v
           const I b = out_edges[ob + i];         // out-arc at v
-          pi[a] = b;
-          pi[b ^ 1] = a ^ 1;
+          pi[(i64)a * stride] = b;
+          pi[(i64)(b ^ 1) * stride] = a ^ 1;
         }
       } else {
         if (odeg & 1) {
@@ -288,8 +312,8 @@ static bool build_pairing_pi(i64 n_nodes, const int32_t* mirror,
         }
         for (i64 i = 0; i + 1 < odeg; i += 2) {
           const I b0 = out_edges[ob + i], b1 = out_edges[ob + i + 1];
-          pi[b0 ^ 1] = b1;
-          pi[b1 ^ 1] = b0;
+          pi[(i64)(b0 ^ 1) * stride] = b1;
+          pi[(i64)(b1 ^ 1) * stride] = b0;
         }
       }
     }
@@ -327,7 +351,8 @@ static i64 pairing_decompose_impl(i64 n_nodes, i64 n_edges,
   using I = int32_t;
   PhaseTimer timer("euler_pairing");
   std::vector<I> pi(n_edges);
-  if (!build_pairing_pi(n_nodes, mirror, out_off, out_edges, n_threads, pi))
+  if (!build_pairing_pi(n_nodes, mirror, out_off, out_edges, n_threads,
+                        pi.data()))
     return -1;
   timer.lap("A' pairing");
 
@@ -374,83 +399,238 @@ static i64 pairing_decompose_impl(i64 n_nodes, i64 n_edges,
 // The splice itself is the classic Hierholzer rotation over pi: at emit
 // position `cur` (an in-arc at v) an unvisited in-arc a2 at v swaps
 // pi[cur] <-> pi[a2]; the walk detours through a2's cycle and returns.
+// Label every arc with a canonical representative of its pi-cycle (the
+// cycle's minimal arc id).  The serial chase over all E arcs is the
+// latency wall (one dependent load per arc); here splitter arcs (every
+// STEP-th id) cut cycles into independent segments chased CONCURRENTLY —
+// W in-flight chains per thread hide the DRAM latency behind
+// memory-level parallelism — then a vectorized relabel maps provisional
+// segment ids to cycle representatives.  Cycles containing no splitter
+// are labeled in a final interleaved sweep (ascending start arc, so the
+// first unlabeled arc of such a cycle IS its minimum).
+static void label_pi_cycles(i64 n_edges, const int32_t* pm32, i64 pm_stride,
+                            i64 n_threads, int32_t* rep) {
+  using I = int32_t;
+  constexpr i64 STEP = 64;  // splitter density (1/STEP of arcs)
+  constexpr int W = 16;     // in-flight chains per thread
+  const i64 n_spl = (n_edges + STEP - 1) / STEP;
+  std::vector<I> seg_next(n_spl);  // splitter k -> next splitter index
+  std::fill(rep, rep + n_edges, (I)-1);
+
+  // Phase 1: chase each splitter's segment, writing provisional labels
+  // (= splitter index) and recording the successor splitter.
+  auto chase_block = [&](i64 lo, i64 hi) {
+    i64 cur_k[W];
+    I cur_arc[W];
+    int live = 0;
+    i64 next_k = lo;
+    auto refill = [&] {
+      while (live < W && next_k < hi) {
+        cur_k[live] = next_k;
+        cur_arc[live] = (I)(next_k * STEP);
+        rep[next_k * STEP] = (I)(next_k * STEP) / STEP;  // provisional
+        ++live;
+        ++next_k;
+      }
+    };
+    refill();
+    while (live) {
+      for (int w = 0; w < live;) {
+        const I nxt = pm32[(i64)(uint32_t)cur_arc[w] * pm_stride];
+        if ((nxt % STEP) == 0) {  // reached a splitter: segment done
+          seg_next[cur_k[w]] = nxt / STEP;
+          cur_k[w] = cur_k[live - 1];
+          cur_arc[w] = cur_arc[live - 1];
+          --live;
+          refill();
+        } else {
+          rep[nxt] = (I)cur_k[w];  // provisional: this segment's splitter
+          cur_arc[w] = nxt;
+          ++w;
+        }
+      }
+    }
+  };
+  if (n_threads > 1 && n_spl > 1024) {
+    std::vector<std::thread> ts;
+    const i64 chunk = (n_spl + n_threads - 1) / n_threads;
+    for (i64 t = 0; t < n_threads; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n_spl) break;
+      ts.emplace_back(chase_block, lo, std::min(n_spl, lo + chunk));
+    }
+    for (auto& th : ts) th.join();
+  } else if (n_spl) {
+    chase_block(0, n_spl);
+  }
+
+  // Phase 2 (serial, n_spl items): group splitters into cycles via the
+  // seg_next permutation; representative = min splitter arc id.
+  std::vector<I> spl_rep(n_spl, (I)-1);
+  for (i64 k0 = 0; k0 < n_spl; ++k0) {
+    if (spl_rep[k0] >= 0) continue;
+    I mn = (I)k0;
+    i64 k = seg_next[k0];
+    while (k != k0) {
+      if ((I)k < mn) mn = (I)k;
+      k = seg_next[k];
+    }
+    const I r = (I)(mn * STEP);
+    spl_rep[k0] = r;
+    k = seg_next[k0];
+    while (k != k0) {
+      spl_rep[k] = r;
+      k = seg_next[k];
+    }
+  }
+
+  // Phase 3 (MT, linear): provisional segment id -> cycle representative.
+  {
+    const i64 nt = std::max<i64>(1, n_threads);
+    std::vector<std::thread> ts;
+    const i64 chunk = (n_edges + nt - 1) / nt;
+    auto relabel = [&](i64 lo, i64 hi) {
+      for (i64 e = lo; e < hi; ++e)
+        if (rep[e] >= 0) rep[e] = spl_rep[rep[e]];
+    };
+    if (nt > 1 && n_edges > (i64)1 << 16) {
+      for (i64 t = 0; t < nt; ++t) {
+        const i64 lo = t * chunk;
+        if (lo >= n_edges) break;
+        ts.emplace_back(relabel, lo, std::min(n_edges, lo + chunk));
+      }
+      for (auto& th : ts) th.join();
+    } else {
+      relabel(0, n_edges);
+    }
+  }
+
+  // Phase 4: splitterless cycles, serial (two interleaved chases could
+  // otherwise claim the same cycle).  Cycle-length mass is measured
+  // random-permutation-like — a handful of giant cycles hold ~97% of
+  // arcs and the splitterless remainder is ~0.00% — so this sweep is
+  // noise.  Ascending starts keep the representative = cycle minimum.
+  for (i64 e0 = 0; e0 < n_edges; ++e0) {
+    if (rep[e0] >= 0) continue;
+    rep[e0] = (I)e0;
+    I cur = pm32[e0 * pm_stride];
+    while ((i64)cur != e0) {
+      rep[cur] = (I)e0;
+      cur = pm32[(i64)(uint32_t)cur * pm_stride];
+    }
+  }
+}
+
 static i64 splice_decompose_impl(i64 n_nodes, i64 n_edges, const int32_t* dst,
                                  const int32_t* mirror, const i64* out_off,
                                  const int32_t* out_edges, i64 n_threads,
                                  i64* cycles_out, i64* cycle_offsets) {
   using I = int32_t;
   PhaseTimer timer("euler_splice");
-  std::vector<I> pi(n_edges);
-  if (!build_pairing_pi(n_nodes, mirror, out_off, out_edges, n_threads, pi))
-    return -1;
-  timer.lap("A' pairing");
-
-  std::vector<uint64_t> visited((n_edges + 63) / 64, 0);
-  auto is_visited = [&](I e) -> bool {
-    return (visited[(i64)e >> 6] >> (e & 63)) & 1;
-  };
-  auto mark_cycle = [&](I e0) {
-    // e and e^1 differ only in bit 0, so both bits share one word: a
-    // single OR of the aligned 2-bit mask marks the mirror pair.
-    I cur = e0;
-    do {
-      visited[(i64)cur >> 6] |= 3ull << (cur & 62);
-      cur = pi[cur];
-    } while (cur != e0);
-  };
-  // The emit loop's per-arc work is DRAM-latency bound (dependent random
-  // loads); precompute mdst[e] = mirror[dst[e]] (one MT gather pass) so
-  // the two chained loads become one.
-  std::vector<I> mdst(n_edges);
+  // The emit loop is DRAM-latency bound: one dependent random load per
+  // arc.  Interleave pi (mutable successor) and mdst (= mirror[dst[e]],
+  // static) as the two int32 halves of ONE uint64 per arc, so the emit
+  // step's two per-arc reads are a single cache line hit, and back the
+  // array with huge pages (advised before first touch) to kill the
+  // per-load TLB miss.  Traversal order is identical to the unpacked
+  // version (golden tests pin it).
+  uint64_t* pm =
+      static_cast<uint64_t*>(std::malloc((size_t)n_edges * sizeof(uint64_t)));
+  if (!pm) return -5;
+  advise_huge(pm, (size_t)n_edges * sizeof(uint64_t));
+  I* pm32 = reinterpret_cast<I*>(pm);  // pm32[2e] = pi, pm32[2e+1] = mdst
   {
+    // First touch inside the MT gather (pages fault huge): fill the mdst
+    // halves, then the pairing writes the pi halves.
     const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
     std::vector<std::thread> ts;
     const i64 chunk = (n_edges + nt - 1) / nt;
     for (i64 t = 0; t < nt; ++t) {
       ts.emplace_back([&, t] {
         const i64 lo = t * chunk, hi = std::min<i64>(n_edges, lo + chunk);
-        for (i64 e = lo; e < hi; ++e) mdst[e] = mirror[dst[e]];
+        for (i64 e = lo; e < hi; ++e) pm32[2 * e + 1] = mirror[dst[e]];
       });
     }
     for (auto& th : ts) th.join();
   }
   timer.lap("mdst gather");
+  if (!build_pairing_pi(n_nodes, mirror, out_off, out_edges, n_threads, pm32,
+                        /*stride=*/2)) {
+    std::free(pm);
+    return -1;
+  }
+  timer.lap("A' pairing");
+
+  // The serial emit walk is a dependent-load chain: one pi load per arc.
+  // The old mark-cycle pass DOUBLED that chain (every cycle chased once
+  // to mark e/e^1 visited, once to emit).  Precomputing per-arc cycle
+  // labels with the MT segmented chase halves the serial chain: cycle
+  // membership becomes one label load + an L2-resident merged bitset,
+  // and the splice decisions (hence the emitted tigs) are unchanged.
+  I* rep = static_cast<I*>(std::malloc((size_t)n_edges * sizeof(I)));
+  if (!rep) {
+    std::free(pm);
+    return -5;
+  }
+  advise_huge(rep, (size_t)n_edges * sizeof(I));
+  label_pi_cycles(n_edges, pm32, /*pm_stride=*/2, n_threads, rep);
+  timer.lap("cycle labels");
+
+  std::vector<uint64_t> merged((n_edges + 63) / 64, 0);
+  auto is_merged = [&](I e) -> bool {
+    const I r = rep[(i64)(uint32_t)e];
+    return (merged[(i64)r >> 6] >> (r & 63)) & 1;
+  };
+  auto mark_merged = [&](I e) {
+    // mark the cycle and its mirror image (the serial mark pass set
+    // visited on e and e^1 together for the whole cycle)
+    const I r = rep[(i64)(uint32_t)e];
+    const I rm = rep[(i64)(uint32_t)(e ^ 1)];
+    merged[(i64)r >> 6] |= 1ull << (r & 63);
+    merged[(i64)rm >> 6] |= 1ull << (rm & 63);
+  };
   // Persistent per-node cursor over the in-arc list (= out-CSR of
   // mirror).  The scan runs to exhaustion on a node's first visit, so
   // revisits (mean ~half of emits at degree ~2) need only the -1
-  // sentinel read — not the out_off[mv + 1] bound.
-  std::vector<i64> cursor(out_off, out_off + n_nodes);
+  // sentinel read — not the out_off[mv + 1] bound.  int32 (edge count
+  // is < 2^31 on this interface) halves the cursor cache traffic.
+  std::vector<I> cursor(n_nodes);
   for (i64 v = 0; v < n_nodes; ++v)
-    if (cursor[v] >= out_off[v + 1]) cursor[v] = -1;
+    cursor[v] = out_off[v] < out_off[v + 1] ? (I)out_off[v] : (I)-1;
 
   i64 pos = 0;
   i64 n_cycles = 0;
   for (i64 e0 = 0; e0 < n_edges; ++e0) {
-    if (is_visited((I)e0)) continue;
-    mark_cycle((I)e0);
+    if (is_merged((I)e0)) continue;
+    mark_merged((I)e0);
     I cur = (I)e0;
     do {
       cycles_out[pos++] = cur;
-      const I mv = mdst[cur];  // in-arcs at dst[cur] live in mv's out slice
+      const uint64_t pr = pm[(i64)(uint32_t)cur];
+      const I mv = (I)(pr >> 32);  // in-arcs at dst[cur]: mv's out slice
+      I nxt = (I)(uint32_t)pr;     // pi half; updated by splices below
       i64 c = cursor[mv];
       if (c >= 0) {
         const i64 end = out_off[mv + 1];
         do {
           const I a2 = out_edges[c] ^ (I)1;
-          if (!is_visited(a2)) {
-            mark_cycle(a2);
-            const I t = pi[cur];
-            pi[cur] = pi[a2];
-            pi[a2] = t;
+          if (!is_merged(a2)) {
+            mark_merged(a2);
+            const I t = nxt;  // splice: swap pi[cur] <-> pi[a2]
+            nxt = pm32[2 * (i64)a2];
+            pm32[2 * (i64)cur] = nxt;
+            pm32[2 * (i64)a2] = t;
           }
         } while (++c < end);
         cursor[mv] = -1;
       }
-      cur = pi[cur];
+      cur = nxt;
     } while (cur != (I)e0);
     cycle_offsets[n_cycles++] = pos;
   }
   timer.lap("splice walk");
+  std::free(rep);
+  std::free(pm);
   return n_cycles;
 }
 }

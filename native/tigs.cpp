@@ -72,6 +72,92 @@ i64 greedy_accept_scan_perm(i64 n_cands, const i64* order, const i64* cand_u,
   return n_acc;
 }
 
+// MT variant of the accept scan for pre-sorted candidates (order == null
+// path).  Exactness rests on multiplicity monotonicity: every update
+// moves m[x] toward zero and no sign ever flips (accepts require
+// out_mult >= red and in_mult >= 1 BEFORE the update), so a candidate
+// rejected under ANY earlier m-state is rejected forever.  Chunked
+// speculation is therefore exact: a parallel read-only filter under the
+// chunk-start snapshot discards permanent rejects (the vast majority —
+// accept density is ~3% at 60M bases), and only the snapshot-accepts go
+// through the exact sequential scan.  Accepted set identical to
+// greedy_accept_scan_perm (parity-tested).
+i64 greedy_accept_scan_mt(i64 n_cands, const i64* cand_u, const i64* cand_v,
+                          const i64* cand_d, i64* m, const i64* mirror,
+                          const signed char* self_mirror, i64* accepted_out,
+                          i64 n_threads, i64 chunk_size) {
+  (void)cand_d;
+  if (n_threads < 2 || n_cands < chunk_size * 2)
+    return greedy_accept_scan_perm(n_cands, nullptr, cand_u, cand_v, cand_d,
+                                   m, mirror, self_mirror, accepted_out);
+  if (chunk_size < 1) chunk_size = 1 << 19;
+  std::vector<std::vector<i64>> surv((size_t)n_threads);
+  i64 n_acc = 0;
+  for (i64 lo = 0; lo < n_cands; lo += chunk_size) {
+    const i64 hi = std::min(n_cands, lo + chunk_size);
+    const i64 span = hi - lo;
+    const i64 nt = std::min<i64>(n_threads, std::max<i64>(1, span / 4096));
+    const i64 sub = (span + nt - 1) / nt;
+    auto filter = [&](i64 t) {
+      auto& out = surv[(size_t)t];
+      out.clear();
+      const i64 s_lo = lo + t * sub, s_hi = std::min(hi, s_lo + sub);
+      for (i64 i = s_lo; i < s_hi; ++i) {
+        const i64 u = cand_u[i];
+        const bool u_sm = self_mirror[u] != 0;
+        const i64 out_mult = u_sm ? m[u] : -m[u];
+        if (out_mult <= 0) continue;
+        const i64 v = cand_v[i];
+        if ((v == mirror[u]) && !u_sm) {
+          if (out_mult < 2) continue;
+        } else if (m[v] <= 0) {
+          continue;
+        }
+        out.push_back(i);
+      }
+    };
+    if (nt > 1) {
+      std::vector<std::thread> ts;
+      for (i64 t = 0; t < nt; ++t) ts.emplace_back(filter, t);
+      for (auto& th : ts) th.join();
+    } else {
+      filter(0);
+    }
+    // Exact sequential scan over the snapshot survivors, in order.
+    for (i64 t = 0; t < nt; ++t) {
+      for (const i64 i : surv[(size_t)t]) {
+        const i64 u = cand_u[i];
+        const i64 v = cand_v[i];
+        const bool u_sm = self_mirror[u] != 0;
+        const i64 mu = mirror[u];
+        const bool is_mirror_edge = (v == mu) && !u_sm;
+        const i64 out_mult = u_sm ? m[u] : -m[u];
+        if (out_mult <= 0) continue;
+        bool v_sm = false;
+        if (is_mirror_edge) {
+          if (out_mult < 2) continue;
+        } else {
+          v_sm = self_mirror[v] != 0;
+          if (m[v] <= 0) continue;
+        }
+        accepted_out[n_acc++] = i;
+        const i64 red = is_mirror_edge ? 2 : 1;
+        if (u_sm) {
+          m[u] -= 1;
+        } else {
+          m[u] += red;
+          m[mu] -= red;
+        }
+        if (!is_mirror_edge) {
+          m[v] -= 1;
+          if (!v_sm) m[mirror[v]] += 1;
+        }
+      }
+    }
+  }
+  return n_acc;
+}
+
 // Spell walks from the 2-bit packed arena (4 bases/byte, little-endian
 // within the byte; seq_off holds BASE offsets, sequences not byte-aligned).
 // The walk speller of /root/reference/src/bin.rs:486-605 over flat arrays:

@@ -429,3 +429,52 @@ def test_stable_order_matches_numpy_argsort():
         sorting.stable_order(small, 100),
         np.argsort(small, kind="stable"),
     )
+
+
+def test_greedy_accept_scan_mt_matches_serial():
+    """The chunked-speculation MT accept scan must produce the identical
+    accepted set and multiplicity updates as the serial scan (exactness
+    rests on multiplicity monotonicity)."""
+    import os
+
+    import numpy as np
+
+    from matchtigs_tpu import native
+    from matchtigs_tpu import testing
+    from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+    from matchtigs_tpu.ops.device_graph import build_device_graph
+    from matchtigs_tpu.ops.matching import unbalanced_nodes
+    from matchtigs_tpu.ops.sssp import host_dijkstra_candidates
+
+    lib = native.load()
+    store, _, k = testing.make_unitig_store(genome_length=60000, k=13, seed=11)
+    g = build_bigraph_from_unitigs(store, k)
+    out_nodes, in_mask, mult = unbalanced_nodes(g)
+    dg = build_device_graph(g)
+    cands = host_dijkstra_candidates(dg, out_nodes, k - 1, in_mask)
+    cu, cv, cd = (np.ascontiguousarray(x, dtype=np.int64)
+                  for x in (cands.u, cands.v, cands.d))
+    key = (cd << 56) | (cu << 28) | cv
+    order = np.argsort(key)
+    cu, cv, cd = cu[order].copy(), cv[order].copy(), cd[order].copy()
+    mirror = np.ascontiguousarray(g.mirror_node, dtype=np.int64)
+    sm = np.ascontiguousarray(g.self_mirror_mask(), dtype=np.int8)
+    M = len(cu)
+    p = native.as_ll_ptr
+    i8 = native.as_i8_ptr
+
+    m_ser = mult.astype(np.int64, copy=True)  # the scan mutates m in place
+    acc_ser = np.empty(M, dtype=np.int64)
+    n_ser = lib.greedy_accept_scan_perm(
+        M, None, p(cu), p(cv), p(cd), p(m_ser), p(mirror), i8(sm), p(acc_ser))
+    assert n_ser > 0
+
+    for chunk in (16, 64, M):  # tiny chunks maximize cross-chunk traffic
+        m_mt = mult.astype(np.int64, copy=True)
+        acc_mt = np.empty(M, dtype=np.int64)
+        n_mt = lib.greedy_accept_scan_mt(
+            M, p(cu), p(cv), p(cd), p(m_mt), p(mirror), i8(sm), p(acc_mt),
+            min(os.cpu_count() or 1, 4), chunk)
+        assert n_mt == n_ser, (chunk, n_mt, n_ser)
+        assert np.array_equal(acc_mt[:n_mt], acc_ser[:n_ser]), chunk
+        assert np.array_equal(m_mt, m_ser), chunk
