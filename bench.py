@@ -56,8 +56,17 @@ DEVICE_TIMEOUT_S = 900
 DATA_CACHE = str(Path(__file__).parent / ".bench_data")
 RESULT_FILE = "/tmp/matchtigs_bench_device.json"
 
+# North-star-scale certification (BASELINE.json config 4/5 analog): the
+# 60M-base / 10.2M-node / 7.84M-unitig pangenome, the scale where the
+# device path leads and the multi-chip projection is anchored.  Runs
+# after the flagship phases; skippable for quick local iterations with
+# MATCHTIGS_BENCH_60M=0.  Dataset cached in .bench_data (generation is
+# ~50 min cold, load ~20-40s warm).
+SCALE60M_GENOME = 60_000_000
+RESULT_FILE_60M = "/tmp/matchtigs_bench_device60m.json"
 
-def _load_dataset():
+
+def _load_dataset(genome_length: int = GENOME_LENGTH):
     from matchtigs_tpu.utils.malloc_tuning import tune_malloc
 
     tune_malloc()
@@ -65,7 +74,7 @@ def _load_dataset():
     from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
 
     store, kmers, k = testing.make_pangenome_store(
-        genome_length=GENOME_LENGTH,
+        genome_length=genome_length,
         k=K,
         n_strains=N_STRAINS,
         mutation_rate=MUTATION_RATE,
@@ -94,8 +103,9 @@ def relay_alive(timeout: float = 3.0) -> bool:
         return False
 
 
-def device_run() -> None:
-    """Subprocess entry: timed device greedytigs; writes RESULT_FILE."""
+def device_run(genome_length: int = GENOME_LENGTH,
+               result_file: str = RESULT_FILE) -> None:
+    """Subprocess entry: timed device greedytigs; writes result_file."""
     logging.getLogger("matchtigs_tpu").setLevel(logging.INFO)
     import jax
 
@@ -114,7 +124,7 @@ def device_run() -> None:
     from matchtigs_tpu.ops.sssp import batched_bounded_sssp
 
     t0 = time.monotonic()
-    store, kmers, k, g = _load_dataset()
+    store, kmers, k, g = _load_dataset(genome_length)
     out_nodes, in_mask, _ = unbalanced_nodes(g)
     print(
         f"setup: {time.monotonic() - t0:.1f}s, {len(store)} unitigs, "
@@ -139,10 +149,15 @@ def device_run() -> None:
     compute_greedytigs(g.copy(), cfg)
     print(f"warmup(compile+pass): {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
+    # min of two timed passes: host page-fault ambience can inflate a
+    # single pass 1.5-4x (CLAUDE.md); the second pass costs ~elapsed.
+    t0 = time.monotonic()
+    compute_greedytigs(g.copy(), cfg)
+    elapsed_a = time.monotonic() - t0
     t0 = time.monotonic()
     stats = SearchStats()
     tigs = compute_greedytigs(g, cfg, stats=stats)
-    elapsed = time.monotonic() - t0
+    elapsed = min(time.monotonic() - t0, elapsed_a)
     # Per-chip scaling unit: device-stage sources/s (stage_times holds one
     # entry per device stage; stage_sources pairs with it positionally —
     # the host-tail append, if any, trails and is dropped by zip).
@@ -154,7 +169,7 @@ def device_run() -> None:
         f"in {dev_stage_s:.2f}s",
         file=sys.stderr,
     )
-    Path(RESULT_FILE).write_text(
+    Path(result_file).write_text(
         json.dumps(
             {
                 "elapsed": elapsed,
@@ -208,6 +223,100 @@ def host_greedytigs_time(store, k, g, reference_design: bool = False) -> float:
     cycles = euler_ops.eulerian_bicycle_decomposition(g)
     euler_ops.break_cycles(g, cycles, k)
     return time.monotonic() - t0, search_time
+
+
+def scale60m_phase(try_device: bool) -> dict:
+    """North-star-scale record: device-led (watchdog subprocess), host
+    path, and reference-design baseline at 60M bases / 10.2M nodes.
+    Returns scale60m_* keys for the JSON line ({} when skipped)."""
+    if os.environ.get("MATCHTIGS_BENCH_60M", "1") == "0":
+        return {}
+    if not Path(
+        Path(DATA_CACHE) / f"pan_{SCALE60M_GENOME}_{K}_{N_STRAINS}_0.01_{SEED}_rep.npz"
+    ).exists():
+        # Never spend the ~50min generation inside the driver bench; the
+        # dataset is built once by the development flow and cached.
+        print("60M dataset not cached; skipping the scale phase",
+              file=sys.stderr)
+        return {}
+
+    device_result = {}
+    if os.path.exists(RESULT_FILE_60M):
+        os.unlink(RESULT_FILE_60M)
+    if try_device and relay_alive():
+        try:
+            env = dict(os.environ, PYTHONUNBUFFERED="1")
+            subprocess.run(
+                [sys.executable, __file__, "--device-run-60m"],
+                timeout=DEVICE_TIMEOUT_S,
+                stdout=sys.stderr,
+                stderr=sys.stderr,
+                env=env,
+            )
+            if os.path.exists(RESULT_FILE_60M):
+                device_result = json.loads(Path(RESULT_FILE_60M).read_text())
+        except subprocess.TimeoutExpired:
+            print(
+                f"60M device phase exceeded {DEVICE_TIMEOUT_S}s; reporting "
+                "host/baseline only",
+                file=sys.stderr,
+            )
+
+    store, kmers, k, g = _load_dataset(SCALE60M_GENOME)
+    n_unitigs = len(store)
+    from matchtigs_tpu.utils.malloc_tuning import prewarm_heap
+
+    prewarm_heap(6 << 30)  # bulk-populate the arena the reps will reuse
+    # Alternating order, min of 3: the 60M reps cost ~20-120s each (host
+    # page-fault ambience makes cold numbers 1.5-4x; min is steady state).
+    host_times, base_times = [], []
+    for _ in range(3):
+        base_times.append(
+            host_greedytigs_time(store, k, g.copy(), reference_design=True)
+        )
+        host_times.append(host_greedytigs_time(store, k, g.copy()))
+    host_time, host_search = min(host_times)
+    baseline_time, baseline_search = min(base_times)
+    out = {
+        "scale60m_unitigs": n_unitigs,
+        "scale60m_kmers": len(kmers),
+        "scale60m_host_s": round(host_time, 2),
+        "scale60m_host_search_s": round(host_search, 2),
+        "scale60m_baseline_s": round(baseline_time, 2),
+        "scale60m_baseline_search_s": round(baseline_search, 2),
+    }
+    device_elapsed = device_result.get("elapsed")
+    best = host_time
+    if device_elapsed is not None:
+        best = min(best, device_elapsed)
+        out["scale60m_device_s"] = round(device_elapsed, 2)
+        out["scale60m_device_stage_s"] = round(
+            device_result["device_stage_s"], 2
+        )
+        stage_s = device_result["device_stage_s"]
+        out["scale60m_device_stage_sources_per_s"] = (
+            round(device_result["device_stage_sources"] / stage_s, 1)
+            if stage_s
+            else None
+        )
+        out["scale60m_tigs"] = device_result["tigs"]
+    out["scale60m_unitigs_per_s"] = round(n_unitigs / best, 1)
+    out["scale60m_vs_baseline"] = round(baseline_time / best, 3)
+    # The baseline SHARES the framework's downstream passes (by design:
+    # the ratio isolates the search engine), so framework downstream
+    # optimizations speed the baseline up too and compress vs_baseline
+    # toward 1; the search-only ratio carries the engine comparison.
+    out["scale60m_search_vs_baseline"] = (
+        round(baseline_search / host_search, 3) if host_search > 0 else None
+    )
+    for line in (
+        f"60M host: {host_time:.2f}s (search {host_search:.2f}s); baseline "
+        f"{baseline_time:.2f}s (search {baseline_search:.2f}s); device "
+        f"{device_elapsed if device_elapsed else 'n/a'}; vs_baseline "
+        f"{out['scale60m_vs_baseline']}",
+    ):
+        print(line, file=sys.stderr)
+    return out
 
 
 def main() -> None:
@@ -297,6 +406,15 @@ def main() -> None:
         else None
     )
 
+    # North-star scale phase (keys merged into the single JSON line).
+    # The 10M arrays are dropped first — the 60M pipeline peaks at
+    # several GB of its own.
+    del store, g
+    import gc
+
+    gc.collect()
+    scale60m = scale60m_phase(try_device=device_elapsed is not None)
+
     # Extra keys beyond the required four: the downstream passes are
     # shared between the framework and the baseline, so the overall ratio
     # compresses toward 1 at small scale — search_vs_baseline isolates
@@ -328,13 +446,16 @@ def main() -> None:
                 "kmers_per_s_best_path": round(n_kmers / best_time, 1),
                 "device_stage_sources_per_s": dev_sources_per_s,
                 "n_chips": 1,
+                **scale60m,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    if "--device-run" in sys.argv:
+    if "--device-run-60m" in sys.argv:
+        device_run(SCALE60M_GENOME, RESULT_FILE_60M)
+    elif "--device-run" in sys.argv:
         device_run()
     else:
         main()
