@@ -137,6 +137,10 @@ def load() -> ctypes.CDLL:
     lib.greedy_accept_scan_mt.argtypes = [
         ll, llp, llp, llp, llp, llp, i8p, llp, ll, ll,
     ]
+    lib.fill_padded_adj.restype = ll
+    lib.fill_padded_adj.argtypes = [
+        ll, ll, i32p, i32p, llp, ll, ll, ll, i32p, i32p,
+    ]
     lib.spell_walks_packed.restype = ll
     lib.spell_walks_packed.argtypes = [
         llp, llp, ll, llp, llp, i8p, i8p, u8p, llp, ll, u8p, llp,

@@ -120,6 +120,54 @@ def build_device_graph(
     return dg
 
 
+def _fill_padded_adj(g, n, src, dst, w, deg_pad, weight_cap):
+    """Fill the padded [N+1, deg_pad] adjacency: native MT node-range
+    pass (graphwalk.cpp:fill_padded_adj, deterministic edge-id slot
+    order) with the vectorized numpy construction as fallback/oracle —
+    the stable-sort + scatter chain cost ~1.7s at 15.7M edges."""
+    try:
+        from .. import native
+
+        lib = native.load()
+    except ImportError:
+        lib = None
+    if lib is not None and len(src):
+        import os
+
+        nbr = np.empty((n + 1, deg_pad), dtype=np.int32)
+        nw = np.empty((n + 1, deg_pad), dtype=np.int32)
+        src32 = np.ascontiguousarray(src, dtype=np.int32)
+        dst32 = np.ascontiguousarray(dst, dtype=np.int32)
+        w64 = np.ascontiguousarray(w, dtype=np.int64)
+        overflow = lib.fill_padded_adj(
+            n,
+            len(src32),
+            native.as_i32_ptr(src32),
+            native.as_i32_ptr(dst32),
+            native.as_ll_ptr(w64),
+            deg_pad,
+            weight_cap,
+            min(os.cpu_count() or 1, 16),
+            native.as_i32_ptr(nbr),
+            native.as_i32_ptr(nw),
+        )
+        assert overflow == 0, "deg_pad undersized for the degree sequence"
+        return nbr, nw
+    nbr = np.full((n + 1, deg_pad), n, dtype=np.int32)
+    nw = np.full((n + 1, deg_pad), weight_cap, dtype=np.int32)
+    if len(src):
+        from ..utils.sorting import stable_order
+
+        deg = np.bincount(src, minlength=n)
+        order = stable_order(src, n)
+        slot = np.arange(len(src)) - np.repeat(
+            np.concatenate([[0], np.cumsum(deg)[:-1]]), deg
+        )
+        nbr[src[order], slot] = dst[order]
+        nw[src[order], slot] = np.minimum(w[order], weight_cap)
+    return nbr, nw
+
+
 def _build_device_graph(
     g: Bigraph, weight_cap: int, renumber: bool
 ) -> DeviceGraph:
@@ -145,17 +193,7 @@ def _build_device_graph(
 
     deg = np.bincount(src, minlength=n)
     deg_pad = max(MAX_DEGREE, int(deg.max(initial=0)))
-    nbr = np.full((n + 1, deg_pad), n, dtype=np.int32)
-    nw = np.full((n + 1, deg_pad), weight_cap, dtype=np.int32)
-
-    from ..utils.sorting import stable_order
-
-    order = stable_order(src, n)
-    slot = np.arange(len(src)) - np.repeat(
-        np.concatenate([[0], np.cumsum(deg)[:-1]]), deg
-    )
-    nbr[src[order], slot] = dst[order]
-    nw[src[order], slot] = w[order]
+    nbr, nw = _fill_padded_adj(g, n, src, dst, w, deg_pad, weight_cap)
     return DeviceGraph(
         n_nodes=n,
         nbr=nbr,

@@ -57,6 +57,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstdint>
+#include <memory>
 #include <queue>
 #include <thread>
 #include <utility>
@@ -68,11 +69,20 @@ using i64 = long long;
 
 class SparseBlossom {
  public:
-  SparseBlossom(int n, i64 m, const i64* eu, const i64* ev, const i64* ew)
-      : n_(n), m_(m), eu_(eu), ev_(ev), ew_(ew) {
+  // w_scale: internal weight multiplier (>= 2, even).  The default 2
+  // makes vertex duals integral (the classical doubling).  Warm-started
+  // pricing rounds pass the PREVIOUS round's scale times 2 and double
+  // the incoming duals with it: all duals are then EVEN at entry -- the
+  // same uniform-parity state a cold start has -- which keeps S-S edge
+  // slacks even where it matters (the forced delta3 edge could otherwise
+  // augment across a slack-1 cross-tree edge and leave a matched edge
+  // off tight; see solve_priced's audit fallback).
+  SparseBlossom(int n, i64 m, const i64* eu, const i64* ev, const i64* ew,
+                i64 w_scale = 2)
+      : n_(n), m_(m), eu_(eu), ev_(ev), ew_(ew), scale_(w_scale) {
     max_w_ = 0;
     for (i64 e = 0; e < m_; ++e)
-      if (2 * ew_[e] > max_w_) max_w_ = 2 * ew_[e];
+      if (scale_ * ew_[e] > max_w_) max_w_ = scale_ * ew_[e];
     endpoint_.resize(2 * m_);
     for (i64 p = 0; p < 2 * m_; ++p)
       endpoint_[p] = (p & 1) ? (int)ev_[p / 2] : (int)eu_[p / 2];
@@ -166,8 +176,9 @@ class SparseBlossom {
       push_bevent_key(b, delta_total_ + dual_[b]);
   }
 
-  // 2*w(e) so duals stay integral
-  i64 w2(i64 e) const { return 2 * ew_[e]; }
+  // scale_*w(e) so duals stay integral (scale_ = 2 cold; doubled per
+  // warm pricing round, see constructor)
+  i64 w2(i64 e) const { return scale_ * ew_[e]; }
   i64 slack(i64 e) const {
     return true_dual_v((int)eu_[e]) + true_dual_v((int)ev_[e]) - w2(e);
   }
@@ -192,6 +203,10 @@ class SparseBlossom {
       std::vector<int> leaves;
       blossom_leaves(b, leaves);
       for (int v : leaves) queue_.push_back(v);
+      // warm mode: every S-vertex dual drifts toward 0 independently
+      // (free-root duals are NOT uniform), so each arms a zero event
+      if (warm_)
+        for (int v : leaves) push_vevent(v);
     } else if (t == 2) {
       int bb = base_[b];
       assign_label(endpoint_[mate_[bb]], 1, mate_[bb] ^ 1);
@@ -299,7 +314,10 @@ class SparseBlossom {
     for (int leaf : leaves) {
       // former T-leaves turn S with the new blossom: requeue so their
       // edges are scanned (and their delta events pushed) as S edges.
-      if (get_label(in_blossom_[leaf]) == 2) queue_.push_back(leaf);
+      if (get_label(in_blossom_[leaf]) == 2) {
+        queue_.push_back(leaf);
+        if (warm_) push_vevent(leaf);  // rate flips +1 -> -1: new zero key
+      }
       in_blossom_[leaf] = b;
     }
   }
@@ -459,6 +477,91 @@ class SparseBlossom {
     base_[b] = base_[path[0]];
   }
 
+  // Bank the dual drift of every top-level slot of tree r (call BEFORE
+  // tree_alive_[r] = 0: banking reads the old classifications).
+  void bank_tree(int r) {
+    tops_scratch_.clear();
+    for (int x : members_[r]) tops_scratch_.push_back(in_blossom_[x]);
+    std::sort(tops_scratch_.begin(), tops_scratch_.end());
+    tops_scratch_.erase(
+        std::unique(tops_scratch_.begin(), tops_scratch_.end()),
+        tops_scratch_.end());
+    for (int top : tops_scratch_) {
+      if (top >= n_ && base_[top] < 0) continue;
+      mat_top(top);
+    }
+  }
+
+  // After tree r died: freed vertices may sit on tight edges from live S
+  // vertices that will never rescan on their own; requeue those S
+  // vertices (their rescan also refreshes delta events toward the freed
+  // vertices).  members_ records one labeled entry vertex per top-level
+  // slot, so dedup tops and cover every leaf.  Clears members_[r].
+  void repush_tree(int r) {
+    tops_scratch_.clear();
+    for (int x : members_[r]) tops_scratch_.push_back(in_blossom_[x]);
+    std::sort(tops_scratch_.begin(), tops_scratch_.end());
+    tops_scratch_.erase(
+        std::unique(tops_scratch_.begin(), tops_scratch_.end()),
+        tops_scratch_.end());
+    leaves_scratch_.clear();
+    for (int top : tops_scratch_) {
+      if (base_[top] < 0) continue;  // expanded since
+      blossom_leaves(top, leaves_scratch_);
+    }
+    for (int x : leaves_scratch_)
+      for (int q : nbr_[x]) {
+        int o = endpoint_[q];
+        if (get_label(in_blossom_[o]) != 1) continue;
+        // Requeue the S vertex only when the edge to the freed vertex
+        // is actionable NOW (tight => it can adopt x); otherwise the
+        // edge merely switched delta-rate (S-T -> S-unlabeled), which
+        // needs a delta event, not a full neighborhood rescan.
+        if (slack(q / 2) <= 0)
+          queue_.push_back(o);
+        else
+          push_event(q / 2);
+      }
+    members_[r].clear();
+  }
+
+  // Deficiency augmentation (warm-start mode): an S-vertex whose dual
+  // reached 0 prefers exposure (complementary slackness allows an
+  // unmatched vertex exactly when y = 0).  Flip the even alternating
+  // path from v up to its tree root: v becomes exposed at dual 0, the
+  // root becomes matched; every flipped edge is tight, so the matching
+  // weight increases by the root's dual.  Same traversal as one side of
+  // augment_matching, except the starting vertex gets NO mate.
+  void deficiency_augment(int v) {
+    int s = v;
+    int p = -1;
+    long long guard = 0;
+    for (;;) {
+      if (++guard > 4 * (long long)n_ + 16) {
+        std::fprintf(stderr, "blossom_sparse: deficiency cycle\n");
+        std::abort();
+      }
+      int bs = in_blossom_[s];
+      if (bs >= n_) augment_blossom(bs, s);
+      mate_[s] = p;
+      if (label_end_[bs] == -1) break;  // reached the tree root
+      int t = endpoint_[label_end_[bs]];
+      int bt = in_blossom_[t];
+      int s_next = endpoint_[label_end_[bt]];
+      int j = endpoint_[label_end_[bt] ^ 1];
+      if (bt >= n_) augment_blossom(bt, j);
+      mate_[j] = label_end_[bt];
+      p = label_end_[bt] ^ 1;
+      s = s_next;
+    }
+    // v is exposed and (after its tree dies) unlabeled: a later
+    // augmentation INTO v walks v's side checking label_end_ of its
+    // top slot, which must say "free end" (v is the base after the
+    // rotation above).
+    label_end_[v] = -1;
+    label_end_[in_blossom_[v]] = -1;
+  }
+
   void augment_matching(i64 k) {
     int v = (int)eu_[k], w = (int)ev_[k];
     for (int side = 0; side < 2; ++side) {
@@ -500,6 +603,15 @@ class SparseBlossom {
   // Without this, rescans re-push every non-tight edge each time and the
   // heap grew to ~1e9 entries (18 GB) on the bench-scale tangles.
   static constexpr i64 kInfEvent = (i64)1 << 62;
+  // Warm mode: (projected dual-zero delta_total_, S-vertex) events — the
+  // per-vertex delta1.  Same lazy stamp/revalidate protocol as the edge
+  // heap.
+  void push_vevent_key(int v, i64 key) {
+    if (key >= vevent_stamp_[v]) return;
+    vevent_stamp_[v] = key;
+    vevents_.push({key, v});
+  }
+  void push_vevent(int v) { push_vevent_key(v, delta_total_ + true_dual_v(v)); }
   void push_event_key(i64 e, i64 key) {
     if (key >= event_stamp_[e]) return;
     event_stamp_[e] = key;
@@ -549,6 +661,10 @@ class SparseBlossom {
     int live_roots = 0;
     for (int v = 0; v < n_; ++v)
       if (mate_[v] == -1) {
+        // Warm mode: an exposed vertex at dual 0 already satisfies
+        // complementary slackness -- it roots no tree and instead waits
+        // unlabeled as an augmentation target (see the scan branch).
+        if (warm_ && dual_[v] == 0) continue;
         cur_root_ = v;
         assign_label(v, 1, -1);
         ++live_roots;
@@ -582,6 +698,22 @@ class SparseBlossom {
           if (slack(k) <= 0 ||
               (k == forced_edge_ && get_label(bw) == 1)) {
             if (get_label(bw) == 0) {
+              if (warm_ && mate_[base_[bw]] == -1) {
+                // Warm mode: w is an exposed zero-dual vertex (deficiency-
+                // exposed or pre-exposed), which stays UNLABELED -- the
+                // tight edge to it is an augmenting path ending at w.
+                // Only the scanner's tree dies; w's side has no tree and
+                // its label_end_ is -1, so the augment walk stops there.
+                int r1 = tree_of_[in_blossom_[v]];
+                augment_matching(k);
+                bank_tree(r1);
+                tree_alive_[r1] = 0;
+                live_roots -= 1;
+                ++dbg_augments;
+                repush_tree(r1);
+                if (checktrees) validate_trees("augment-exposed");
+                break;  // v's tree died with it
+              }
               assign_label(w, 2, p ^ 1);
               if (checktrees) validate_trees("assign-T");
             } else if (get_label(bw) == 1) {
@@ -601,58 +733,14 @@ class SparseBlossom {
                 // touching the members (the tree_alive_ epoch trick), so
                 // bank their drift now, before the flip, while get_label
                 // still reports the old classes.
-                for (int r : {r1, r2}) {
-                  tops_scratch_.clear();
-                  for (int x : members_[r])
-                    tops_scratch_.push_back(in_blossom_[x]);
-                  std::sort(tops_scratch_.begin(), tops_scratch_.end());
-                  tops_scratch_.erase(
-                      std::unique(tops_scratch_.begin(),
-                                  tops_scratch_.end()),
-                      tops_scratch_.end());
-                  for (int top : tops_scratch_) {
-                    if (top >= n_ && base_[top] < 0) continue;
-                    mat_top(top);
-                  }
-                }
+                bank_tree(r1);
+                bank_tree(r2);
                 tree_alive_[r1] = 0;
                 tree_alive_[r2] = 0;
                 live_roots -= 2;
                 ++dbg_augments;
-                // Freed vertices may sit on tight edges from live S
-                // vertices that will never rescan on their own; requeue
-                // those S vertices (their rescan also refreshes delta
-                // events toward the freed vertices).  members_ records
-                // one labeled entry vertex per top-level slot, so dedup
-                // tops and cover every leaf.
-                for (int r : {r1, r2}) {
-                  tops_scratch_.clear();
-                  for (int x : members_[r]) tops_scratch_.push_back(in_blossom_[x]);
-                  std::sort(tops_scratch_.begin(), tops_scratch_.end());
-                  tops_scratch_.erase(
-                      std::unique(tops_scratch_.begin(), tops_scratch_.end()),
-                      tops_scratch_.end());
-                  leaves_scratch_.clear();
-                  for (int top : tops_scratch_) {
-                    if (base_[top] < 0) continue;  // expanded since
-                    blossom_leaves(top, leaves_scratch_);
-                  }
-                  for (int x : leaves_scratch_)
-                    for (int q : nbr_[x]) {
-                      int o = endpoint_[q];
-                      if (get_label(in_blossom_[o]) != 1) continue;
-                      // Requeue the S vertex only when the edge to the
-                      // freed vertex is actionable NOW (tight => it can
-                      // adopt x); otherwise the edge merely switched
-                      // delta-rate (S-T -> S-unlabeled), which needs a
-                      // delta event, not a full neighborhood rescan.
-                      if (slack(q / 2) <= 0)
-                        queue_.push_back(o);
-                      else
-                        push_event(q / 2);
-                    }
-                  members_[r].clear();
-                }
+                repush_tree(r1);
+                repush_tree(r2);
                 if (checktrees) validate_trees("augment");
                 break;  // v's tree died with it
               }
@@ -681,9 +769,45 @@ class SparseBlossom {
       ++dbg_adjusts;
       forced_edge_ = -1;  // a force lives for exactly one queue drain
       int delta_type = 1;
-      i64 delta = root_dual_;  // free roots share one dual trajectory
+      // Cold mode: free roots share one dual trajectory (uniform init),
+      // so root_dual_ IS delta1.  Warm mode: free-root duals are not
+      // uniform; per-S-vertex zero events carry delta1 instead (every
+      // live root is S and armed, so delta stays bounded).
+      i64 delta = warm_ ? kInfEvent : root_dual_;
       i64 delta_edge = -1;
       int delta_blossom = -1;
+      int delta_vertex = -1;
+      if (warm_) {
+        if (exact_delta) {
+          for (int v = 0; v < n_; ++v)
+            if (get_label(in_blossom_[v]) == 1 && true_dual_v(v) < delta) {
+              delta = true_dual_v(v);
+              delta_type = 5;
+              delta_vertex = v;
+            }
+        } else {
+          while (!vevents_.empty()) {
+            auto [key, v] = vevents_.top();
+            if (key - delta_total_ >= delta) break;
+            vevents_.pop();
+            if (key == vevent_stamp_[v]) vevent_stamp_[v] = kInfEvent;
+            if (get_label(in_blossom_[v]) != 1) continue;  // stale
+            i64 true_key = delta_total_ + true_dual_v(v);
+            if (true_key > key) {
+              push_vevent_key(v, true_key);
+              continue;
+            }
+            delta = key - delta_total_;
+            delta_type = 5;
+            delta_vertex = v;
+            // keep as a future constraint: a later (strictly smaller)
+            // edge/blossom event may steal this adjustment, and the
+            // vertex's zero bound must keep limiting future deltas
+            push_vevent_key(v, key);
+            break;
+          }
+        }
+      }
       if (exact_delta) {
         // Oracle mode: hint-free delta selection by classifying every
         // edge directly (used by fuzz tests to cross-check the heap).
@@ -788,6 +912,22 @@ class SparseBlossom {
                      dbg_adjusts, delta_type, delta, live_roots,
                      events_.size(), dbg_scans);
       if (delta_type == 1) break;  // free roots hit dual 0: optimum
+      if (delta_type == 5) {
+        // Warm mode: S-vertex delta_vertex's dual reached 0 -- it
+        // prefers exposure (CS holds at y = 0).  Flip the alternating
+        // path to its root (the root becomes matched, weight grows by
+        // the root's dual) and retire the tree.  If the vertex IS an
+        // exposed root, the flip is a no-op beyond keeping it exposed.
+        int r = tree_of_[in_blossom_[delta_vertex]];
+        deficiency_augment(delta_vertex);
+        bank_tree(r);
+        tree_alive_[r] = 0;
+        live_roots -= 1;
+        ++dbg_augments;
+        repush_tree(r);
+        if (checktrees) validate_trees("deficiency");
+        continue;
+      }
       if (delta_type == 2) {
         int i = (int)eu_[delta_edge];
         if (get_label(in_blossom_[i]) != 1) i = (int)ev_[delta_edge];
@@ -879,24 +1019,27 @@ class SparseBlossom {
   }
 
   // Complementary-slackness audit (canonical verifyOptimum): prints every
-  // violated constraint; returns the violation count.
-  int verify_optimum() const {
+  // violated constraint (unless quiet); returns the violation count.
+  int verify_optimum(bool quiet = false) const {
     int bad = 0;
     for (int v = 0; v < n_; ++v) {
       if (dual_[v] < 0) {
-        std::fprintf(stderr, "VIOLATION dual[%d]=%lld < 0\n", v, dual_[v]);
+        if (!quiet)
+          std::fprintf(stderr, "VIOLATION dual[%d]=%lld < 0\n", v, dual_[v]);
         ++bad;
       }
       if (mate_[v] == -1 && dual_[v] != 0) {
-        std::fprintf(stderr, "VIOLATION single v=%d dual=%lld != 0\n", v,
-                     dual_[v]);
+        if (!quiet)
+          std::fprintf(stderr, "VIOLATION single v=%d dual=%lld != 0\n", v,
+                       dual_[v]);
         ++bad;
       }
     }
     for (int b = n_; b < 2 * n_; ++b)
       if (base_[b] >= 0 && dual_[b] < 0) {
-        std::fprintf(stderr, "VIOLATION blossom dual[%d]=%lld < 0\n", b,
-                     dual_[b]);
+        if (!quiet)
+          std::fprintf(stderr, "VIOLATION blossom dual[%d]=%lld < 0\n", b,
+                       dual_[b]);
         ++bad;
       }
     for (i64 e = 0; e < m_; ++e) {
@@ -923,20 +1066,74 @@ class SparseBlossom {
       bool matched =
           (mate_[i] >= 0 && mate_[i] / 2 == e) || (mate_[j] >= 0 && mate_[j] / 2 == e);
       if (s < 0) {
-        std::fprintf(stderr,
-                     "VIOLATION edge %lld (%d-%d w%lld) slack=%lld < 0\n", e,
-                     i, j, ew_[e], s);
+        if (!quiet)
+          std::fprintf(stderr,
+                       "VIOLATION edge %lld (%d-%d w%lld) slack=%lld < 0\n",
+                       e, i, j, ew_[e], s);
         ++bad;
       }
       if (matched && s != 0) {
-        std::fprintf(stderr,
-                     "VIOLATION matched edge %lld (%d-%d w%lld) slack=%lld "
-                     "!= 0\n",
-                     e, i, j, ew_[e], s);
+        if (!quiet)
+          std::fprintf(stderr,
+                       "VIOLATION matched edge %lld (%d-%d w%lld) slack=%lld "
+                       "!= 0\n",
+                       e, i, j, ew_[e], s);
         ++bad;
       }
     }
     return bad;
+  }
+
+  // Warm start from a previous solve on a SUBSET of this instance's
+  // edges (column-generation pricing rounds): ``y`` comes from the
+  // previous solver's folded_duals() -- a blossom-free feasible dual for
+  // the old edge set -- and ``partner`` from its extract().  New edges
+  // with negative slack are repaired by RAISING the smaller-id
+  // endpoint's dual (raising never breaks feasibility); previous matched
+  // pairs are kept only while their connecting edge is still tight, so
+  // complementary slackness holds at entry.  Any feasible dual +
+  // matching-of-tight-edges is a valid primal-dual start; the final
+  // optimum is unaffected (verify_optimum and the pricing certificate
+  // still audit it).  Must be called before solve().
+  void warm_init(const i64* y, const int* partner) {
+    warm_ = true;
+    vevent_stamp_.assign(n_, kInfEvent);
+    // y is in the PREVIOUS round's weight space (scale_/2): doubling it
+    // lands in this round's space AND makes every dual even -- the
+    // uniform-parity entry state (see the constructor comment).
+    for (int v = 0; v < n_; ++v) dual_[v] = 2 * y[v];
+    for (i64 e = 0; e < m_; ++e) {
+      const i64 sl = dual_[eu_[e]] + dual_[ev_[e]] - w2(e);
+      if (sl < 0) dual_[std::min(eu_[e], ev_[e])] += -sl;
+    }
+    for (int v = 0; v < n_; ++v) {
+      const int w = partner[v];
+      if (w <= v || w >= n_) continue;  // each pair once; -1 skips
+      for (int p : nbr_[v]) {
+        if (endpoint_[p] != w) continue;
+        if (slack(p / 2) != 0) continue;  // tightness lost: leave exposed
+        mate_[v] = p;
+        mate_[w] = p ^ 1;
+        break;
+      }
+    }
+  }
+
+  // Blossom-free feasible duals equivalent to the final (y, z) solution:
+  // y'_v = y_v + sum of dual_[b] over blossoms containing v (per
+  // verify_optimum's slack formula each endpoint's share of a common
+  // blossom is dual_[b]).  Edges inside a blossom gain the blossom's
+  // dual from BOTH endpoints -- exactly the z term -- so internal
+  // matched edges stay tight under y'; a positive-dual blossom base's
+  // external matched edge gains half a z and loses tightness (dropped
+  // by warm_init; the vertex re-augments).  Valid after solve(), which
+  // banks every dual slot.
+  void folded_duals(i64* y_out) const {
+    for (int v = 0; v < n_; ++v) {
+      i64 y = dual_[v];
+      for (int b = parent_[v]; b != -1; b = parent_[b]) y += dual_[b];
+      y_out[v] = y;
+    }
   }
 
   i64 extract(int* mate_out) const {
@@ -964,6 +1161,7 @@ class SparseBlossom {
   const i64* ev_;
   const i64* ew_;
   i64 max_w_;
+  i64 scale_;
   std::vector<int> endpoint_;
   std::vector<std::vector<int>> nbr_;
   std::vector<int> mate_;
@@ -991,6 +1189,12 @@ class SparseBlossom {
                       std::greater<std::pair<i64, i64>>>
       bevents_;
   std::vector<i64> bevent_stamp_;
+  // warm mode: min-heap of (projected dual-zero delta_total_, S-vertex)
+  std::priority_queue<std::pair<i64, int>, std::vector<std::pair<i64, int>>,
+                      std::greater<std::pair<i64, int>>>
+      vevents_;
+  std::vector<i64> vevent_stamp_;
+  bool warm_ = false;
   std::vector<i64> stamp_;  // delta_total_ at last dual materialization
   i64 delta_total_ = 0;
   i64 forced_edge_ = -1;
@@ -1066,18 +1270,53 @@ static long long solve_priced(i64 nl, i64 ml, const i64* eu, const i64* ev,
       rev.push_back(ev[e]);
       rew.push_back(ew[e]);
     }
+  // Rounds 2+ warm-start from the previous round's folded duals +
+  // matching: the added (violated) edges are repaired by dual raises
+  // that expose only their endpoints, so the re-solve re-augments a few
+  // thousand vertices instead of re-matching the whole component
+  // (previously each round was a full cold solve).
+  const bool price_warm = std::getenv("MATCHTIGS_NO_PRICE_WARM") == nullptr;
+  std::vector<i64> y_prev;
+  std::vector<int> mate_prev;
+  bool have_prev = false;
+  i64 scale = 2;  // doubled per warm round (parity; constructor comment)
   for (int round = 0;; ++round) {
     SparseBlossom sb((int)nl, (i64)reu.size(), reu.data(), rev.data(),
-                     rew.data());
+                     rew.data(), scale);
+    const bool warm_round = have_prev && price_warm;
+    if (warm_round) sb.warm_init(y_prev.data(), mate_prev.data());
     sb.solve();
+    // Warm rounds are exact-or-fallback: warm duals do not share the
+    // cold start's parity trajectory, so the forced delta3 edge can in
+    // rare cases augment across a slack-1 cross-tree edge and leave a
+    // matched edge 1 off tight in the doubled-weight space.  The silent
+    // complementary-slackness audit (O(m)) catches any such hole and
+    // the round re-solves cold -- warm speed when clean, cold exactness
+    // always.
+    std::unique_ptr<SparseBlossom> sb_cold;
+    SparseBlossom* sbp = &sb;
+    if (warm_round &&
+        sb.verify_optimum(std::getenv("MATCHTIGS_WARM_AUDIT_VERBOSE") ==
+                          nullptr)) {
+      if (trace)
+        std::fprintf(stderr,
+                     "[blossom-priced] round %d: warm certificate failed; "
+                     "re-solving cold\n",
+                     round);
+      sb_cold.reset(new SparseBlossom((int)nl, (i64)reu.size(), reu.data(),
+                                      rev.data(), rew.data(), scale));
+      sb_cold->solve();
+      sbp = sb_cold.get();
+    }
+    SparseBlossom& sbr = *sbp;
     if (verify) {
-      int bad = sb.verify_optimum();
+      int bad = sbr.verify_optimum();
       if (bad && verify_abort) std::abort();
     }
     i64 violations = 0;
     for (i64 e = 0; e < ml; ++e) {
       if (keep[e]) continue;
-      if (sb.dual_of((int)eu[e]) + sb.dual_of((int)ev[e]) < 2 * ew[e]) {
+      if (sbr.dual_of((int)eu[e]) + sbr.dual_of((int)ev[e]) < scale * ew[e]) {
         keep[e] = 1;
         reu.push_back(eu[e]);
         rev.push_back(ev[e]);
@@ -1090,7 +1329,15 @@ static long long solve_priced(i64 nl, i64 ml, const i64* eu, const i64* ev,
                    "[blossom-priced] round %d: %zu/%lld edges, %lld priced "
                    "in\n",
                    round, reu.size() - violations, ml, violations);
-    if (violations == 0) return sb.extract(mate);
+    if (violations == 0) return sbr.extract(mate);
+    if (price_warm) {
+      y_prev.resize(nl);
+      mate_prev.resize(nl);
+      sbr.folded_duals(y_prev.data());
+      sbr.extract(mate_prev.data());
+      have_prev = true;
+      scale *= 2;  // next round doubles into a fresh uniform-parity space
+    }
   }
 }
 

@@ -997,3 +997,62 @@ extern "C" i64 wcc_labels(i64 n_nodes, i64 n_edges, const int32_t* src,
   }
   return n_comps;
 }
+
+// MT padded-adjacency fill for the device graph (ops/device_graph.py):
+// nbr[v*deg_pad + j] = j-th successor of v in EDGE-ID ORDER (matching the
+// stable-sort semantics of the python path), nw likewise; empty slots get
+// (sentinel = n_nodes, weight_cap).  Threads own disjoint NODE ranges and
+// each scans the full edge list, so slot order is deterministic and no
+// atomics are needed; the scans are sequential reads (~8B/edge/thread)
+// and the fills are range-local writes.  Replaces a bincount +
+// stable-sort + np.repeat + two random-row scatters (~1.7s at 15.7M
+// edges / 10.2M nodes -> ~0.2s).
+extern "C" i64 fill_padded_adj(i64 n_nodes, i64 n_edges, const int32_t* src,
+                               const int32_t* dst, const i64* weight,
+                               i64 deg_pad, i64 weight_cap, i64 n_threads,
+                               int32_t* nbr_out, int32_t* nw_out) {
+  const int32_t sent_node = (int32_t)n_nodes;
+  const int32_t sent_w = (int32_t)weight_cap;
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  std::atomic<i64> overflow{0};
+  auto fill = [&](i64 lo, i64 hi) {  // node range [lo, hi)
+    std::vector<int32_t> cursor((size_t)(hi - lo), 0);
+    for (i64 e = 0; e < n_edges; ++e) {
+      const i64 v = src[e];
+      if (v < lo || v >= hi) continue;
+      int32_t& c = cursor[(size_t)(v - lo)];
+      if (c >= deg_pad) {
+        overflow.fetch_add(1, std::memory_order_relaxed);
+        continue;
+      }
+      const i64 slot = v * deg_pad + c;
+      nbr_out[slot] = dst[e];
+      const i64 w = weight[e];
+      nw_out[slot] = (int32_t)(w < weight_cap ? w : weight_cap);
+      ++c;
+    }
+    for (i64 v = lo; v < hi; ++v)
+      for (i64 j = cursor[(size_t)(v - lo)]; j < deg_pad; ++j) {
+        nbr_out[v * deg_pad + j] = sent_node;
+        nw_out[v * deg_pad + j] = sent_w;
+      }
+  };
+  if (nt > 1 && n_nodes > (i64)1 << 14) {
+    std::vector<std::thread> ts;
+    const i64 chunk = (n_nodes + nt - 1) / nt;
+    for (i64 t = 0; t < nt; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n_nodes) break;
+      ts.emplace_back(fill, lo, std::min(n_nodes, lo + chunk));
+    }
+    for (auto& th : ts) th.join();
+  } else {
+    fill(0, n_nodes);
+  }
+  // sentinel row n_nodes
+  for (i64 j = 0; j < deg_pad; ++j) {
+    nbr_out[n_nodes * deg_pad + j] = sent_node;
+    nw_out[n_nodes * deg_pad + j] = sent_w;
+  }
+  return overflow.load();  // callers treat > 0 as "deg_pad too small"
+}

@@ -406,3 +406,46 @@ def test_priced_batch_matches_direct_solve(monkeypatch):
             b = int(mate[a])
             if b >= 0:
                 assert int(mate[b]) == a
+
+
+def test_priced_warm_start_rounds_match_cold(monkeypatch):
+    """Pricing rounds warm-started from the previous round's folded duals
+    + matching must reach the same exact total as fully cold rounds
+    (MATCHTIGS_NO_PRICE_WARM).  Degrees >> top-K force real pricing
+    rounds; tie-heavy small weights exercise the parity fallback (warm
+    certificate audit -> cold re-solve)."""
+    from matchtigs_tpu.ops.perfect_matching import (
+        max_weight_matching_sparse,
+        max_weight_matching_sparse_batch,
+    )
+
+    monkeypatch.setenv("MATCHTIGS_PRICE_THRESHOLD", "1")
+    monkeypatch.setenv("MATCHTIGS_BLOSSOM_VERIFY", "1")
+    monkeypatch.setenv("MATCHTIGS_BLOSSOM_VERIFY_ABORT", "1")
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        n = int(rng.integers(40, 150))
+        m = int(rng.integers(25 * n, 45 * n))
+        u = rng.integers(0, n, m)
+        v = rng.integers(0, n, m)
+        ok = u != v
+        u, v = u[ok].astype(np.int64), v[ok].astype(np.int64)
+        wmax = int(rng.choice([2, 7, 1000, 1 << 19]))
+        w = rng.integers(1, wmax + 1, len(u)).astype(np.int64)
+        node_off = np.array([0, n], dtype=np.int64)
+        edge_off = np.array([0, len(u)], dtype=np.int64)
+        mate_w, total_w = max_weight_matching_sparse_batch(
+            node_off, edge_off, u, v, w
+        )
+        monkeypatch.setenv("MATCHTIGS_NO_PRICE_WARM", "1")
+        _, total_c = max_weight_matching_sparse_batch(
+            node_off, edge_off, u, v, w
+        )
+        monkeypatch.delenv("MATCHTIGS_NO_PRICE_WARM")
+        edges = np.stack([u, v, w], axis=1)
+        _, want = max_weight_matching_sparse(n, edges)
+        assert total_w == total_c == want, (trial, total_w, total_c, want)
+        for a in range(n):
+            b = int(mate_w[a])
+            if b >= 0:
+                assert int(mate_w[b]) == a

@@ -478,3 +478,37 @@ def test_greedy_accept_scan_mt_matches_serial():
         assert n_mt == n_ser, (chunk, n_mt, n_ser)
         assert np.array_equal(acc_mt[:n_mt], acc_ser[:n_ser]), chunk
         assert np.array_equal(m_mt, m_ser), chunk
+
+
+def test_fill_padded_adj_matches_numpy():
+    """Native MT padded-adjacency fill must equal the numpy stable-sort
+    construction (slot order = ascending edge id per node)."""
+    import numpy as np
+
+    from matchtigs_tpu import testing
+    from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+    from matchtigs_tpu.ops import device_graph as dgm
+
+    store, _, k = testing.make_unitig_store(genome_length=50000, k=11, seed=3)
+    g = build_bigraph_from_unitigs(store, k)
+    n = g.n_nodes
+    src, dst = g.srcs(), g.dsts()
+    w = np.minimum(g.weights(), 1 << 20).astype(np.int32)
+    deg = np.bincount(src, minlength=n)
+    deg_pad = max(dgm.MAX_DEGREE, int(deg.max(initial=0)))
+    native_nbr, native_nw = dgm._fill_padded_adj(
+        g, n, src, dst, w, deg_pad, 1 << 20
+    )
+    # numpy oracle (the ImportError fallback body)
+    nbr = np.full((n + 1, deg_pad), n, dtype=np.int32)
+    nw = np.full((n + 1, deg_pad), 1 << 20, dtype=np.int32)
+    from matchtigs_tpu.utils.sorting import stable_order
+
+    order = stable_order(src, n)
+    slot = np.arange(len(src)) - np.repeat(
+        np.concatenate([[0], np.cumsum(deg)[:-1]]), deg
+    )
+    nbr[src[order], slot] = dst[order]
+    nw[src[order], slot] = w[order]
+    assert np.array_equal(native_nbr, nbr)
+    assert np.array_equal(native_nw, nw)
