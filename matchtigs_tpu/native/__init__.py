@@ -141,6 +141,8 @@ def load() -> ctypes.CDLL:
     lib.fill_padded_adj.argtypes = [
         ll, ll, i32p, i32p, llp, ll, ll, ll, i32p, i32p,
     ]
+    lib.accept_sort_packed.restype = ll
+    lib.accept_sort_packed.argtypes = [ll, llp, llp, llp, ll]
     lib.spell_walks_packed.restype = ll
     lib.spell_walks_packed.argtypes = [
         llp, llp, ll, llp, llp, i8p, i8p, u8p, llp, ll, u8p, llp,

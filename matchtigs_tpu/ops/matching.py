@@ -76,26 +76,28 @@ def greedy_accept(
         cu = candidates[:, 0].astype(np.int64, copy=True)
         cv = candidates[:, 1].astype(np.int64, copy=True)
         cd = candidates[:, 2].astype(np.int64, copy=True)
-    if g.n_nodes < (1 << 28) and int(cd.max(initial=0)) < 256:
+    if g.n_nodes < (1 << 28) and int(cd.max(initial=0)) < 128:
         # The packed key holds the whole triple (d:8 | u:28 | v:28), so
         # sorting key VALUES yields the sorted candidates directly --
         # unpacking sorted keys is sequential, where sorting an index
         # permutation costs 3x 0.4GB random gathers (or the equivalent
-        # scan indirection) at 50M candidates.  All pack/unpack steps are
-        # in-place into the three column buffers: fresh tens-of-MB
-        # allocations here cost more in first-touch page faults than the
-        # arithmetic does (measured 3.5s -> 0.9s cold at 5.2M rows).
-        key = cd  # cd's buffer becomes the key, then the dist column again
-        key <<= 56
-        np.left_shift(cu, 28, out=cu)
-        key |= cu
-        key |= cv
-        key.sort()
-        np.bitwise_and(key, np.int64((1 << 28) - 1), out=cv)
-        np.right_shift(key, 28, out=cu)
-        cu &= np.int64((1 << 28) - 1)
-        key >>= 56  # cd = dist again
+        # scan indirection) at 50M candidates.
         order = None
+        if not _native_sort_packed(cu, cv, cd):
+            # numpy fallback: all pack/unpack steps are in-place into the
+            # three column buffers (fresh tens-of-MB allocations cost
+            # more in first-touch page faults than the arithmetic does;
+            # measured 3.5s -> 0.9s cold at 5.2M rows).
+            key = cd  # cd's buffer becomes the key, then dist again
+            key <<= 56
+            np.left_shift(cu, 28, out=cu)
+            key |= cu
+            key |= cv
+            key.sort()
+            np.bitwise_and(key, np.int64((1 << 28) - 1), out=cv)
+            np.right_shift(key, 28, out=cu)
+            cu &= np.int64((1 << 28) - 1)
+            key >>= 56  # cd = dist again
     else:
         order = np.lexsort((cv, cu, cd))
     try:
@@ -107,6 +109,32 @@ def greedy_accept(
         return greedy_accept_scan_py(
             g, np.stack([cu, cv, cd], axis=1), multiplicities
         )
+
+
+def _native_sort_packed(cu, cv, cd) -> bool:
+    """In-place (d, u, v) value sort of the three candidate columns via
+    the native MT pack + 16-bit LSD radix + unpack
+    (radix.cpp:accept_sort_packed) — one MT pass each way instead of
+    three single-threaded 400MB numpy passes around an AVX np.sort
+    (~1.6s -> ~0.5s at 51M rows).  False when unavailable or too small
+    to pay the thread spawns."""
+    if len(cu) < (1 << 20):
+        return False
+    try:
+        from .. import native
+
+        lib = native.load()
+    except ImportError:
+        return False
+    import os
+
+    p = native.as_ll_ptr
+    return (
+        lib.accept_sort_packed(
+            len(cu), p(cu), p(cv), p(cd), min(os.cpu_count() or 1, 16)
+        )
+        == 0
+    )
 
 
 def _greedy_accept_native(
