@@ -188,6 +188,65 @@ _IDB = 23  # id bits in the packed collapse row (n_ids < 2^23)
 _ID_MASK = (1 << _IDB) - 1
 
 
+def _value_sort(arr: np.ndarray) -> None:
+    """In-place ascending value sort of non-negative int64 keys: native
+    MT radix at scale, np.sort otherwise (identical order)."""
+    if len(arr) >= (1 << 20):
+        try:
+            from .. import native
+
+            lib = native.load()
+        except ImportError:
+            lib = None
+        if lib is not None:
+            import os
+
+            if lib.radix_sort_i64(
+                len(arr), native.as_ll_ptr(arr),
+                min(os.cpu_count() or 1, 16),
+            ) == 0:
+                return
+    arr.sort()
+
+
+def _expand_pack_native(g, u, v, w, ids_start, ids_count, is_canon):
+    """Fused MT expansion + row packing + MT radix sort
+    (extract.cpp:collapse_expand_pack + radix.cpp:radix_sort_i64):
+    returns the SORTED packed rows, or None when the native library is
+    unavailable (callers fall back to the numpy expansion).  Avoids ~3GB
+    of expansion temporaries at 60M bases — the collapse's cold cost is
+    first-touch fault exposure, not arithmetic."""
+    import os
+
+    try:
+        from .. import native
+
+        lib = native.load()
+    except ImportError:
+        return None
+    p = native.as_ll_ptr
+    u64 = np.ascontiguousarray(u, dtype=np.int64)
+    v64 = np.ascontiguousarray(v, dtype=np.int64)
+    w64 = np.ascontiguousarray(w, dtype=np.int64)
+    starts = np.ascontiguousarray(ids_start, dtype=np.int64)
+    counts = np.ascontiguousarray(ids_count, dtype=np.int64)
+    canon8 = np.ascontiguousarray(is_canon, dtype=np.int8)
+    nt = min(os.cpu_count() or 1, 16)
+    n = int(lib.collapse_expand_count(len(u64), p(u64), p(v64), p(counts)))
+    packed = np.empty(n, dtype=np.int64)
+    if n:
+        wrote = int(
+            lib.collapse_expand_pack(
+                len(u64), p(u64), p(v64), p(w64), p(starts), p(counts),
+                native.as_i8_ptr(canon8), _IDB, nt, p(packed),
+            )
+        )
+        assert wrote == n
+        if lib.radix_sort_i64(n, p(packed), nt) != 0:
+            raise MemoryError("radix_sort_i64 allocation failed")
+    return packed
+
+
 def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
     """Value-sort collapse: each expanded row packs into ONE int64
     ``lo<<33 | hi<<10 | w<<3 | o<<2 | su<<1 | sv`` (56 bits), sorted by
@@ -206,19 +265,23 @@ def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
     mirror = g.mirror_node.astype(np.int64)
     is_canon = np.arange(g.n_nodes, dtype=np.int64) <= mirror
 
-    a, b, wrow, su, sv = _expand_candidate_ids(
-        u, v, w, ids_start, ids_count, extras=(is_canon[u], is_canon[v])
+    packed = _expand_pack_native(
+        g, u, v, w, ids_start, ids_count, is_canon
     )
-    o = a <= b
-    packed = np.empty(len(a), dtype=np.int64)
-    np.left_shift(np.where(o, a, b), _IDB + 10, out=packed)
-    packed |= np.where(o, b, a) << 10
-    packed |= wrow << 3
-    packed |= o.astype(np.int64) << 2
-    packed |= su.astype(np.int64) << 1
-    packed |= sv.astype(np.int64)
-
-    packed.sort()
+    if packed is None:
+        # numpy fallback/oracle path
+        a, b, wrow, su, sv = _expand_candidate_ids(
+            u, v, w, ids_start, ids_count, extras=(is_canon[u], is_canon[v])
+        )
+        o = a <= b
+        packed = np.empty(len(a), dtype=np.int64)
+        np.left_shift(np.where(o, a, b), _IDB + 10, out=packed)
+        packed |= np.where(o, b, a) << 10
+        packed |= wrow << 3
+        packed |= o.astype(np.int64) << 2
+        packed |= su.astype(np.int64) << 1
+        packed |= sv.astype(np.int64)
+        packed.sort()
     key = packed >> 10
     first = np.empty(len(key), dtype=bool)
     if len(first):
@@ -403,25 +466,35 @@ def _allocate_and_match(
     has_edge[ka] = True
     has_edge[kb] = True
 
-    # bucket edges by candidate component
+    # Bucket edges by candidate component: native MT counting-sort order
+    # (labels are dense ints < n_ids) + first-of-run boundaries — the
+    # numpy argsort + np.unique chain re-sorted 35M rows three times
+    # (~38s of the matching lap under ambient faults at 60M bases).
+    from ..utils.sorting import stable_order
+
+    def _runs(sorted_labels):
+        if not len(sorted_labels):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(sorted_labels[1:] != sorted_labels[:-1]) + 1]
+        )
+        return sorted_labels[starts], starts
+
     edge_cc = cc[ka]
-    order = np.argsort(edge_cc, kind="stable")
+    order = stable_order(edge_cc.astype(np.int32, copy=False), n_ids)
     edges_sorted = np.stack([ka, kb, kw], axis=1)[order] if len(ka) else None
     cc_sorted = edge_cc[order] if len(ka) else np.empty(0, dtype=np.int64)
-    cc_labels, cc_starts = (
-        np.unique(cc_sorted, return_index=True)
-        if len(ka)
-        else (np.empty(0, np.int64), np.empty(0, np.int64))
-    )
+    cc_labels, cc_starts = _runs(cc_sorted)
     cc_to_slot = {int(c): i for i, c in enumerate(cc_labels)}
     cc_ends = np.append(cc_starts[1:], len(cc_sorted))
 
     # members per candidate component
     ids = np.arange(n_ids)
-    member_order = np.argsort(cc[has_edge], kind="stable")
+    cc_he = cc[has_edge]
+    member_order = stable_order(cc_he.astype(np.int32, copy=False), n_ids)
     members_sorted = ids[has_edge][member_order]
-    mcc_sorted = cc[has_edge][member_order]
-    m_labels, m_starts = np.unique(mcc_sorted, return_index=True)
+    mcc_sorted = cc_he[member_order]
+    m_labels, m_starts = _runs(mcc_sorted)
     m_ends = np.append(m_starts[1:], len(mcc_sorted))
     m_slot = {int(c): i for i, c in enumerate(m_labels)}
 
@@ -589,25 +662,52 @@ def _allocate_and_match(
             vbp = new_pos[pos_of_id[es[:, 1]]]
             lo = np.minimum(ubp, vbp)
             hi = np.maximum(ubp, vbp)
-            profit = (np.int64(k - 1) - es[:, 2]) * np.int64(
-                COUNT_SCALE
-            ) + 1
+            dist = es[:, 2]
+            if NB < (1 << 28) and int(dist.max(initial=0)) < 128:
+                # Per-pair max-profit dedup as ONE packed value sort:
+                # (lo*NB + hi) << 7 | dist — ascending == (pair key asc,
+                # profit DESC), exactly the lexsort((-profit, key))
+                # below, and lo/hi/profit all unpack from the surviving
+                # rows (the lexsort was two 35M argsorts + gathers, ~6s
+                # at 60M bases).  dist fits 7 bits for k <= 127.
+                packed2 = ((lo * np.int64(NB) + hi) << 7) | dist
+                _value_sort(packed2)
+                key2 = packed2 >> 7
+                keep2 = np.empty(len(key2), dtype=bool)
+                if len(keep2):
+                    keep2[0] = True
+                    np.not_equal(key2[1:], key2[:-1], out=keep2[1:])
+                vals2 = packed2[keep2]
+                key2 = vals2 >> 7
+                lo = key2 // np.int64(NB)
+                hi = key2 - lo * np.int64(NB)
+                profit = (np.int64(k - 1) - (vals2 & 127)) * np.int64(
+                    COUNT_SCALE
+                ) + 1
+            else:  # k > 127 or giant batches: index-permutation path
+                profit = (np.int64(k - 1) - dist) * np.int64(COUNT_SCALE) + 1
+                key = lo * np.int64(NB) + hi
+                order2 = np.lexsort((-profit, key))
+                keep2 = np.ones(len(order2), dtype=bool)
+                keep2[1:] = key[order2][1:] != key[order2][:-1]
+                sel2 = order2[keep2]
+                vals2 = sel2  # row count for the log line
+                lo, hi, profit = lo[sel2], hi[sel2], profit[sel2]
             assert np.all(profit >= 1)
-            key = lo * np.int64(NB) + hi
-            order2 = np.lexsort((-profit, key))
-            keep2 = np.ones(len(order2), dtype=bool)
-            keep2[1:] = key[order2][1:] != key[order2][:-1]
-            sel2 = order2[keep2]
-            rank2 = np.searchsorted(slot_sel, edge_slot[sel_e][sel2])
+            # component slot per surviving edge = slot of its lo position
+            slot_per_pos = np.repeat(
+                np.arange(len(slot_sel), dtype=np.int64), counts
+            )
+            rank2 = slot_per_pos[lo]
             edge_off = np.searchsorted(
                 rank2, np.arange(len(slot_sel) + 1)
             ).astype(np.int64)
             mate, _ = max_weight_matching_sparse_batch(
                 node_off,
                 edge_off,
-                lo[sel2] - node_off[rank2],
-                hi[sel2] - node_off[rank2],
-                profit[sel2],
+                lo - node_off[rank2],
+                hi - node_off[rank2],
+                profit,
             )
             # vectorized pair extraction (ascending batch position =
             # ascending member id per component, matching the solo path)
@@ -615,16 +715,13 @@ def _allocate_and_match(
             pos = np.arange(NB)
             partner = node_base + np.maximum(mate, 0)
             valid = (mate >= 0) & (pos < partner)
-            slot_per_pos = np.repeat(
-                np.arange(len(slot_sel), dtype=np.int64), counts
-            )
             batch_pair_a = batch_members[pos[valid]]
             batch_pair_b = batch_members[partner[valid]]
             batch_pair_cc = m_labels[slot_sel[slot_per_pos[valid]]]
             logger.info(
                 "Batch-solved %d matching components (%d ids, %d edges, "
                 "%d pairs) in %.1fs",
-                len(slot_sel), NB, len(sel2), len(batch_pair_a),
+                len(slot_sel), NB, len(vals2), len(batch_pair_a),
                 _time.monotonic() - t0,
             )
             note_progress(NB)

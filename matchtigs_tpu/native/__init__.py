@@ -143,6 +143,15 @@ def load() -> ctypes.CDLL:
     ]
     lib.accept_sort_packed.restype = ll
     lib.accept_sort_packed.argtypes = [ll, llp, llp, llp, ll]
+    lib.radix_sort_i64.restype = ll
+    lib.radix_sort_i64.argtypes = [ll, llp, ll]
+    lib.collapse_expand_count.restype = ll
+    lib.collapse_expand_count.argtypes = [ll, llp, llp, llp]
+    lib.collapse_expand_pack.restype = ll
+    lib.collapse_expand_pack.argtypes = [
+        ll, llp, llp, llp, llp, llp,
+        ctypes.POINTER(ctypes.c_byte), ll, ll, llp,
+    ]
     lib.spell_walks_packed.restype = ll
     lib.spell_walks_packed.argtypes = [
         llp, llp, ll, llp, llp, i8p, i8p, u8p, llp, ll, u8p, llp,

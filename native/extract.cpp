@@ -11,8 +11,10 @@
 // columns src/dst/dist; tests/test_native_parity.py checks numpy parity,
 // matchtigs_tpu/ops/sssp.py frees via free_i64_buffer).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
+#include <new>
 #include <thread>
 #include <vector>
 
@@ -79,4 +81,69 @@ extern "C" i64 extract_packed_triples(
   }
   *out_buf = buf;
   return n;
+}
+
+// Fused expansion + pack for the matchtigs candidate collapse
+// (algos/matchtigs.py:_collapse_candidates_packed): candidate c expands
+// into |ids(u_c)| x |ids(v_c)| rows, each packed into ONE int64
+//   min(a,b) << (idb+10) | max(a,b) << 10 | w << 3 | (a<=b) << 2
+//   | is_canon[u] << 1 | is_canon[v]
+// exactly like the numpy path, but in one MT pass with NO intermediate
+// expansion columns (the five full-length temporaries were ~3GB of
+// first-touch fault surface at 60M bases).  `out` is caller-allocated,
+// sized by collapse_expand_count; returns the row count written.
+extern "C" i64 collapse_expand_count(i64 n_cands, const i64* u,
+                                     const i64* v, const i64* ids_count) {
+  i64 s = 0;
+  for (i64 c = 0; c < n_cands; ++c) s += ids_count[u[c]] * ids_count[v[c]];
+  return s;
+}
+
+extern "C" i64 collapse_expand_pack(i64 n_cands, const i64* u, const i64* v,
+                                    const i64* w, const i64* ids_start,
+                                    const i64* ids_count,
+                                    const signed char* is_canon, i64 idb,
+                                    i64 n_threads, i64* out) {
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  const i64 chunk = (n_cands + nt - 1) / nt;
+  std::vector<i64> t_total((size_t)nt + 1, 0);
+  auto par = [&](auto fn) {
+    if (nt == 1) {
+      fn(0, 0, n_cands);
+      return;
+    }
+    std::vector<std::thread> ts;
+    for (i64 t = 0; t < nt; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n_cands) break;
+      ts.emplace_back(fn, t, lo, std::min(n_cands, lo + chunk));
+    }
+    for (auto& th : ts) th.join();
+  };
+  par([&](i64 t, i64 lo, i64 hi) {
+    i64 s = 0;
+    for (i64 c = lo; c < hi; ++c) s += ids_count[u[c]] * ids_count[v[c]];
+    t_total[(size_t)t + 1] = s;
+  });
+  for (i64 t = 0; t < nt; ++t) t_total[(size_t)t + 1] += t_total[(size_t)t];
+  const i64 total = t_total[(size_t)nt];
+  par([&](i64 t, i64 lo, i64 hi) {
+    i64 pos = t_total[(size_t)t];
+    for (i64 c = lo; c < hi; ++c) {
+      const i64 uc = u[c], vc = v[c];
+      const i64 cu = ids_count[uc], cv = ids_count[vc];
+      const i64 su = is_canon[uc], sv = is_canon[vc];
+      const i64 wc = w[c];
+      const i64 au0 = ids_start[uc], bv0 = ids_start[vc];
+      for (i64 i = 0; i < cu; ++i)
+        for (i64 j = 0; j < cv; ++j) {
+          const i64 a = au0 + i, b = bv0 + j;
+          const i64 o = a <= b ? 1 : 0;
+          const i64 mn = o ? a : b, mx = o ? b : a;
+          out[pos++] = (mn << (idb + 10)) | (mx << 10) | (wc << 3) |
+                       (o << 2) | (su << 1) | sv;
+        }
+    }
+  });
+  return total;
 }

@@ -256,6 +256,56 @@ extern "C" void stable_order_i32(i64 n, const int32_t* keys, i64 n_keys,
   }
 }
 
+namespace {
+// MT LSD radix sort, 4 x 16-bit counting passes: per-thread histograms
+// with a (bucket, thread) exclusive scan, so the scatter is stable and
+// deterministic.  Even pass count: the result lands back in `key`.
+static void lsd_radix_u64(unsigned long long* key, unsigned long long* tmp,
+                          i64 n, i64 nt) {
+  using u64 = unsigned long long;
+  const i64 chunk = (n + nt - 1) / nt;
+  auto par = [&](auto fn) {
+    if (nt == 1 || n < (i64)1 << 16) {
+      fn(0, 0, n);
+      return;
+    }
+    std::vector<std::thread> ts;
+    for (i64 t = 0; t < nt; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n) break;
+      ts.emplace_back(fn, t, lo, std::min(n, lo + chunk));
+    }
+    for (auto& th : ts) th.join();
+  };
+  const i64 R = 1 << 16;
+  std::vector<i64> hist((size_t)(nt * R));
+  u64* src = key;
+  u64* dst = tmp;
+  for (int pass = 0; pass < 4; ++pass) {
+    const int shift = pass * 16;
+    std::fill(hist.begin(), hist.end(), 0);
+    par([&](i64 t, i64 lo, i64 hi) {
+      i64* h = hist.data() + t * R;
+      for (i64 i = lo; i < hi; ++i) ++h[(src[i] >> shift) & 0xFFFF];
+    });
+    i64 sum = 0;
+    for (i64 b = 0; b < R; ++b)
+      for (i64 t = 0; t < nt; ++t) {
+        i64& h = hist[(size_t)(t * R + b)];
+        const i64 c = h;
+        h = sum;
+        sum += c;
+      }
+    par([&](i64 t, i64 lo, i64 hi) {
+      i64* h = hist.data() + t * R;
+      for (i64 i = lo; i < hi; ++i)
+        dst[h[(src[i] >> shift) & 0xFFFF]++] = src[i];
+    });
+    std::swap(src, dst);
+  }
+}
+}  // namespace
+
 // MT pack + LSD radix value-sort + unpack for the greedy-acceptance key
 // (d << 56 | u << 28 | v over int64 columns; ops/matching.py).  The numpy
 // version pays three single-threaded 400MB passes to pack, one AVX-512
@@ -294,34 +344,8 @@ extern "C" i64 accept_sort_packed(i64 n, long long* cu, long long* cv,
     for (i64 i = lo; i < hi; ++i)
       key[i] = ((u64)cd[i] << 56) | ((u64)cu[i] << 28) | (u64)cv[i];
   });
-  // 4 x 16-bit LSD passes; per-thread histograms, exclusive scan in
-  // (bucket, thread) order preserves stability and determinism.
-  const i64 R = 1 << 16;
-  std::vector<i64> hist((size_t)(nt * R));
-  u64* src = key;
-  u64* dst = tmp;
-  for (int pass = 0; pass < 4; ++pass) {
-    const int shift = pass * 16;
-    std::fill(hist.begin(), hist.end(), 0);
-    par([&](i64 t, i64 lo, i64 hi) {
-      i64* h = hist.data() + t * R;
-      for (i64 i = lo; i < hi; ++i) ++h[(src[i] >> shift) & 0xFFFF];
-    });
-    i64 sum = 0;
-    for (i64 b = 0; b < R; ++b)
-      for (i64 t = 0; t < nt; ++t) {
-        i64& h = hist[(size_t)(t * R + b)];
-        const i64 c = h;
-        h = sum;
-        sum += c;
-      }
-    par([&](i64 t, i64 lo, i64 hi) {
-      i64* h = hist.data() + t * R;
-      for (i64 i = lo; i < hi; ++i) dst[h[(src[i] >> shift) & 0xFFFF]++] = src[i];
-    });
-    std::swap(src, dst);
-  }
-  // 4 passes: result is back in `key`
+  lsd_radix_u64(key, tmp, n, nt);
+  u64* src = key;  // 4 (even) passes: result is back in `key`
   par([&](i64, i64 lo, i64 hi) {
     for (i64 i = lo; i < hi; ++i) {
       const u64 k = src[i];
@@ -331,6 +355,20 @@ extern "C" i64 accept_sort_packed(i64 n, long long* cu, long long* cv,
     }
   });
   std::free(key);
+  std::free(tmp);
+  return 0;
+}
+
+
+// In-place MT radix value sort of non-negative int64 keys (scratch is
+// allocated internally).  Returns 0, or -1 on allocation failure.
+extern "C" i64 radix_sort_i64(i64 n, long long* keys, i64 n_threads) {
+  using u64 = unsigned long long;
+  if (n <= 0) return 0;
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  u64* tmp = static_cast<u64*>(std::malloc((size_t)n * 8));
+  if (!tmp) return -1;
+  lsd_radix_u64(reinterpret_cast<u64*>(keys), tmp, n, nt);
   std::free(tmp);
   return 0;
 }

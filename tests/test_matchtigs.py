@@ -449,3 +449,42 @@ def test_priced_warm_start_rounds_match_cold(monkeypatch):
             b = int(mate_w[a])
             if b >= 0:
                 assert int(mate_w[b]) == a
+
+
+def test_native_collapse_pack_matches_numpy():
+    """The fused native expansion+pack+radix (collapse_expand_pack) must
+    produce exactly the sorted packed rows of the numpy expansion path."""
+    from matchtigs_tpu import testing
+    from matchtigs_tpu.algos import matchtigs as mtg
+    from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+    from matchtigs_tpu.ops.matching import unbalanced_nodes
+
+    store, _, k = testing.make_unitig_store(genome_length=60000, k=13, seed=9)
+    g = build_bigraph_from_unitigs(store, k)
+    _, _, mult = unbalanced_nodes(g)
+    ids_start, ids_count, n_ids, _, _ = mtg._matching_node_ids(g, mult)
+    rng = np.random.default_rng(2)
+    nodes = np.flatnonzero(ids_count > 0)
+    M = 20000
+    u = rng.choice(nodes, M).astype(np.int64)
+    v = rng.choice(nodes, M).astype(np.int64)
+    w = rng.integers(1, k, M).astype(np.int64)
+    mirror = g.mirror_node.astype(np.int64)
+    is_canon = np.arange(g.n_nodes, dtype=np.int64) <= mirror
+
+    got = mtg._expand_pack_native(g, u, v, w, ids_start, ids_count, is_canon)
+    assert got is not None
+
+    a, b, wrow, su, sv = mtg._expand_candidate_ids(
+        u, v, w, ids_start, ids_count, extras=(is_canon[u], is_canon[v])
+    )
+    o = a <= b
+    want = np.empty(len(a), dtype=np.int64)
+    np.left_shift(np.where(o, a, b), mtg._IDB + 10, out=want)
+    want |= np.where(o, b, a) << 10
+    want |= wrow << 3
+    want |= o.astype(np.int64) << 2
+    want |= su.astype(np.int64) << 1
+    want |= sv.astype(np.int64)
+    want.sort()
+    assert np.array_equal(got, want)
