@@ -360,6 +360,107 @@ def collect_candidates(
                     "%.2fs", time.monotonic() - t_phase)
     capacity = config.initial_capacity
     batch_size = config.batch_size
+
+    # Two-chunk overlapped stage (single device, pool schedule, host
+    # tail): the sources split into two equal-difficulty stripes whose
+    # programs queue back to back on the device, so chunk A's result
+    # download, native extraction, and overflow host tail all run while
+    # chunk B computes — at 60M bases that hides ~2-3s of serial
+    # post-stage host work.  Identical candidate set (chunk-vs-one-shot
+    # equality is tested); same ONE compiled program shape when the
+    # stripes pad to the same length.
+    from ..ops.sssp import _can_pack_out
+
+    use_chunked = (
+        not use_mesh
+        and config.device_schedule == "pool"
+        and config.overflow_mode == "host"
+        and host_available
+        and len(pending) >= 8 * batch_size
+        and _can_pack_out(dg, k - 1)
+    )
+    if use_chunked:
+        import threading as _threading
+
+        from ..ops.sssp import (
+            batched_bounded_sssp_dispatch,
+            extract_packed_candidates,
+        )
+
+        host_dijkstra_tail = _host_search_fn(config)
+        halves = [pending[0::2], pending[1::2]]
+        stats.stage_sources.append(len(pending))
+        stats.capacity_final = capacity
+        t_dev = time.monotonic()
+        handles = [
+            batched_bounded_sssp_dispatch(dg, h, k - 1, capacity, batch_size)
+            for h in halves
+        ]
+        tail_results: list[Candidates] = []
+        tail_errors: list[BaseException] = []
+        tail_threads = []
+        n_overflow = 0
+        n_kept = 0
+        n_done_slots = 0
+        for srcs_h, handle in zip(halves, handles):
+            key, over = handle.fetch()
+            done = ~over
+            t_ext = time.monotonic()
+            tri = extract_packed_candidates(dg, key, srcs_h, done, in_mask)
+            logger.info(
+                "Extracted %d triples from %dx%d packed slots in %.2fs",
+                len(tri), key.shape[0], key.shape[1],
+                time.monotonic() - t_ext,
+            )
+            if len(tri):
+                chunks.append(tri)
+            n_overflow += int(over.sum())
+            n_kept += len(tri)
+            n_done_slots += int(done.sum()) * key.shape[1]
+            pend_h = srcs_h[over]
+            if len(pend_h):
+
+                def run_tail(p=pend_h):
+                    try:
+                        t = host_dijkstra_tail(
+                            dg, p, k - 1, in_mask,
+                            n_threads=config.host_threads,
+                        )
+                        if len(t):
+                            t.u = dg.unmap_nodes(t.u)
+                            t.v = dg.unmap_nodes(t.v)
+                        tail_results.append(t)
+                    except BaseException as e:
+                        tail_errors.append(e)
+
+                th = _threading.Thread(target=run_tail)
+                th.start()
+                tail_threads.append(th)
+        stage_t = time.monotonic() - t_dev
+        logger.info(
+            "Device stage (2 overlapped chunks): %d sources in %.2fs",
+            len(pending), stage_t,
+        )
+        stats.stage_times.append(stage_t)
+        stats.stage_overflow_frac.append(n_overflow / max(1, len(pending)))
+        stats.stage_occupancy.append(n_kept / max(1, n_done_slots))
+        if n_overflow:
+            stats.retries += 1
+            stats.stage_sources.append(n_overflow)
+        t_tail = time.monotonic()
+        for th in tail_threads:
+            th.join()
+        if tail_errors:
+            raise tail_errors[0]
+        chunks.extend(t for t in tail_results if len(t))
+        if tail_threads:
+            logger.info(
+                "Finished %d overflowed sources on host (overlapped; "
+                "join wait %.2fs)",
+                n_overflow, time.monotonic() - t_tail,
+            )
+        pending = pending[:0]
+
     while len(pending) > 0:
         stats.stage_sources.append(len(pending))
         stats.capacity_final = capacity

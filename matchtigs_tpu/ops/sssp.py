@@ -488,6 +488,64 @@ def _sssp_run_batches(
     )
 
 
+class DispatchedStage:
+    """Handle for an in-flight pool-scheduled device stage
+    (:func:`batched_bounded_sssp_dispatch`): the program is queued on the
+    device; ``fetch()`` blocks for its results.  Dispatching a second
+    stage before fetching the first overlaps the first stage's result
+    download and host-side processing (extraction, overflow tail) with
+    the second stage's device compute — the device executes queued
+    programs in order."""
+
+    def __init__(self, nodes_buf, over_buf, n_sources: int):
+        self._nodes_buf = nodes_buf
+        self._over_buf = over_buf
+        self._n = n_sources
+
+    def fetch(self):
+        """(packed_nodes [S, C] int32, overflow [S] bool), blocking."""
+        key = np.asarray(self._nodes_buf)[: self._n]
+        over = np.asarray(self._over_buf)[: self._n]
+        return key, over
+
+
+def batched_bounded_sssp_dispatch(
+    dg: DeviceGraph,
+    sources: np.ndarray,
+    max_weight: int,
+    capacity: int,
+    batch_size: int,
+) -> DispatchedStage:
+    """Queue one pool-scheduled packed-output stage without waiting
+    (single-device path; requires a pack_out-eligible graph, which every
+    k <= 127 configuration is)."""
+    sources = np.asarray(sources, dtype=np.int32)
+    S = len(sources)
+    assert S > 0 and _can_pack_out(dg, max_weight)
+    batch_size = max(1, min(batch_size, S))
+    adj_packed = _can_pack_adj(dg, max_weight)
+    nbr, nw = dg.device_buffers(adj_packed=adj_packed)
+    if nw is None:
+        nw = _dummy_nw()
+    S_pad = -(-S // batch_size) * batch_size
+    padded = np.full(S_pad, dg.n_nodes, dtype=np.int32)
+    padded[:S] = sources
+    nodes_buf, _, over_buf = _sssp_run_pool(
+        nbr,
+        nw,
+        jnp.asarray(padded),
+        jnp.int32(max_weight),
+        capacity=capacity,
+        max_rounds=int(max_weight),
+        deg_pad=dg.deg_pad,
+        packed=_can_pack(dg, max_weight),
+        pool=batch_size,
+        pack_out=True,
+        adj_packed=adj_packed,
+    )
+    return DispatchedStage(nodes_buf, over_buf, S)
+
+
 def batched_bounded_sssp(
     dg: DeviceGraph,
     sources: np.ndarray,

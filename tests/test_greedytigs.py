@@ -166,3 +166,41 @@ def test_engine_device_packed_extraction_equals_host():
     testing.assert_tigs_spell_kmer_set(
         gd, tigs_d, store, k, kmers, allow_duplicates=True
     )
+
+
+def test_chunked_stage_identical_to_one_shot():
+    """The two-chunk overlapped device stage (download/extraction/tail
+    hidden under the second chunk's compute) must produce byte-identical
+    tigs to the one-shot stage and the host path."""
+    import numpy as np
+
+    from matchtigs_tpu import testing
+    from matchtigs_tpu.algos.greedytigs import (
+        GreedytigConfig,
+        SearchStats,
+        compute_greedytigs,
+    )
+    from matchtigs_tpu.graph.build import build_bigraph_from_unitigs
+
+    store, _, k = testing.make_unitig_store(genome_length=40000, k=13, seed=7)
+    g = build_bigraph_from_unitigs(store, k)
+
+    # tiny batch_size so len(pending) >= 8 * batch_size engages chunking
+    cfg_chunked = GreedytigConfig(
+        k=k, engine="device", use_mesh=False, batch_size=8,
+        initial_capacity=8, overflow_mode="host",
+    )
+    stats = SearchStats()
+    tigs_c = compute_greedytigs(g.copy(), cfg_chunked, stats=stats)
+    assert stats.stage_times, "device stage must have run"
+
+    cfg_one = GreedytigConfig(
+        k=k, engine="device", use_mesh=False, batch_size=1 << 14,
+        initial_capacity=8, overflow_mode="host",
+    )
+    tigs_o = compute_greedytigs(g.copy(), cfg_one)
+    tigs_h = compute_greedytigs(g.copy(), GreedytigConfig(k=k, engine="host"))
+
+    assert np.array_equal(tigs_c.flat, tigs_o.flat)
+    assert np.array_equal(tigs_c.offsets, tigs_o.offsets)
+    assert np.array_equal(tigs_c.flat, tigs_h.flat)
