@@ -509,8 +509,10 @@ def _allocate_and_match(
     matched_pairs: list[tuple[int, int]] = []
     # Bucket matching ids by input component once (sorted slices) instead
     # of a full boolean scan per component.
-    wcc_order = np.argsort(id_comp, kind="stable")
-    w_labels, w_starts = np.unique(id_comp[wcc_order], return_index=True)
+    wcc_order = stable_order(
+        id_comp.astype(np.int32, copy=False), int(id_comp.max(initial=0)) + 1
+    )
+    w_labels, w_starts = _runs(id_comp[wcc_order])
     w_ends = np.append(w_starts[1:], n_ids)
     # Periodic progress (the reference prints % / dots during its long
     # phases, greedytigs/mod.rs:514-522, matchtigs/mod.rs:224-232).
@@ -640,10 +642,14 @@ def _allocate_and_match(
             slot_sel = np.nonzero(slot_dels0)[0]
             if not len(slot_sel):
                 return
+            # label -> slot as a direct array gather (a searchsorted
+            # binary probe per edge cost seconds over 35M rows)
+            slot_of_label = np.zeros(n_ids, dtype=np.int64)
+            slot_of_label[m_labels] = np.arange(len(m_labels))
             # node slices: members_sorted masked to selected slots
-            member_slot = np.searchsorted(m_labels, mcc_sorted)
-            sel_m = slot_dels0[member_slot]
-            batch_members = members_sorted[sel_m]
+            sel_m = slot_dels0[slot_of_label[mcc_sorted]]
+            all_m = bool(sel_m.all())
+            batch_members = members_sorted if all_m else members_sorted[sel_m]
             NB = len(batch_members)
             counts = (m_ends - m_starts)[slot_sel]
             node_off = np.zeros(len(slot_sel) + 1, dtype=np.int64)
@@ -652,14 +658,22 @@ def _allocate_and_match(
             pos_of_id = np.empty(n_ids, dtype=np.int64)
             pos_of_id[members_sorted] = np.arange(len(members_sorted))
             new_pos = np.full(len(members_sorted), -1, dtype=np.int64)
-            new_pos[np.nonzero(sel_m)[0]] = np.arange(NB)
+            if all_m:
+                new_pos = np.arange(NB)
+            else:
+                new_pos[np.nonzero(sel_m)[0]] = np.arange(NB)
             # edge slices + profit transform + per-pair max-profit dedup
             # (same stable tie-break as component_matching_variants)
-            edge_slot = np.searchsorted(m_labels, cc_sorted)
-            sel_e = slot_dels0[edge_slot]
-            es = edges_sorted[sel_e]
-            ubp = new_pos[pos_of_id[es[:, 0]]]
-            vbp = new_pos[pos_of_id[es[:, 1]]]
+            sel_e = slot_dels0[slot_of_label[cc_sorted]]
+            # the common case is EVERY component in the batch (no
+            # deletion variants anywhere): skip the 850MB boolean copy
+            es = edges_sorted if bool(sel_e.all()) else edges_sorted[sel_e]
+            if all_m:  # new_pos is the identity: skip one 35M gather each
+                ubp = pos_of_id[es[:, 0]]
+                vbp = pos_of_id[es[:, 1]]
+            else:
+                ubp = new_pos[pos_of_id[es[:, 0]]]
+                vbp = new_pos[pos_of_id[es[:, 1]]]
             lo = np.minimum(ubp, vbp)
             hi = np.maximum(ubp, vbp)
             dist = es[:, 2]
