@@ -232,7 +232,9 @@ def _expand_pack_native(g, u, v, w, ids_start, ids_count, is_canon):
     counts = np.ascontiguousarray(ids_count, dtype=np.int64)
     canon8 = np.ascontiguousarray(is_canon, dtype=np.int8)
     nt = min(os.cpu_count() or 1, 16)
-    n = int(lib.collapse_expand_count(len(u64), p(u64), p(v64), p(counts)))
+    n = int(
+        lib.collapse_expand_count(len(u64), p(u64), p(v64), p(counts), nt)
+    )
     packed = np.empty(n, dtype=np.int64)
     if n:
         wrote = int(
@@ -245,6 +247,46 @@ def _expand_pack_native(g, u, v, w, ids_start, ids_count, is_canon):
         if lib.radix_sort_i64(n, p(packed), nt) != 0:
             raise MemoryError("radix_sort_i64 allocation failed")
     return packed
+
+
+def _dedup_unpack_native(packed: np.ndarray):
+    """First-per-key dedup + self-pair drop + column unpack of the SORTED
+    packed collapse rows in one MT pass (extract.cpp:collapse_dedup_unpack)
+    — replaces ~6 numpy passes and their full-length temporaries.  None
+    when the native library is unavailable."""
+    import os
+
+    try:
+        from .. import native
+
+        lib = native.load()
+    except ImportError:
+        return None
+    if len(packed) < (1 << 18):
+        return None  # below the thread-spawn payoff; numpy path
+    p = native.as_ll_ptr
+    nt = min(os.cpu_count() or 1, 16)
+    n_keep = int(
+        lib.collapse_dedup_unpack(
+            len(packed), p(packed), _IDB, nt, None, None, None, None, None,
+            None,
+        )
+    )
+    lo = np.empty(n_keep, dtype=np.int64)
+    hi = np.empty(n_keep, dtype=np.int64)
+    wk = np.empty(n_keep, dtype=np.int64)
+    o = np.empty(n_keep, dtype=np.int8)
+    su = np.empty(n_keep, dtype=np.int8)
+    sv = np.empty(n_keep, dtype=np.int8)
+    i8 = native.as_i8_ptr
+    wrote = int(
+        lib.collapse_dedup_unpack(
+            len(packed), p(packed), _IDB, nt,
+            p(lo), p(hi), p(wk), i8(o), i8(su), i8(sv),
+        )
+    )
+    assert wrote == n_keep
+    return lo, hi, wk, o, su, sv
 
 
 def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
@@ -282,20 +324,24 @@ def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
         packed |= su.astype(np.int64) << 1
         packed |= sv.astype(np.int64)
         packed.sort()
-    key = packed >> 10
-    first = np.empty(len(key), dtype=bool)
-    if len(first):
-        first[0] = True
-        np.not_equal(key[1:], key[:-1], out=first[1:])
-    vals = packed[first]
-    lo = vals >> (_IDB + 10)
-    hi = (vals >> 10) & _ID_MASK
-    keep = lo != hi  # same-id self-loops only from mirror biedges
-    vals, lo, hi = vals[keep], lo[keep], hi[keep]
-    wk = (vals >> 3) & 127
-    o = (vals >> 2) & 1
-    su = (vals >> 1) & 1
-    sv = vals & 1
+    res = _dedup_unpack_native(packed)
+    if res is not None:
+        lo, hi, wk, o, su, sv = res
+    else:  # numpy fallback/oracle
+        key = packed >> 10
+        first = np.empty(len(key), dtype=bool)
+        if len(first):
+            first[0] = True
+            np.not_equal(key[1:], key[:-1], out=first[1:])
+        vals = packed[first]
+        lo = vals >> (_IDB + 10)
+        hi = (vals >> 10) & _ID_MASK
+        keep = lo != hi  # same-id self-loops only from mirror biedges
+        vals, lo, hi = vals[keep], lo[keep], hi[keep]
+        wk = (vals >> 3) & 127
+        o = (vals >> 2) & 1
+        su = (vals >> 1) & 1
+        sv = vals & 1
 
     # canonical node per id: canonical class reps ascending own the
     # consecutive id ranges (ids_start is a cumsum over them)

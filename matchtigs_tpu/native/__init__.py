@@ -146,7 +146,11 @@ def load() -> ctypes.CDLL:
     lib.radix_sort_i64.restype = ll
     lib.radix_sort_i64.argtypes = [ll, llp, ll]
     lib.collapse_expand_count.restype = ll
-    lib.collapse_expand_count.argtypes = [ll, llp, llp, llp]
+    lib.collapse_expand_count.argtypes = [ll, llp, llp, llp, ll]
+    lib.collapse_dedup_unpack.restype = ll
+    lib.collapse_dedup_unpack.argtypes = [
+        ll, llp, ll, ll, llp, llp, llp, i8p, i8p, i8p,
+    ]
     lib.collapse_expand_pack.restype = ll
     lib.collapse_expand_pack.argtypes = [
         ll, llp, llp, llp, llp, llp,

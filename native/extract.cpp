@@ -93,10 +93,97 @@ extern "C" i64 extract_packed_triples(
 // first-touch fault surface at 60M bases).  `out` is caller-allocated,
 // sized by collapse_expand_count; returns the row count written.
 extern "C" i64 collapse_expand_count(i64 n_cands, const i64* u,
-                                     const i64* v, const i64* ids_count) {
+                                     const i64* v, const i64* ids_count,
+                                     i64 n_threads) {
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  if (nt == 1 || n_cands < (i64)1 << 18) {
+    i64 s = 0;
+    for (i64 c = 0; c < n_cands; ++c) s += ids_count[u[c]] * ids_count[v[c]];
+    return s;
+  }
+  std::vector<i64> part((size_t)nt, 0);
+  std::vector<std::thread> ts;
+  const i64 chunk = (n_cands + nt - 1) / nt;
+  for (i64 t = 0; t < nt; ++t) {
+    const i64 lo = t * chunk;
+    if (lo >= n_cands) break;
+    ts.emplace_back([&, t, lo] {
+      const i64 hi = std::min(n_cands, lo + chunk);
+      i64 s = 0;
+      for (i64 c = lo; c < hi; ++c) s += ids_count[u[c]] * ids_count[v[c]];
+      part[(size_t)t] = s;
+    });
+  }
+  for (auto& th : ts) th.join();
   i64 s = 0;
-  for (i64 c = 0; c < n_cands; ++c) s += ids_count[u[c]] * ids_count[v[c]];
+  for (i64 t = 0; t < nt; ++t) s += part[(size_t)t];
   return s;
+}
+
+// Dedup + unpack of the SORTED packed collapse rows: keep the first row
+// per (lo, hi) key (= the minimum (w, o, su, sv): exactly the numpy
+// first-of-run on the sorted array), drop self-pairs (lo == hi), and
+// emit the unpacked columns in one MT pass — replaces ~6 numpy passes
+// plus their fresh 280MB temporaries at 60M bases.  Threads own disjoint
+// row ranges; a row is kept iff its key differs from its predecessor
+// (readable across the range boundary), so per-thread counts + exclusive
+// prefix make the emission deterministic and contiguous.  Returns the
+// number of surviving rows; outputs must have capacity for all of them
+// (callers pass arrays sized by a first count-only call with
+// lo_out == nullptr).
+extern "C" i64 collapse_dedup_unpack(i64 n, const i64* packed, i64 idb,
+                                     i64 n_threads, i64* lo_out, i64* hi_out,
+                                     i64* w_out, signed char* o_out,
+                                     signed char* su_out,
+                                     signed char* sv_out) {
+  if (n <= 0) return 0;
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  const i64 chunk = (n + nt - 1) / nt;
+  const i64 id_mask = ((i64)1 << idb) - 1;
+  std::vector<i64> cnt((size_t)nt + 1, 0);
+  auto keep_row = [&](i64 i) -> bool {
+    const i64 key = packed[i] >> 10;
+    if (i > 0 && (packed[i - 1] >> 10) == key) return false;
+    const i64 lo = key >> idb, hi = key & id_mask;
+    return lo != hi;
+  };
+  auto par = [&](auto fn) {
+    if (nt == 1 || n < (i64)1 << 18) {
+      fn(0, 0, n);
+      return;
+    }
+    std::vector<std::thread> ts;
+    for (i64 t = 0; t < nt; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n) break;
+      ts.emplace_back(fn, t, lo, std::min(n, lo + chunk));
+    }
+    for (auto& th : ts) th.join();
+  };
+  par([&](i64 t, i64 lo, i64 hi) {
+    i64 c = 0;
+    for (i64 i = lo; i < hi; ++i) c += keep_row(i) ? 1 : 0;
+    cnt[(size_t)t + 1] = c;
+  });
+  for (i64 t = 0; t < nt; ++t) cnt[(size_t)t + 1] += cnt[(size_t)t];
+  const i64 total = cnt[(size_t)nt];
+  if (!lo_out) return total;  // count-only mode
+  par([&](i64 t, i64 lo, i64 hi) {
+    i64 pos = cnt[(size_t)t];
+    for (i64 i = lo; i < hi; ++i) {
+      if (!keep_row(i)) continue;
+      const i64 v = packed[i];
+      const i64 key = v >> 10;
+      lo_out[pos] = key >> idb;
+      hi_out[pos] = key & id_mask;
+      w_out[pos] = (v >> 3) & 127;
+      o_out[pos] = (signed char)((v >> 2) & 1);
+      su_out[pos] = (signed char)((v >> 1) & 1);
+      sv_out[pos] = (signed char)(v & 1);
+      ++pos;
+    }
+  });
+  return total;
 }
 
 extern "C" i64 collapse_expand_pack(i64 n_cands, const i64* u, const i64* v,
