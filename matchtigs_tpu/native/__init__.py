@@ -147,6 +147,8 @@ def load() -> ctypes.CDLL:
     lib.radix_sort_i64.argtypes = [ll, llp, ll]
     lib.collapse_expand_count.restype = ll
     lib.collapse_expand_count.argtypes = [ll, llp, llp, llp, ll]
+    lib.copy_i64_populated.restype = None
+    lib.copy_i64_populated.argtypes = [llp, llp, ll, ll]
     lib.collapse_dedup_unpack.restype = ll
     lib.collapse_dedup_unpack.argtypes = [
         ll, llp, ll, ll, llp, llp, llp, i8p, i8p, i8p,

@@ -61,20 +61,54 @@ class Candidates:
 
     @staticmethod
     def concat(chunks: list["Candidates"]) -> "Candidates":
-        """Concatenate per-column: contiguous block copies only."""
+        """Concatenate per-column: contiguous block copies only.
+
+        At scale the copies go through the native bulk-populated MT
+        memcpy (extract.cpp:copy_i64_populated): the fresh destination
+        otherwise pays lazy first-touch page faults one at a time, which
+        on this class of virtualized host made a 1.2GB concat cost 10.5s
+        for ~0.5s of actual copying."""
         if not chunks:
             return Candidates.empty()
         if len(chunks) == 1:
             return chunks[0]
         total = sum(len(c) for c in chunks)
+        copy = None
+        if total >= (1 << 22):
+            try:
+                from .. import native
+
+                lib = native.load()
+            except ImportError:
+                lib = None
+            if lib is not None:
+                import ctypes
+                import os
+
+                nt = min(os.cpu_count() or 1, 16)
+                llp = ctypes.POINTER(ctypes.c_longlong)
+
+                def copy(dst, off, src):
+                    dst_p = ctypes.cast(
+                        dst.ctypes.data + 8 * off, llp
+                    )
+                    lib.copy_i64_populated(
+                        dst_p, native.as_ll_ptr(src), len(src), nt
+                    )
+
         u = np.empty(total, dtype=np.int64)
         v = np.empty(total, dtype=np.int64)
         d = np.empty(total, dtype=np.int64)
         pos = 0
         for c in chunks:
             n = len(c)
-            u[pos : pos + n] = c.u
-            v[pos : pos + n] = c.v
-            d[pos : pos + n] = c.d
+            if copy is not None and n:
+                copy(u, pos, np.ascontiguousarray(c.u, dtype=np.int64))
+                copy(v, pos, np.ascontiguousarray(c.v, dtype=np.int64))
+                copy(d, pos, np.ascontiguousarray(c.d, dtype=np.int64))
+            else:
+                u[pos : pos + n] = c.u
+                v[pos : pos + n] = c.v
+                d[pos : pos + n] = c.d
             pos += n
         return Candidates(u, v, d)

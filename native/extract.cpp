@@ -14,9 +14,14 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstdlib>
+#include <cstring>
 #include <new>
 #include <thread>
 #include <vector>
+
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
 
 namespace {
 using i64 = long long;
@@ -233,4 +238,36 @@ extern "C" i64 collapse_expand_pack(i64 n_cands, const i64* u, const i64* v,
     }
   });
   return total;
+}
+
+// Bulk-populate a destination range (MADV_POPULATE_WRITE, linux 5.14+)
+// then MT-memcpy into it.  np.empty destinations otherwise pay lazy
+// first-touch faults one page at a time — on this host's ballooning
+// hypervisor a 1.2GB candidate concat measured 10.5s for ~0.5s of
+// copying.  Safe no-op population on older kernels (copy still works).
+extern "C" void copy_i64_populated(i64* dst, const i64* src, i64 n,
+                                   i64 n_threads) {
+#if defined(__linux__)
+  constexpr int kPopulateWrite = 23;  // MADV_POPULATE_WRITE
+  const uintptr_t a = (uintptr_t)dst;
+  const uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
+  const uintptr_t hi = (a + (size_t)n * 8) & ~(uintptr_t)4095;
+  if (hi > lo) madvise((void*)lo, hi - lo, kPopulateWrite);
+#endif
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  if (nt == 1 || n < (i64)1 << 20) {
+    std::memcpy(dst, src, (size_t)n * 8);
+    return;
+  }
+  std::vector<std::thread> ts;
+  const i64 chunk = (n + nt - 1) / nt;
+  for (i64 t = 0; t < nt; ++t) {
+    const i64 lo2 = t * chunk;
+    if (lo2 >= n) break;
+    const i64 hi2 = std::min(n, lo2 + chunk);
+    ts.emplace_back([=] {
+      std::memcpy(dst + lo2, src + lo2, (size_t)(hi2 - lo2) * 8);
+    });
+  }
+  for (auto& th : ts) th.join();
 }
