@@ -237,8 +237,16 @@ def collect_candidates(
     k: int,
     config: GreedytigConfig,
     stats: SearchStats | None = None,
+    return_chunks: bool = False,
 ) -> Candidates:
-    """Run the batched bounded SSSP and extract (out, in, dist) columns."""
+    """Run the batched bounded SSSP and extract (out, in, dist) columns.
+
+    ``return_chunks`` skips the final column concatenation and returns
+    the per-producer chunk list instead (device extraction, host-routed,
+    overflow tail): greedy acceptance packs chunks straight into its
+    sort key, so the 1.2GB three-column concat at 60M bases — the
+    device-led path's largest page-fault surface — never materializes.
+    """
     import time
 
     if _use_host_engine(config):
@@ -264,7 +272,7 @@ def collect_candidates(
             time.monotonic() - t0,
         )
         stats.candidates = len(res)
-        return res
+        return [res] if return_chunks else res
 
     t_phase = time.monotonic()
     dg = build_device_graph(g, renumber=config.renumber)
@@ -591,6 +599,9 @@ def collect_candidates(
         if host_result and len(host_result[0]):
             chunks.append(host_result[0])
 
+    if return_chunks:
+        stats.candidates = sum(len(c) for c in chunks)
+        return chunks
     t_cat = time.monotonic()
     result = Candidates.concat(chunks)
     if time.monotonic() - t_cat > 0.5:
@@ -623,13 +634,17 @@ def compute_greedytigs(
 
     t0 = time.monotonic()
     stats = stats if stats is not None else SearchStats()
-    candidates = collect_candidates(g, out_nodes, in_mask, k, config, stats)
+    candidates = collect_candidates(
+        g, out_nodes, in_mask, k, config, stats, return_chunks=True
+    )
     stats.log()
-    if config.performance_counters and len(candidates):
+    if config.performance_counters and stats.candidates:
+        # the opt-in ball counters need the concatenated columns
+        candidates = Candidates.concat(candidates)
         stats.log_ball_sizes(candidates, g.n_nodes, out_nodes)
     logger.info(
         "Found %d candidate shortest paths in %.2fs (scan %.2fs)",
-        len(candidates),
+        stats.candidates,
         time.monotonic() - t0,
         t0 - t_start,
     )

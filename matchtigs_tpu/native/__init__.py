@@ -145,6 +145,11 @@ def load() -> ctypes.CDLL:
     lib.accept_sort_packed.argtypes = [ll, llp, llp, llp, ll]
     lib.radix_sort_i64.restype = ll
     lib.radix_sort_i64.argtypes = [ll, llp, ll]
+    llpp_ = ctypes.POINTER(llp)
+    lib.accept_sort_packed_chunks.restype = ll
+    lib.accept_sort_packed_chunks.argtypes = [
+        ll, llpp_, llpp_, llpp_, llp, llp, llp, llp, ll,
+    ]
     lib.collapse_expand_count.restype = ll
     lib.collapse_expand_count.argtypes = [ll, llp, llp, llp, ll]
     lib.copy_i64_populated.restype = None

@@ -64,6 +64,21 @@ def greedy_accept(
     by the search phase and the packed-sort path below mutates them in
     place (sparing a 3-column copy — ~1.2 GB of traffic at 51M rows).
     """
+    if isinstance(candidates, list):
+        total = sum(len(c) for c in candidates)
+        if total == 0:
+            return np.empty((0, 3), dtype=np.int64)
+        sorted_cols = _native_sort_packed_chunks(g, candidates)
+        if sorted_cols is not None:
+            cu, cv, cd = sorted_cols
+            try:
+                return _greedy_accept_native(g, None, cu, cv, cd,
+                                             multiplicities)
+            except ImportError:  # unreachable: chunks path implies native
+                return greedy_accept_scan_py(
+                    g, np.stack([cu, cv, cd], axis=1), multiplicities
+                )
+        candidates = Candidates.concat(candidates)
     if len(candidates) == 0:
         return np.empty((0, 3), dtype=np.int64)
     if isinstance(candidates, Candidates):
@@ -109,6 +124,53 @@ def greedy_accept(
         return greedy_accept_scan_py(
             g, np.stack([cu, cv, cd], axis=1), multiplicities
         )
+
+
+def _native_sort_packed_chunks(g, chunks):
+    """Fused chunk-concat + pack + MT radix + unpack
+    (radix.cpp:accept_sort_packed_chunks): the separate three-column
+    1.2GB concatenation it replaces was the device-led path's largest
+    remaining page-fault surface at 60M bases.  Returns the sorted
+    (cu, cv, cd) columns, or None when ineligible (ids/dists out of the
+    packed range, too small, or no native library)."""
+    import ctypes
+    import os
+
+    total = sum(len(c) for c in chunks)
+    if total < (1 << 22) or g.n_nodes >= (1 << 28):
+        return None
+    if any(int(c.d.max(initial=0)) >= 128 for c in chunks if len(c)):
+        return None
+    try:
+        from .. import native
+
+        lib = native.load()
+    except ImportError:
+        return None
+    live = [c for c in chunks if len(c)]
+    cols = []
+    for name in ("u", "v", "d"):
+        cols.append([
+            np.ascontiguousarray(getattr(c, name), dtype=np.int64)
+            for c in live
+        ])
+    llp = ctypes.POINTER(ctypes.c_longlong)
+    ptrs = [
+        (llp * len(live))(*[native.as_ll_ptr(a) for a in col])
+        for col in cols
+    ]
+    lens = np.array([len(c) for c in live], dtype=np.int64)
+    cu = np.empty(total, dtype=np.int64)
+    cv = np.empty(total, dtype=np.int64)
+    cd = np.empty(total, dtype=np.int64)
+    p = native.as_ll_ptr
+    rc = lib.accept_sort_packed_chunks(
+        len(live), ptrs[0], ptrs[1], ptrs[2], p(lens),
+        p(cu), p(cv), p(cd), min(os.cpu_count() or 1, 16),
+    )
+    if rc != 0:
+        return None
+    return cu, cv, cd
 
 
 def _native_sort_packed(cu, cv, cd) -> bool:

@@ -22,6 +22,10 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
 #include <thread>
 #include <vector>
 
@@ -369,6 +373,101 @@ extern "C" i64 radix_sort_i64(i64 n, long long* keys, i64 n_threads) {
   u64* tmp = static_cast<u64*>(std::malloc((size_t)n * 8));
   if (!tmp) return -1;
   lsd_radix_u64(reinterpret_cast<u64*>(keys), tmp, n, nt);
+  std::free(tmp);
+  return 0;
+}
+
+// Fused chunk-concat + pack + radix sort + unpack for the acceptance
+// key: the candidate chunks (device extraction, host-routed, overflow
+// tail) are packed STRAIGHT into the key buffer — the separate 1.2GB
+// three-column concatenation this replaces was the device-led path's
+// biggest fault surface at 60M bases (10.5s for ~0.5s of copying).
+// Outputs are the (d, u, v)-sorted columns written into caller buffers
+// (bulk-populated first).  Same requirements as accept_sort_packed:
+// u, v < 2^28, 0 <= d < 128.  Returns 0, -1 on allocation failure.
+extern "C" i64 accept_sort_packed_chunks(
+    i64 n_chunks, const long long* const* us, const long long* const* vs,
+    const long long* const* ds, const i64* lens, long long* cu_out,
+    long long* cv_out, long long* cd_out, i64 n_threads) {
+  using u64 = unsigned long long;
+  i64 n = 0;
+  for (i64 c = 0; c < n_chunks; ++c) n += lens[c];
+  if (n <= 0) return 0;
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  u64* key = static_cast<u64*>(std::malloc((size_t)n * 8));
+  u64* tmp = static_cast<u64*>(std::malloc((size_t)n * 8));
+  if (!key || !tmp) {
+    std::free(key);
+    std::free(tmp);
+    return -1;
+  }
+#if defined(__linux__)
+  constexpr int kPopulateWrite = 23;
+  auto populate = [](void* p, size_t bytes) {
+    const uintptr_t a = (uintptr_t)p;
+    const uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
+    const uintptr_t hi = (a + bytes) & ~(uintptr_t)4095;
+    if (hi > lo) madvise((void*)lo, hi - lo, kPopulateWrite);
+  };
+  populate(key, (size_t)n * 8);
+  populate(tmp, (size_t)n * 8);
+  populate(cu_out, (size_t)n * 8);
+  populate(cv_out, (size_t)n * 8);
+  populate(cd_out, (size_t)n * 8);
+#endif
+  // pack each chunk into its slice of the key buffer (MT within chunks)
+  i64 off = 0;
+  for (i64 c = 0; c < n_chunks; ++c) {
+    const i64 len = lens[c];
+    const long long* up = us[c];
+    const long long* vp = vs[c];
+    const long long* dp = ds[c];
+    u64* out = key + off;
+    const i64 cnt = std::max<i64>(1, std::min<i64>(nt, len / (1 << 16)));
+    if (cnt == 1) {
+      for (i64 i = 0; i < len; ++i)
+        out[i] = ((u64)dp[i] << 56) | ((u64)up[i] << 28) | (u64)vp[i];
+    } else {
+      std::vector<std::thread> ts;
+      const i64 chunk = (len + cnt - 1) / cnt;
+      for (i64 t = 0; t < cnt; ++t) {
+        const i64 lo = t * chunk;
+        if (lo >= len) break;
+        const i64 hi = std::min(len, lo + chunk);
+        ts.emplace_back([=] {
+          for (i64 i = lo; i < hi; ++i)
+            out[i] = ((u64)dp[i] << 56) | ((u64)up[i] << 28) | (u64)vp[i];
+        });
+      }
+      for (auto& th : ts) th.join();
+    }
+    off += len;
+  }
+  lsd_radix_u64(key, tmp, n, nt);
+  // unpack (MT)
+  {
+    std::vector<std::thread> ts;
+    const i64 chunk = (n + nt - 1) / nt;
+    auto unpack = [&](i64 lo, i64 hi) {
+      for (i64 i = lo; i < hi; ++i) {
+        const u64 k = key[i];
+        cd_out[i] = (long long)(k >> 56);
+        cu_out[i] = (long long)((k >> 28) & ((1u << 28) - 1));
+        cv_out[i] = (long long)(k & ((1u << 28) - 1));
+      }
+    };
+    if (nt == 1 || n < (i64)1 << 16) {
+      unpack(0, n);
+    } else {
+      for (i64 t = 0; t < nt; ++t) {
+        const i64 lo = t * chunk;
+        if (lo >= n) break;
+        ts.emplace_back(unpack, lo, std::min(n, lo + chunk));
+      }
+      for (auto& th : ts) th.join();
+    }
+  }
+  std::free(key);
   std::free(tmp);
   return 0;
 }

@@ -512,3 +512,31 @@ def test_fill_padded_adj_matches_numpy():
     nw[src[order], slot] = w[order]
     assert np.array_equal(native_nbr, nbr)
     assert np.array_equal(native_nw, nw)
+
+
+def test_chunked_accept_matches_concat():
+    """greedy_accept on a chunk list (fused concat+pack+radix) must equal
+    greedy_accept on the concatenated columns."""
+    import numpy as np
+
+    import matchtigs_tpu.ops.matching as M
+    from matchtigs_tpu.graph.bigraph import Bigraph
+    from matchtigs_tpu.ops.candidates import Candidates
+
+    rng = np.random.default_rng(6)
+    n = 100000
+    mirror = np.arange(n, dtype=np.int32).reshape(-1, 2)[:, ::-1].reshape(-1)
+    g = Bigraph(n, mirror.copy())
+    m0 = rng.integers(-2, 3, n).astype(np.int64)
+    chunks = []
+    for i in range(4):
+        m = int(rng.integers(800_000, 1_500_000))  # total > 2^22
+        chunks.append(Candidates(
+            rng.integers(0, n, m).astype(np.int64),
+            rng.integers(0, n, m).astype(np.int64),
+            rng.integers(1, 31, m).astype(np.int64)))
+    assert sum(len(c) for c in chunks) >= (1 << 22)
+    cat = Candidates.concat(chunks)
+    a_list = M.greedy_accept(g, chunks, m0.copy())
+    a_cat = M.greedy_accept(g, cat, m0.copy())
+    assert np.array_equal(a_list, a_cat)
