@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 
 #ifdef __linux__
 #include <sys/mman.h>
@@ -394,26 +395,54 @@ extern "C" i64 accept_sort_packed_chunks(
   for (i64 c = 0; c < n_chunks; ++c) n += lens[c];
   if (n <= 0) return 0;
   const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
-  u64* key = static_cast<u64*>(std::malloc((size_t)n * 8));
-  u64* tmp = static_cast<u64*>(std::malloc((size_t)n * 8));
-  if (!key || !tmp) {
-    std::free(key);
-    std::free(tmp);
-    return -1;
-  }
+  // Persistent scratch (guarded; one acceptance sort runs at a time):
+  // re-faulting 0.8GB of fresh key/tmp pages per pipeline pass costs
+  // multiple seconds on this ballooning host, while resident pages are
+  // free to reuse.
+  static std::mutex mu;
+  static u64* s_key = nullptr;
+  static u64* s_tmp = nullptr;
+  static i64 s_cap = 0;
+  std::lock_guard<std::mutex> lock(mu);
+  if (s_cap < n) {
+    std::free(s_key);
+    std::free(s_tmp);
+    s_key = static_cast<u64*>(std::malloc((size_t)n * 8));
+    s_tmp = static_cast<u64*>(std::malloc((size_t)n * 8));
+    s_cap = (s_key && s_tmp) ? n : 0;
+    if (!s_cap) {
+      std::free(s_key);
+      std::free(s_tmp);
+      s_key = s_tmp = nullptr;
+      return -1;
+    }
 #if defined(__linux__)
-  constexpr int kPopulateWrite = 23;
-  auto populate = [](void* p, size_t bytes) {
-    const uintptr_t a = (uintptr_t)p;
-    const uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
-    const uintptr_t hi = (a + bytes) & ~(uintptr_t)4095;
-    if (hi > lo) madvise((void*)lo, hi - lo, kPopulateWrite);
-  };
-  populate(key, (size_t)n * 8);
-  populate(tmp, (size_t)n * 8);
-  populate(cu_out, (size_t)n * 8);
-  populate(cv_out, (size_t)n * 8);
-  populate(cd_out, (size_t)n * 8);
+    constexpr int kPopulateWrite = 23;
+    auto populate = [](void* p, size_t bytes) {
+      const uintptr_t a = (uintptr_t)p;
+      const uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
+      const uintptr_t hi = (a + bytes) & ~(uintptr_t)4095;
+      if (hi > lo) madvise((void*)lo, hi - lo, kPopulateWrite);
+    };
+    populate(s_key, (size_t)n * 8);
+    populate(s_tmp, (size_t)n * 8);
+#endif
+  }
+  u64* key = s_key;
+  u64* tmp = s_tmp;
+#if defined(__linux__)
+  {
+    constexpr int kPopulateWrite = 23;
+    auto populate = [](void* p, size_t bytes) {
+      const uintptr_t a = (uintptr_t)p;
+      const uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
+      const uintptr_t hi = (a + bytes) & ~(uintptr_t)4095;
+      if (hi > lo) madvise((void*)lo, hi - lo, kPopulateWrite);
+    };
+    populate(cu_out, (size_t)n * 8);
+    populate(cv_out, (size_t)n * 8);
+    populate(cd_out, (size_t)n * 8);
+  }
 #endif
   // pack each chunk into its slice of the key buffer (MT within chunks)
   i64 off = 0;
@@ -467,7 +496,5 @@ extern "C" i64 accept_sort_packed_chunks(
       for (auto& th : ts) th.join();
     }
   }
-  std::free(key);
-  std::free(tmp);
-  return 0;
+  return 0;  // key/tmp persist for the next pass
 }
