@@ -61,17 +61,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="host threads for the native Dijkstra (default: all cores); "
         "device parallelism is batch-based",
     )
+    # The SSSP perf knobs default to None and are filled from the algorithm
+    # dataclasses at dispatch time, so the CLI can never silently diverge
+    # from the A/B-measured GreedytigConfig/MatchtigConfig optima (C=4,
+    # batch 4096; a C=16 kernel body costs a ~666s remote compile for a
+    # slower kernel).  tests/test_cli.py asserts the defaults stay equal.
     p.add_argument(
         "--sssp-initial-capacity",
         type=int,
-        default=16,
-        help="initial per-source working-set capacity of the batched search",
+        default=None,
+        help="initial per-source working-set capacity of the batched search "
+        f"(default: {GreedytigConfig.initial_capacity})",
     )
     p.add_argument(
         "--sssp-batch-size",
         type=int,
-        default=8192,
-        help="number of sources relaxed per device batch",
+        default=None,
+        help="number of sources relaxed per device batch "
+        f"(default: {GreedytigConfig.batch_size})",
     )
     p.add_argument(
         "--sssp-overflow-mode",
@@ -152,6 +159,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="gzip level for .gz outputs",
     )
     return p
+
+
+def _sssp_overrides(opts) -> dict:
+    """SSSP perf knobs the user set explicitly; unset flags fall through to
+    the dataclass defaults (the measured optima) instead of shadowing them."""
+    out = {}
+    if opts.sssp_initial_capacity is not None:
+        out["initial_capacity"] = opts.sssp_initial_capacity
+    if opts.sssp_batch_size is not None:
+        out["batch_size"] = opts.sssp_batch_size
+    return out
 
 
 def _want_counters(opts) -> bool:
@@ -309,8 +327,7 @@ def main(argv: list[str] | None = None) -> int:
                 g,
                 GreedytigConfig(
                     k=k,
-                    initial_capacity=opts.sssp_initial_capacity,
-                    batch_size=opts.sssp_batch_size,
+                    **_sssp_overrides(opts),
                     host_threads=opts.threads,
                     overflow_mode=opts.sssp_overflow_mode,
                     host_route_threshold=opts.host_route_threshold,
@@ -326,8 +343,7 @@ def main(argv: list[str] | None = None) -> int:
                 g,
                 MatchtigConfig(
                     k=k,
-                    initial_capacity=opts.sssp_initial_capacity,
-                    batch_size=opts.sssp_batch_size,
+                    **_sssp_overrides(opts),
                     host_threads=opts.threads,
                     dense_limit=opts.matching_dense_limit,
                     matching_file_prefix=opts.matching_file_prefix,
