@@ -116,6 +116,10 @@ def load() -> ctypes.CDLL:
     lib.euler_decompose_splice.argtypes = [
         ll, ll, i32p, i32p, llp, i32p, ll, llp, llp,
     ]
+    lib.euler_decompose_parsplice.restype = ll
+    lib.euler_decompose_parsplice.argtypes = [
+        ll, ll, i32p, i32p, llp, i32p, ll, llp, llp,
+    ]
     i8p_ = ctypes.POINTER(ctypes.c_byte)
     lib.wcc_labels.restype = ll
     lib.wcc_labels.argtypes = [ll, ll, i32p, i32p, i32p]

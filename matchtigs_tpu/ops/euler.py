@@ -283,21 +283,24 @@ def make_eulerian_with_breaking_edges_py(
 
 
 def eulerian_bicycle_decomposition(
-    g: Bigraph, method: str = "splice"
+    g: Bigraph, method: str = "parsplice"
 ) -> list[np.ndarray]:
     """Decompose a balanced bidirected graph into Eulerian bicycles.
 
-    Traversing an edge consumes its mirror (e ^ 1).  Closed subtours are
-    generated either by a deterministic mirror-compatible arc pairing
-    (``method="pairing"``, the default: thread-parallel construction and
-    ~1 random access per arc) or by raw Hierholzer walks
-    (``method="hierholzer"``, the reference-shaped variant); subtours
-    sharing a binode (directly or through the mirror representation) are
-    then spliced into a single bicycle, giving the minimum
-    one-bicycle-per-component decomposition the reference computes
-    (eulertigs/mod.rs:119 via the bigraph crate).  Both methods yield the
-    same number of bicycles and the same cumulative tig length; the
-    traversal order (hence the exact tig set) differs.
+    Traversing an edge consumes its mirror (e ^ 1).  The default
+    ``method="parsplice"`` computes the splice set structurally (a
+    deterministic spanning forest over pi-cycle pairs sharing a binode)
+    and emits the final bicycles via concurrent piece chases — every
+    heavy pass thread-parallel (native/graphwalk.cpp
+    parsplice_decompose_impl; the serial Hierholzer rotation walk it
+    replaces was the last ~2s dependent-load chain of the downstream at
+    60M bases).  ``method="splice"`` is the serial-walk variant (pairing
+    pi + one merged rotation walk), ``"pairing"`` and ``"hierholzer"``
+    the earlier regression variants.  All methods yield the same number
+    of bicycles and the same cumulative tig length (the one-bicycle-per-
+    component minimum decomposition the reference computes,
+    eulertigs/mod.rs:119 via the bigraph crate); the traversal order
+    (hence the exact tig set) differs.
 
     Dispatches to the native C++ passes (native/graphwalk.cpp) when
     available; the python implementations are the fallback and test
@@ -305,6 +308,8 @@ def eulerian_bicycle_decomposition(
     """
     try:
         if g.n_edges < 2**31 - 2 and g.n_nodes < 2**31 - 2:
+            if method == "parsplice":
+                return _decompose_native_i32(g, "euler_decompose_parsplice")
             if method == "splice":
                 return _decompose_native_i32(g, "euler_decompose_splice")
             if method == "pairing":
@@ -312,6 +317,8 @@ def eulerian_bicycle_decomposition(
         return _eulerian_bicycle_decomposition_native(g)
     except ImportError:
         logger.warning("native graphwalk unavailable; using python fallback")
+        if method == "parsplice":
+            return eulerian_bicycle_decomposition_parsplice_py(g)
         if method == "splice":
             return eulerian_bicycle_decomposition_splice_py(g)
         if method == "pairing":
@@ -486,6 +493,198 @@ def eulerian_bicycle_decomposition_splice_py(g: Bigraph) -> list[np.ndarray]:
             if cur == e0:
                 break
         cycles.append(np.asarray(out, dtype=np.int64))
+    return cycles
+
+
+LABEL_STEP = 64  # splitter density of the native label/emission passes
+
+
+def eulerian_bicycle_decomposition_parsplice_py(g: Bigraph) -> list[np.ndarray]:
+    """Parallel-splice oracle: bit-for-bit the native
+    euler_decompose_parsplice (graphwalk.cpp), expressed serially.
+
+    Spec (shared with the native pass — any change must touch both):
+
+    1. pi = deterministic mirror-compatible arc pairing; rep[e] = the
+       minimum arc id of e's pi-cycle; pairlabel(e) = min(rep[e],
+       rep[e^1]) names the {cycle, mirror cycle} PAIR.
+    2. Records: scanning nodes ascending and each node's in-arc list (the
+       out-CSR slice of mirror[v], mirrored) in order, emit (first in-arc
+       of the node's first pair, first in-arc of pair p) for every other
+       distinct pair p at the node.  Kruskal over the records in order
+       keeps one spanning-forest edge per pair beyond its component root.
+    3. Orientation: a root pair (minimum pairlabel of its component, and
+       every record-free singleton pair) emits the cycle containing its
+       minimum arc; BFS from each root (roots ascending; a pair's tree
+       edges in acceptance order) orients children: if the parent-side
+       record arc is not on the parent's chosen cycle, flip BOTH record
+       arcs a -> pi[a]^1 (the mirror representation's in-arc at
+       mirror(v)); the child's chosen cycle is the flipped child arc's,
+       and the edge becomes the splice swap pi[aP] <-> pi[aC].  Swaps are
+       resolved against the pristine pi, then applied sequentially in
+       generation order.
+    4. Start set S: arcs e ≡ 0 (mod LABEL_STEP) on chosen cycles, plus
+       pi'[x] for each swap arc x (post-swap successors).  Each final
+       cycle containing a start is emitted piecewise: a piece runs from a
+       start to the next start along pi'; pieces chain into cycles in
+       ascending first-start order.  Pairs whose component has no start
+       (splitterless singletons) are emitted last, ascending chosen rep.
+    """
+    E = g.n_edges
+    if E == 0:
+        return []
+    pi = _pairing_pi_py(g)
+    out_off, out_edges = g.out_csr()
+    out_edges = np.asarray(out_edges, dtype=np.int64)
+    mirror = g.mirror_node
+
+    # 1. per-arc cycle representatives (min arc of the pi-cycle)
+    rep = np.full(E, -1, dtype=np.int64)
+    for e0 in range(E):
+        if rep[e0] >= 0:
+            continue
+        cyc = [e0]
+        cur = int(pi[e0])
+        while cur != e0:
+            cyc.append(cur)
+            cur = int(pi[cur])
+        m = min(cyc)
+        for a in cyc:
+            rep[a] = m
+
+    def pairlabel(a: int) -> int:
+        return min(int(rep[a]), int(rep[a ^ 1]))
+
+    # 2. records + Kruskal spanning forest
+    records: list[tuple[int, int]] = []
+    for v in range(g.n_nodes):
+        mv = int(mirror[v])
+        sl = out_edges[int(out_off[mv]) : int(out_off[mv + 1])]
+        if len(sl) < 2:
+            continue
+        first_arc: dict[int, int] = {}
+        a0 = None
+        for oe in sl.tolist():
+            a = oe ^ 1
+            pl = pairlabel(a)
+            if pl not in first_arc:
+                first_arc[pl] = a
+                if a0 is None:
+                    a0 = a
+                else:
+                    records.append((a0, a))
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    tree: list[tuple[int, int, int, int]] = []  # (a0, a, p0, p)
+    rec_pairs: list[int] = []
+    for a0, a in records:
+        pA, pB = pairlabel(a0), pairlabel(a)
+        rec_pairs += [pA, pB]
+        if find(pA) != find(pB):
+            parent[find(pA)] = find(pB)
+            tree.append((a0, a, pA, pB))
+
+    # 3. roots, BFS orientation, swaps
+    roots: list[int] = []
+    root_seen: set[int] = set()
+    for p in sorted(set(rec_pairs)):
+        f = find(p)
+        if f not in root_seen:
+            root_seen.add(f)
+            roots.append(p)
+    adj: dict[int, list[int]] = {}
+    for i, (_, _, p0, p) in enumerate(tree):
+        adj.setdefault(p0, []).append(i)
+        adj.setdefault(p, []).append(i)
+
+    chosen: dict[int, int] = {}  # pairlabel -> chosen cycle rep
+    for r in np.unique(rep).tolist():
+        pl = min(r, int(rep[r ^ 1]))
+        chosen.setdefault(pl, pl)
+    has_start: set[int] = set()  # chosen reps with an emission start
+    swaps: list[tuple[int, int]] = []
+    visited: set[int] = set()
+    for r0 in roots:
+        visited.add(r0)
+        queue = [r0]
+        qi = 0
+        while qi < len(queue):
+            P = queue[qi]
+            qi += 1
+            for ei in adj.get(P, ()):
+                a0, a, p0, p = tree[ei]
+                C = p if p0 == P else p0
+                if C in visited:
+                    continue
+                visited.add(C)
+                aP, aC = (a0, a) if p0 == P else (a, a0)
+                if int(rep[aP]) != chosen[P]:
+                    aP = int(pi[aP]) ^ 1
+                    aC = int(pi[aC]) ^ 1
+                    assert int(rep[aP]) == chosen[P]
+                chosen[C] = int(rep[aC])
+                has_start.add(chosen[P])
+                has_start.add(chosen[C])
+                swaps.append((aP, aC))
+                queue.append(C)
+    for x, y in swaps:
+        pi[x], pi[y] = pi[y], pi[x]
+
+    # 4. start set, pieces, assembly, leftovers
+    S: set[int] = set()
+    for e in range(0, E, LABEL_STEP):
+        r = int(rep[e])
+        if chosen[min(r, int(rep[e ^ 1]))] == r:
+            S.add(e)
+            has_start.add(r)
+    for x, y in swaps:
+        S.add(int(pi[x]))
+        S.add(int(pi[y]))
+
+    starts = sorted(S)
+    piece: dict[int, tuple[list[int], int]] = {}
+    for s in starts:
+        seq = [s]
+        cur = int(pi[s])
+        while cur not in S:
+            seq.append(cur)
+            cur = int(pi[cur])
+        piece[s] = (seq, cur)
+
+    cycles: list[np.ndarray] = []
+    done: set[int] = set()
+    for s in starts:
+        if s in done:
+            continue
+        seq: list[int] = []
+        j = s
+        while True:
+            sq, nx = piece[j]
+            seq += sq
+            done.add(j)
+            j = nx
+            if j == s:
+                break
+        cycles.append(np.asarray(seq, dtype=np.int64))
+    for r in sorted(set(chosen.values())):
+        if r in has_start:
+            continue
+        seq = [r]
+        cur = int(pi[r])
+        while cur != r:
+            seq.append(cur)
+            cur = int(pi[cur])
+        cycles.append(np.asarray(seq, dtype=np.int64))
+    assert sum(len(c) for c in cycles) == E // 2
     return cycles
 
 

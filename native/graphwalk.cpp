@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #ifdef __linux__
@@ -408,26 +409,38 @@ static i64 pairing_decompose_impl(i64 n_nodes, i64 n_edges,
 // segment ids to cycle representatives.  Cycles containing no splitter
 // are labeled in a final interleaved sweep (ascending start arc, so the
 // first unlabeled arc of such a cycle IS its minimum).
+//
+// The representative is the cycle's MINIMUM ARC ID (each segment tracks
+// its own minimum during the chase; phase 2 takes the minimum over a
+// cycle's segments) — a canonical id that the python oracle can compute
+// with a plain per-cycle min, which the parallel-splice decomposition's
+// deterministic pair/orientation rules depend on.
+static constexpr i64 LABEL_STEP = 64;  // splitter density (1/STEP of arcs)
+
 static void label_pi_cycles(i64 n_edges, const int32_t* pm32, i64 pm_stride,
                             i64 n_threads, int32_t* rep) {
   using I = int32_t;
-  constexpr i64 STEP = 64;  // splitter density (1/STEP of arcs)
-  constexpr int W = 16;     // in-flight chains per thread
+  constexpr i64 STEP = LABEL_STEP;
+  constexpr int W = 16;  // in-flight chains per thread
   const i64 n_spl = (n_edges + STEP - 1) / STEP;
   std::vector<I> seg_next(n_spl);  // splitter k -> next splitter index
+  std::vector<I> seg_min(n_spl);   // splitter k -> min arc in its segment
   std::fill(rep, rep + n_edges, (I)-1);
 
   // Phase 1: chase each splitter's segment, writing provisional labels
-  // (= splitter index) and recording the successor splitter.
+  // (= splitter index) and recording the successor splitter and the
+  // segment's minimum arc id.
   auto chase_block = [&](i64 lo, i64 hi) {
     i64 cur_k[W];
     I cur_arc[W];
+    I cur_min[W];
     int live = 0;
     i64 next_k = lo;
     auto refill = [&] {
       while (live < W && next_k < hi) {
         cur_k[live] = next_k;
         cur_arc[live] = (I)(next_k * STEP);
+        cur_min[live] = (I)(next_k * STEP);
         rep[next_k * STEP] = (I)(next_k * STEP) / STEP;  // provisional
         ++live;
         ++next_k;
@@ -439,12 +452,15 @@ static void label_pi_cycles(i64 n_edges, const int32_t* pm32, i64 pm_stride,
         const I nxt = pm32[(i64)(uint32_t)cur_arc[w] * pm_stride];
         if ((nxt % STEP) == 0) {  // reached a splitter: segment done
           seg_next[cur_k[w]] = nxt / STEP;
+          seg_min[cur_k[w]] = cur_min[w];
           cur_k[w] = cur_k[live - 1];
           cur_arc[w] = cur_arc[live - 1];
+          cur_min[w] = cur_min[live - 1];
           --live;
           refill();
         } else {
           rep[nxt] = (I)cur_k[w];  // provisional: this segment's splitter
+          if (nxt < cur_min[w]) cur_min[w] = nxt;
           cur_arc[w] = nxt;
           ++w;
         }
@@ -465,21 +481,21 @@ static void label_pi_cycles(i64 n_edges, const int32_t* pm32, i64 pm_stride,
   }
 
   // Phase 2 (serial, n_spl items): group splitters into cycles via the
-  // seg_next permutation; representative = min splitter arc id.
+  // seg_next permutation; representative = min arc id over the cycle's
+  // segments (= the cycle's true minimum arc).
   std::vector<I> spl_rep(n_spl, (I)-1);
   for (i64 k0 = 0; k0 < n_spl; ++k0) {
     if (spl_rep[k0] >= 0) continue;
-    I mn = (I)k0;
+    I mn = seg_min[k0];
     i64 k = seg_next[k0];
     while (k != k0) {
-      if ((I)k < mn) mn = (I)k;
+      if (seg_min[k] < mn) mn = seg_min[k];
       k = seg_next[k];
     }
-    const I r = (I)(mn * STEP);
-    spl_rep[k0] = r;
+    spl_rep[k0] = mn;
     k = seg_next[k0];
     while (k != k0) {
-      spl_rep[k] = r;
+      spl_rep[k] = mn;
       k = seg_next[k];
     }
   }
@@ -633,6 +649,450 @@ static i64 splice_decompose_impl(i64 n_nodes, i64 n_edges, const int32_t* dst,
   std::free(pm);
   return n_cycles;
 }
+
+// ---------------------------------------------------------------------
+// Parallel-splice decomposition: the serial Hierholzer rotation walk
+// (one dependent DRAM load per emitted arc — the last serial chain of
+// the downstream at 60M bases) is replaced by a STRUCTURAL formulation
+// whose every heavy pass is thread-parallel:
+//
+//   1. pairing pi (MT) and per-arc cycle labels rep[] (MT segmented
+//      chase; rep = the cycle's minimum arc id);
+//   2. cycle PAIRS (a pi-cycle and its mirror image, canonical id
+//      pairlabel(e) = min(rep[e], rep[e^1])) are connected exactly where
+//      the old walk could splice: at a node v where both have in-arcs.
+//      An MT scan over the in-arc lists (out-CSR slices of mirror[v])
+//      emits one record per (node, new-pair) encounter; a deterministic
+//      Kruskal over the records (node-ascending) picks a spanning forest
+//      — one tree edge per pair beyond its component's root, exactly the
+//      set of splices the old walk performed, chosen structurally;
+//   3. orientation propagation: the root pair emits the orientation
+//      containing its minimum arc; a child pair emits the orientation
+//      whose record in-arc sits at the same node as the parent's CHOSEN
+//      orientation (flipping a record = mapping in-arc a at v to
+//      pi[a]^1, an in-arc at mirror(v) of the mirror cycle).  Each tree
+//      edge becomes one classic rotation splice: swap pi[aP] <-> pi[aC];
+//      all swaps are computed against the pristine pi, then applied
+//      sequentially (deterministic);
+//   4. emission: the final one-cycle-per-component permutation pi' is
+//      cut at "start" arcs (chosen-orientation splitters every
+//      LABEL_STEP-th arc id, plus each splice's successors) into pieces
+//      chased CONCURRENTLY (W in-flight chains per thread hide the DRAM
+//      latency), then stitched by a serial piece walk and an MT widening
+//      copy into the output.
+//
+// Output contract is the same as splice_decompose_impl (one circular
+// arc sequence per mirror-connected component, each biedge in exactly
+// one orientation); the traversal ORDER differs (golden tests re-pin).
+// The python oracle in ops/euler.py follows this spec bit-for-bit.
+static i64 parsplice_decompose_impl(i64 n_nodes, i64 n_edges,
+                                    const int32_t* dst, const int32_t* mirror,
+                                    const i64* out_off,
+                                    const int32_t* out_edges, i64 n_threads,
+                                    i64* cycles_out, i64* cycle_offsets) {
+  using I = int32_t;
+  (void)dst;  // binode incidence is read via the out-CSR of mirror[v]
+  PhaseTimer timer("euler_parsplice");
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+
+  I* pi = static_cast<I*>(std::malloc((size_t)n_edges * sizeof(I)));
+  I* rep = static_cast<I*>(std::malloc((size_t)n_edges * sizeof(I)));
+  if (!pi || !rep) {
+    std::free(pi);
+    std::free(rep);
+    return -5;
+  }
+  advise_huge(pi, (size_t)n_edges * sizeof(I));
+  advise_huge(rep, (size_t)n_edges * sizeof(I));
+  if (!build_pairing_pi(n_nodes, mirror, out_off, out_edges, n_threads, pi)) {
+    std::free(pi);
+    std::free(rep);
+    return -1;
+  }
+  timer.lap("A' pairing");
+  label_pi_cycles(n_edges, pi, /*pm_stride=*/1, n_threads, rep);
+  timer.lap("cycle labels");
+
+  auto pairlabel = [&](I a) -> I {
+    const I r1 = rep[(i64)(uint32_t)a];
+    const I r2 = rep[(i64)(uint32_t)(a ^ 1)];  // mirror cycle's rep
+    return r1 < r2 ? r1 : r2;
+  };
+
+  // Default chosen orientation per pair: the cycle containing the pair's
+  // minimum arc (bit set at that cycle's rep).  Serial sequential scan.
+  const i64 n_words = (n_edges + 63) / 64;
+  std::vector<uint64_t> chosen(n_words, 0);
+  auto bit_get = [](const std::vector<uint64_t>& b, I e) -> bool {
+    return (b[(i64)(uint32_t)e >> 6] >> (e & 63)) & 1;
+  };
+  auto bit_set = [](std::vector<uint64_t>& b, I e) {
+    b[(i64)(uint32_t)e >> 6] |= 1ull << (e & 63);
+  };
+  auto bit_clear = [](std::vector<uint64_t>& b, I e) {
+    b[(i64)(uint32_t)e >> 6] &= ~(1ull << (e & 63));
+  };
+  for (i64 e = 0; e < n_edges; ++e) {
+    if (rep[e] == (I)e) {
+      const I pl = pairlabel((I)e);
+      if (pl == (I)e) bit_set(chosen, (I)e);
+    }
+  }
+  timer.lap("chosen defaults");
+
+  // Records: one per (node, newly seen pair) beyond the node's first
+  // pair, in (node asc, CSR position asc) order.  MT over node ranges;
+  // per-thread vectors concatenate back in range order.
+  struct Rec {
+    I a0, a;  // in-arcs at the same node, in two different pairs
+  };
+  std::vector<std::vector<Rec>> recs_t(nt);
+  {
+    std::vector<std::thread> ts;
+    const i64 chunk = (n_nodes + nt - 1) / nt;
+    auto scan = [&](i64 t, i64 lo, i64 hi) {
+      auto& out = recs_t[t];
+      I pls[64];  // distinct pairs seen at this node (tiny in practice)
+      I arcs[64];
+      for (i64 v = lo; v < hi; ++v) {
+        const I mv = mirror[v];
+        const i64 b = out_off[mv], e = out_off[mv + 1];
+        if (e - b < 2) continue;
+        // fast path: all in-arcs in one pair
+        const I a0 = out_edges[b] ^ (I)1;
+        const I pl0 = pairlabel(a0);
+        i64 c = b + 1;
+        for (; c < e; ++c) {
+          if (pairlabel(out_edges[c] ^ (I)1) != pl0) break;
+        }
+        if (c == e) continue;
+        int np = 1;
+        pls[0] = pl0;
+        arcs[0] = a0;
+        for (; c < e; ++c) {
+          const I a = out_edges[c] ^ (I)1;
+          const I pl = pairlabel(a);
+          int j = 0;
+          while (j < np && pls[j] != pl) ++j;
+          if (j == np) {
+            if (np < 64) {
+              pls[np] = pl;
+              arcs[np] = a;
+              ++np;
+            }
+            out.push_back({a0, a});
+          }
+        }
+      }
+    };
+    for (i64 t = 0; t < nt; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n_nodes) break;
+      ts.emplace_back(scan, t, lo, std::min(n_nodes, lo + chunk));
+    }
+    for (auto& th : ts) th.join();
+  }
+  timer.lap("pair records");
+
+  // Kruskal over the records: DSU keyed by pairlabel (lazy, map-backed —
+  // only pairs that appear in records enter).
+  struct DSU {
+    std::unordered_map<I, I> parent;
+    I find(I x) {
+      auto it = parent.find(x);
+      if (it == parent.end()) {
+        parent.emplace(x, x);
+        return x;
+      }
+      I r = it->second;
+      while (true) {
+        auto it2 = parent.find(r);
+        if (it2->second == r) break;
+        r = it2->second;
+      }
+      // path compression
+      I c = x;
+      while (true) {
+        auto it2 = parent.find(c);
+        if (it2->second == r) break;
+        const I nx = it2->second;
+        it2->second = r;
+        c = nx;
+      }
+      return r;
+    }
+    void unite(I a, I b) { parent[find(a)] = find(b); }
+  } dsu;
+  struct Edge {
+    I a0, a;   // record arcs (a0 in p0, a in p)
+    I p0, p;   // pairlabels
+  };
+  std::vector<Edge> tree;
+  std::vector<I> rec_pairs;  // pairlabels appearing in any record
+  for (i64 t = 0; t < nt; ++t) {
+    for (const Rec& r : recs_t[t]) {
+      const I pA = pairlabel(r.a0), pB = pairlabel(r.a);
+      const I fa = dsu.find(pA), fb = dsu.find(pB);
+      rec_pairs.push_back(pA);
+      rec_pairs.push_back(pB);
+      if (fa != fb) {
+        dsu.unite(pA, pB);
+        tree.push_back({r.a0, r.a, pA, pB});
+      }
+    }
+    recs_t[t].clear();
+    recs_t[t].shrink_to_fit();
+  }
+  timer.lap("kruskal");
+
+  // Roots: min pairlabel per DSU component.  rec_pairs sorted ascending
+  // makes the first hit per class the minimum.
+  std::sort(rec_pairs.begin(), rec_pairs.end());
+  rec_pairs.erase(std::unique(rec_pairs.begin(), rec_pairs.end()),
+                  rec_pairs.end());
+  std::unordered_map<I, I> root_of;  // find-class -> root pairlabel
+  std::vector<I> roots;
+  for (I p : rec_pairs) {
+    const I f = dsu.find(p);
+    if (root_of.emplace(f, p).second) roots.push_back(p);
+  }
+
+  // BFS orientation propagation + splice list (against pristine pi).
+  std::unordered_map<I, std::vector<int>> adj;
+  adj.reserve(rec_pairs.size() * 2);
+  for (size_t i = 0; i < tree.size(); ++i) {
+    adj[tree[i].p0].push_back((int)i);
+    adj[tree[i].p].push_back((int)i);
+  }
+  std::vector<uint64_t> has_start(n_words, 0);
+  struct Swap {
+    I x, y;
+  };
+  std::vector<Swap> swaps;
+  swaps.reserve(tree.size());
+  {
+    std::unordered_map<I, char> visited;
+    visited.reserve(rec_pairs.size() * 2);
+    std::vector<I> queue;
+    for (I r0 : roots) {
+      if (visited.count(r0)) continue;
+      visited[r0] = 1;
+      queue.clear();
+      queue.push_back(r0);
+      for (size_t qi = 0; qi < queue.size(); ++qi) {
+        const I P = queue[qi];
+        auto it = adj.find(P);
+        if (it == adj.end()) continue;
+        for (int ei : it->second) {
+          const Edge& ed = tree[ei];
+          const I C = ed.p0 == P ? ed.p : ed.p0;
+          if (visited.count(C)) continue;
+          visited[C] = 1;
+          I aP = ed.p0 == P ? ed.a0 : ed.a;
+          I aC = ed.p0 == P ? ed.a : ed.a0;
+          if (!bit_get(chosen, rep[(i64)(uint32_t)aP])) {
+            // flip the record to the mirror node's representations
+            aP = pi[(i64)(uint32_t)aP] ^ (I)1;
+            aC = pi[(i64)(uint32_t)aC] ^ (I)1;
+            if (!bit_get(chosen, rep[(i64)(uint32_t)aP])) {
+              std::free(pi);
+              std::free(rep);
+              return -4;  // parent orientation invariant broken
+            }
+          }
+          const I rC = rep[(i64)(uint32_t)aC];
+          bit_set(chosen, rC);
+          bit_clear(chosen, rep[(i64)(uint32_t)(aC ^ 1)]);
+          bit_set(has_start, rep[(i64)(uint32_t)aP]);
+          bit_set(has_start, rC);
+          swaps.push_back({aP, aC});
+          queue.push_back(C);
+        }
+      }
+    }
+  }
+  // Apply the splices sequentially (order = BFS generation order).
+  for (const Swap& s : swaps) {
+    const I t = pi[(i64)(uint32_t)s.x];
+    pi[(i64)(uint32_t)s.x] = pi[(i64)(uint32_t)s.y];
+    pi[(i64)(uint32_t)s.y] = t;
+  }
+  timer.lap("forest + splices");
+
+  // Start set: chosen-orientation splitters + each splice's successors.
+  std::vector<uint64_t> sset(n_words, 0);
+  for (i64 e = 0; e < n_edges; e += LABEL_STEP) {
+    const I r = rep[e];
+    if (bit_get(chosen, r)) {
+      bit_set(sset, (I)e);
+      bit_set(has_start, r);
+    }
+  }
+  for (const Swap& s : swaps) {
+    bit_set(sset, pi[(i64)(uint32_t)s.x]);
+    bit_set(sset, pi[(i64)(uint32_t)s.y]);
+  }
+  std::vector<I> starts;
+  starts.reserve(n_edges / LABEL_STEP + 2 * swaps.size() + 1);
+  for (i64 w = 0; w < n_words; ++w) {
+    uint64_t bits = sset[w];
+    while (bits) {
+      const int b = __builtin_ctzll(bits);
+      bits &= bits - 1;
+      starts.push_back((I)(w * 64 + b));
+    }
+  }
+  const i64 n_starts = (i64)starts.size();
+  timer.lap("start set");
+
+  // MT piece chase: follow pi' from each start until the next start,
+  // writing the arc sequence into a per-thread arena.  W in-flight
+  // chains per thread hide the dependent-load latency.
+  struct Piece {
+    I next_start;
+    const I* src;
+    i64 len;
+    i64 dst;  // filled by the assembly walk
+  };
+  std::vector<Piece> pieces(n_starts);
+  std::vector<std::vector<I>> arena_t(nt);
+  {
+    constexpr int W = 16;
+    std::vector<std::thread> ts;
+    const i64 chunk = (n_starts + nt - 1) / nt;
+    auto chase = [&](i64 t, i64 lo, i64 hi) {
+      auto& arena = arena_t[t];
+      arena.reserve((size_t)((n_edges / 2) / nt + (hi - lo) * 4 + 64));
+      // chain slots: piece index, current arc
+      i64 slot_p[W];
+      I slot_cur[W];
+      std::vector<std::vector<I>> bufs(W);
+      int live = 0;
+      i64 next_i = lo;
+      auto refill = [&] {
+        while (live < W && next_i < hi) {
+          slot_p[live] = next_i;
+          slot_cur[live] = starts[next_i];
+          bufs[live].clear();
+          bufs[live].push_back(starts[next_i]);
+          ++live;
+          ++next_i;
+        }
+      };
+      refill();
+      while (live) {
+        for (int w = 0; w < live;) {
+          const I nxt = pi[(i64)(uint32_t)slot_cur[w]];
+          if ((sset[(i64)(uint32_t)nxt >> 6] >> (nxt & 63)) & 1) {
+            // piece done: flush to the arena
+            Piece& pc = pieces[slot_p[w]];
+            pc.next_start = nxt;
+            pc.len = (i64)bufs[w].size();
+            const size_t at = arena.size();
+            arena.insert(arena.end(), bufs[w].begin(), bufs[w].end());
+            pc.src = arena.data() + at;  // arena may realloc: fix below
+            pc.dst = at;                 // stash arena offset in dst
+            std::swap(bufs[w], bufs[live - 1]);
+            slot_p[w] = slot_p[live - 1];
+            slot_cur[w] = slot_cur[live - 1];
+            --live;
+            refill();
+          } else {
+            bufs[w].push_back(nxt);
+            slot_cur[w] = nxt;
+            ++w;
+          }
+        }
+      }
+      // re-base src pointers now that the arena is final
+      for (i64 i = lo; i < std::min(hi, n_starts); ++i)
+        pieces[i].src = arena.data() + pieces[i].dst;
+    };
+    for (i64 t = 0; t < nt; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n_starts) break;
+      ts.emplace_back(chase, t, lo, std::min(n_starts, lo + chunk));
+    }
+    for (auto& th : ts) th.join();
+  }
+  timer.lap("piece chase");
+
+  // Serial assembly: order pieces along each component cycle (ascending
+  // first-start order), assigning destination offsets.
+  i64 pos = 0;
+  i64 n_cycles = 0;
+  {
+    std::vector<char> piece_done(n_starts, 0);
+    auto piece_of = [&](I s) -> i64 {
+      // starts[] is ascending: binary search
+      i64 lo = 0, hi = n_starts - 1;
+      while (lo < hi) {
+        const i64 mid = (lo + hi) >> 1;
+        if (starts[mid] < s)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      return lo;
+    };
+    for (i64 i = 0; i < n_starts; ++i) {
+      if (piece_done[i]) continue;
+      i64 j = i;
+      do {
+        piece_done[j] = 1;
+        pieces[j].dst = pos;
+        pos += pieces[j].len;
+        j = piece_of(pieces[j].next_start);
+      } while (j != i);
+      cycle_offsets[n_cycles++] = pos;
+    }
+  }
+  timer.lap("assembly");
+
+  // MT widening copy of the pieces into the output.
+  {
+    std::vector<std::thread> ts;
+    const i64 chunk = (n_starts + nt - 1) / nt;
+    auto copy = [&](i64 lo, i64 hi) {
+      for (i64 i = lo; i < hi; ++i) {
+        const Piece& pc = pieces[i];
+        i64* out = cycles_out + pc.dst;
+        for (i64 t = 0; t < pc.len; ++t) out[t] = (i64)pc.src[t];
+      }
+    };
+    for (i64 t = 0; t < nt; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n_starts) break;
+      ts.emplace_back(copy, lo, std::min(n_starts, lo + chunk));
+    }
+    for (auto& th : ts) th.join();
+  }
+  timer.lap("widening copy");
+
+  // Leftovers: singleton splitterless pairs (no start anywhere in their
+  // component) — chase serially from the chosen rep.  Ascending rep
+  // order; appended after the piece-assembled cycles.
+  for (i64 w = 0; w < n_words; ++w) {
+    uint64_t bits = chosen[w] & ~has_start[w];
+    while (bits) {
+      const int b = __builtin_ctzll(bits);
+      bits &= bits - 1;
+      const I r = (I)(w * 64 + b);
+      I cur = r;
+      do {
+        cycles_out[pos++] = (i64)cur;
+        cur = pi[(i64)(uint32_t)cur];
+      } while (cur != r);
+      cycle_offsets[n_cycles++] = pos;
+    }
+  }
+  timer.lap("leftovers");
+
+  std::free(pi);
+  std::free(rep);
+  if (pos != n_edges / 2) return -3;  // every biedge exactly once
+  return n_cycles;
+}
 }
 
 extern "C" {
@@ -726,6 +1186,22 @@ i64 euler_decompose_splice(i64 n_nodes, i64 n_edges, const int32_t* dst,
   return splice_decompose_impl(n_nodes, n_edges, dst, mirror_node, out_off,
                                out_edges, n_threads < 1 ? 1 : n_threads,
                                cycles_out, cycle_offsets);
+}
+
+// Parallel-splice decomposition (see parsplice_decompose_impl): same
+// contract as euler_decompose_splice, every heavy pass thread-parallel;
+// traversal order differs (structural spanning-forest splices + piece
+// emission).  -2 impossible; -3 = internal coverage error; -4 = int32
+// ceiling or orientation invariant broken; -5 = alloc failure.
+i64 euler_decompose_parsplice(i64 n_nodes, i64 n_edges, const int32_t* dst,
+                              const int32_t* mirror_node, const i64* out_off,
+                              const int32_t* out_edges, i64 n_threads,
+                              i64* cycles_out, i64* cycle_offsets) {
+  if (n_edges >= (i64)INT32_MAX - 1 || n_nodes >= (i64)INT32_MAX - 1)
+    return -4;  // int32 interface ceiling
+  return parsplice_decompose_impl(n_nodes, n_edges, dst, mirror_node, out_off,
+                                  out_edges, n_threads < 1 ? 1 : n_threads,
+                                  cycles_out, cycle_offsets);
 }
 
 // Maximal edge-disjoint biwalk cover (pathtigs).  Walks are extended

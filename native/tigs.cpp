@@ -158,6 +158,104 @@ i64 greedy_accept_scan_mt(i64 n_cands, const i64* cand_u, const i64* cand_v,
   return n_acc;
 }
 
+// Packed-key variant of the MT chunked-speculation accept scan: consumes
+// the radix-sorted acceptance keys (d << 56 | u << 28 | v, uint64)
+// directly — no unpacked cu/cv/cd columns ever materialize (the unpack
+// pass alone moved 1.6GB at 51M candidates) — and writes the ACCEPTED
+// triples straight into caller buffers of capacity `cap` (the caller
+// bounds accepts by the total out-deficit).  Same multiplicity protocol
+// and identical accepted set as greedy_accept_scan_mt (parity-tested).
+// Returns accepts, or -2 if cap is exceeded (impossible under the
+// deficit bound; defensive).
+i64 greedy_accept_scan_packed_mt(i64 n_cands, const unsigned long long* keys,
+                                 i64* m, const i64* mirror,
+                                 const signed char* self_mirror, i64* u_out,
+                                 i64* v_out, i64* d_out, i64 cap,
+                                 i64 n_threads, i64 chunk_size) {
+  using u64 = unsigned long long;
+  constexpr u64 MASK28 = (1u << 28) - 1;
+  if (chunk_size < 1) chunk_size = 1 << 19;
+  const bool mt = n_threads >= 2 && n_cands >= chunk_size * 2;
+  std::vector<std::vector<i64>> surv((size_t)(mt ? n_threads : 0));
+  i64 n_acc = 0;
+  for (i64 lo = 0; lo < n_cands; lo += chunk_size) {
+    const i64 hi = mt ? std::min(n_cands, lo + chunk_size) : n_cands;
+    const i64 span = hi - lo;
+    const i64 nt =
+        mt ? std::min<i64>(n_threads, std::max<i64>(1, span / 4096)) : 1;
+    const i64 sub = (span + nt - 1) / nt;
+    auto filter = [&](i64 t) {
+      auto& out = surv[(size_t)t];
+      out.clear();
+      const i64 s_lo = lo + t * sub, s_hi = std::min(hi, s_lo + sub);
+      for (i64 i = s_lo; i < s_hi; ++i) {
+        const u64 k = keys[i];
+        const i64 u = (i64)((k >> 28) & MASK28);
+        const bool u_sm = self_mirror[u] != 0;
+        const i64 out_mult = u_sm ? m[u] : -m[u];
+        if (out_mult <= 0) continue;
+        const i64 v = (i64)(k & MASK28);
+        if ((v == mirror[u]) && !u_sm) {
+          if (out_mult < 2) continue;
+        } else if (m[v] <= 0) {
+          continue;
+        }
+        out.push_back(i);
+      }
+    };
+    if (mt && nt > 1) {
+      std::vector<std::thread> ts;
+      for (i64 t = 0; t < nt; ++t) ts.emplace_back(filter, t);
+      for (auto& th : ts) th.join();
+    }
+    // Exact sequential scan (over snapshot survivors when MT, else all).
+    auto scan_one = [&](i64 i) -> int {
+      const u64 k = keys[i];
+      const i64 u = (i64)((k >> 28) & MASK28);
+      const i64 v = (i64)(k & MASK28);
+      const bool u_sm = self_mirror[u] != 0;
+      const i64 mu = mirror[u];
+      const bool is_mirror_edge = (v == mu) && !u_sm;
+      const i64 out_mult = u_sm ? m[u] : -m[u];
+      if (out_mult <= 0) return 0;
+      bool v_sm = false;
+      if (is_mirror_edge) {
+        if (out_mult < 2) return 0;
+      } else {
+        v_sm = self_mirror[v] != 0;
+        if (m[v] <= 0) return 0;
+      }
+      if (n_acc >= cap) return -1;
+      u_out[n_acc] = u;
+      v_out[n_acc] = v;
+      d_out[n_acc] = (i64)(k >> 56);
+      ++n_acc;
+      const i64 red = is_mirror_edge ? 2 : 1;
+      if (u_sm) {
+        m[u] -= 1;
+      } else {
+        m[u] += red;
+        m[mu] -= red;
+      }
+      if (!is_mirror_edge) {
+        m[v] -= 1;
+        if (!v_sm) m[mirror[v]] += 1;
+      }
+      return 0;
+    };
+    if (mt && nt > 1) {
+      for (i64 t = 0; t < nt; ++t)
+        for (const i64 i : surv[(size_t)t])
+          if (scan_one(i) < 0) return -2;
+    } else {
+      for (i64 i = lo; i < hi; ++i)
+        if (scan_one(i) < 0) return -2;
+    }
+    if (!mt) break;
+  }
+  return n_acc;
+}
+
 // Spell walks from the 2-bit packed arena (4 bases/byte, little-endian
 // within the byte; seq_off holds BASE offsets, sequences not byte-aligned).
 // The walk speller of /root/reference/src/bin.rs:486-605 over flat arrays:

@@ -57,6 +57,77 @@ def test_euler_splice_native_matches_python(case):
 
 
 @pytest.mark.parametrize("case", CASES)
+def test_euler_parsplice_native_matches_python(case):
+    g = _balanced_graph(case)
+    native_cycles = euler._decompose_native_i32(g, "euler_decompose_parsplice")
+    py_cycles = euler.eulerian_bicycle_decomposition_parsplice_py(g)
+    assert len(native_cycles) == len(py_cycles)
+    for a, b in zip(native_cycles, py_cycles):
+        assert np.array_equal(a, b)
+
+
+def _random_multi_component(seed):
+    """Random balanced multi-component bigraph: clustered closed chains
+    (some tiny — splitterless pi-cycles) plus self-mirror nodes."""
+    from matchtigs_tpu.graph.bigraph import Bigraph
+
+    rng = np.random.default_rng(seed)
+    n_clusters = int(rng.integers(1, 8))
+    sizes = rng.integers(2, 30, n_clusters)
+    n_sm = int(rng.integers(0, 4))
+    n_pairs = int(sizes.sum())
+    n = 2 * n_pairs + n_sm
+    mirror = np.arange(n, dtype=np.int32)
+    mirror[: 2 * n_pairs] ^= 1
+    g = Bigraph(n, mirror)
+    base = 0
+    did = 0
+    for sz in sizes:
+        nodes = np.arange(base, base + 2 * int(sz))
+        base += 2 * int(sz)
+        for _ in range(int(rng.integers(1, 4))):
+            m = int(rng.integers(1, 3 * int(sz)))
+            chain = rng.choice(nodes, size=m, replace=True)
+            for i in range(m):
+                u, v = int(chain[i]), int(chain[(i + 1) % m])
+                g.add_biedge_pair(u, v, int(rng.integers(1, 5)), -1, True, did)
+                did += 1
+    for s in range(2 * n_pairs, n):
+        v = int(rng.integers(0, n))
+        g.add_biedge_pair(s, v, 1, -1, True, did)
+        did += 1
+        g.add_biedge_pair(v, s, 1, -1, True, did)
+        did += 1
+    if not euler.decomposes_into_eulerian_bicycles(g):
+        euler.make_eulerian_with_breaking_edges(g, 5, did)
+    return g
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_euler_parsplice_fuzz_multi_component(seed):
+    """Native parsplice == oracle bit-for-bit on random multi-component
+    graphs; component count matches the serial splice; each biedge
+    covered exactly once in exactly one orientation; every cycle a
+    closed walk."""
+    g = _random_multi_component(seed)
+    nat = euler._decompose_native_i32(g, "euler_decompose_parsplice")
+    ora = euler.eulerian_bicycle_decomposition_parsplice_py(g)
+    assert len(nat) == len(ora)
+    for i in range(len(nat)):
+        assert np.array_equal(np.asarray(nat[i]), ora[i])
+    spl = euler._decompose_native_i32(g, "euler_decompose_splice")
+    assert len(spl) == len(nat)
+    cov = np.zeros(g.n_edges, dtype=bool)
+    dst, src = g.dsts(), g.srcs()
+    for i in range(len(nat)):
+        c = np.asarray(nat[i])
+        assert not cov[np.minimum(c, c ^ 1)].any()
+        cov[np.minimum(c, c ^ 1)] = True
+        assert np.array_equal(dst[c], src[np.roll(c, -1)])
+    assert cov[::2].all()
+
+
+@pytest.mark.parametrize("case", CASES)
 def test_euler_splice_equivalent_to_pairing(case):
     g = _balanced_graph(case)
     c_s = euler.eulerian_bicycle_decomposition(g, method="splice")
