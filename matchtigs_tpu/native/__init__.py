@@ -154,6 +154,16 @@ def load() -> ctypes.CDLL:
     lib.accept_sort_packed_chunks.argtypes = [
         ll, llpp_, llpp_, llpp_, llp, llp, llp, llp, ll,
     ]
+    u64p = ctypes.POINTER(ctypes.c_ulonglong)
+    lib.greedy_accept_scan_packed_mt.restype = ll
+    lib.greedy_accept_scan_packed_mt.argtypes = [
+        ll, u64p, llp, llp, i8p, llp, llp, llp, ll, ll, ll,
+    ]
+    lib.accept_chunks_scan_packed.restype = ll
+    lib.accept_chunks_scan_packed.argtypes = [
+        ll, llpp_, llpp_, llpp_, llp, llp, llp, i8p,
+        llp, llp, llp, ll, ll, ll,
+    ]
     lib.collapse_expand_count.restype = ll
     lib.collapse_expand_count.argtypes = [ll, llp, llp, llp, ll]
     lib.copy_i64_populated.restype = None

@@ -378,72 +378,53 @@ extern "C" i64 radix_sort_i64(i64 n, long long* keys, i64 n_threads) {
   return 0;
 }
 
-// Fused chunk-concat + pack + radix sort + unpack for the acceptance
-// key: the candidate chunks (device extraction, host-routed, overflow
-// tail) are packed STRAIGHT into the key buffer — the separate 1.2GB
-// three-column concatenation this replaces was the device-led path's
-// biggest fault surface at 60M bases (10.5s for ~0.5s of copying).
-// Outputs are the (d, u, v)-sorted columns written into caller buffers
-// (bulk-populated first).  Same requirements as accept_sort_packed:
-// u, v < 2^28, 0 <= d < 128.  Returns 0, -1 on allocation failure.
-extern "C" i64 accept_sort_packed_chunks(
+namespace {
+// Persistent key/tmp scratch for the chunked acceptance sorts (guarded;
+// one acceptance sort runs at a time): re-faulting 0.8GB of fresh pages
+// per pipeline pass costs multiple seconds on this ballooning host,
+// while resident pages are free to reuse.
+std::mutex g_accept_mu;
+unsigned long long* g_accept_key = nullptr;
+unsigned long long* g_accept_tmp = nullptr;
+i64 g_accept_cap = 0;
+
+void populate_pages(void* p, size_t bytes) {
+#if defined(__linux__)
+  constexpr int kPopulateWrite = 23;
+  const uintptr_t a = (uintptr_t)p;
+  const uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
+  const uintptr_t hi = (a + bytes) & ~(uintptr_t)4095;
+  if (hi > lo) madvise((void*)lo, hi - lo, kPopulateWrite);
+#else
+  (void)p;
+  (void)bytes;
+#endif
+}
+
+// Pack the candidate chunks straight into the persistent key buffer
+// (d << 56 | u << 28 | v) and LSD-radix sort it.  Returns the sorted
+// key pointer (persistent; valid until the next call) or nullptr on
+// allocation failure.  Caller must hold g_accept_mu.
+unsigned long long* pack_sort_chunks_locked(
     i64 n_chunks, const long long* const* us, const long long* const* vs,
-    const long long* const* ds, const i64* lens, long long* cu_out,
-    long long* cv_out, long long* cd_out, i64 n_threads) {
+    const long long* const* ds, const i64* lens, i64 n, i64 nt) {
   using u64 = unsigned long long;
-  i64 n = 0;
-  for (i64 c = 0; c < n_chunks; ++c) n += lens[c];
-  if (n <= 0) return 0;
-  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
-  // Persistent scratch (guarded; one acceptance sort runs at a time):
-  // re-faulting 0.8GB of fresh key/tmp pages per pipeline pass costs
-  // multiple seconds on this ballooning host, while resident pages are
-  // free to reuse.
-  static std::mutex mu;
-  static u64* s_key = nullptr;
-  static u64* s_tmp = nullptr;
-  static i64 s_cap = 0;
-  std::lock_guard<std::mutex> lock(mu);
-  if (s_cap < n) {
-    std::free(s_key);
-    std::free(s_tmp);
-    s_key = static_cast<u64*>(std::malloc((size_t)n * 8));
-    s_tmp = static_cast<u64*>(std::malloc((size_t)n * 8));
-    s_cap = (s_key && s_tmp) ? n : 0;
-    if (!s_cap) {
-      std::free(s_key);
-      std::free(s_tmp);
-      s_key = s_tmp = nullptr;
-      return -1;
+  if (g_accept_cap < n) {
+    std::free(g_accept_key);
+    std::free(g_accept_tmp);
+    g_accept_key = static_cast<u64*>(std::malloc((size_t)n * 8));
+    g_accept_tmp = static_cast<u64*>(std::malloc((size_t)n * 8));
+    g_accept_cap = (g_accept_key && g_accept_tmp) ? n : 0;
+    if (!g_accept_cap) {
+      std::free(g_accept_key);
+      std::free(g_accept_tmp);
+      g_accept_key = g_accept_tmp = nullptr;
+      return nullptr;
     }
-#if defined(__linux__)
-    constexpr int kPopulateWrite = 23;
-    auto populate = [](void* p, size_t bytes) {
-      const uintptr_t a = (uintptr_t)p;
-      const uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
-      const uintptr_t hi = (a + bytes) & ~(uintptr_t)4095;
-      if (hi > lo) madvise((void*)lo, hi - lo, kPopulateWrite);
-    };
-    populate(s_key, (size_t)n * 8);
-    populate(s_tmp, (size_t)n * 8);
-#endif
+    populate_pages(g_accept_key, (size_t)n * 8);
+    populate_pages(g_accept_tmp, (size_t)n * 8);
   }
-  u64* key = s_key;
-  u64* tmp = s_tmp;
-#if defined(__linux__)
-  {
-    constexpr int kPopulateWrite = 23;
-    auto populate = [](void* p, size_t bytes) {
-      const uintptr_t a = (uintptr_t)p;
-      const uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
-      const uintptr_t hi = (a + bytes) & ~(uintptr_t)4095;
-      if (hi > lo) madvise((void*)lo, hi - lo, kPopulateWrite);
-    };
-    populate(cu_out, (size_t)n * 8);
-    populate(cv_out, (size_t)n * 8);
-    populate(cd_out, (size_t)n * 8);
-  }
-#endif
+  u64* key = g_accept_key;
   // pack each chunk into its slice of the key buffer (MT within chunks)
   i64 off = 0;
   for (i64 c = 0; c < n_chunks; ++c) {
@@ -472,7 +453,42 @@ extern "C" i64 accept_sort_packed_chunks(
     }
     off += len;
   }
-  lsd_radix_u64(key, tmp, n, nt);
+  lsd_radix_u64(key, g_accept_tmp, n, nt);
+  return key;
+}
+}  // namespace
+
+// The MT chunked-speculation acceptance scan over sorted packed keys
+// (native/tigs.cpp; extern "C", identical accepted set as the unpacked
+// scan, parity-tested).
+extern "C" i64 greedy_accept_scan_packed_mt(
+    i64 n_cands, const unsigned long long* keys, i64* m, const i64* mirror,
+    const signed char* self_mirror, i64* u_out, i64* v_out, i64* d_out,
+    i64 cap, i64 n_threads, i64 chunk_size);
+
+// Fused chunk-concat + pack + radix sort + unpack for the acceptance
+// key: the candidate chunks (device extraction, host-routed, overflow
+// tail) are packed STRAIGHT into the key buffer — the separate 1.2GB
+// three-column concatenation this replaces was the device-led path's
+// biggest fault surface at 60M bases (10.5s for ~0.5s of copying).
+// Outputs are the (d, u, v)-sorted columns written into caller buffers
+// (bulk-populated first).  Same requirements as accept_sort_packed:
+// u, v < 2^28, 0 <= d < 128.  Returns 0, -1 on allocation failure.
+extern "C" i64 accept_sort_packed_chunks(
+    i64 n_chunks, const long long* const* us, const long long* const* vs,
+    const long long* const* ds, const i64* lens, long long* cu_out,
+    long long* cv_out, long long* cd_out, i64 n_threads) {
+  using u64 = unsigned long long;
+  i64 n = 0;
+  for (i64 c = 0; c < n_chunks; ++c) n += lens[c];
+  if (n <= 0) return 0;
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  std::lock_guard<std::mutex> lock(g_accept_mu);
+  populate_pages(cu_out, (size_t)n * 8);
+  populate_pages(cv_out, (size_t)n * 8);
+  populate_pages(cd_out, (size_t)n * 8);
+  u64* key = pack_sort_chunks_locked(n_chunks, us, vs, ds, lens, n, nt);
+  if (!key) return -1;
   // unpack (MT)
   {
     std::vector<std::thread> ts;
@@ -497,4 +513,31 @@ extern "C" i64 accept_sort_packed_chunks(
     }
   }
   return 0;  // key/tmp persist for the next pass
+}
+
+// Fully fused acceptance: chunk-concat + pack + MT radix sort + packed
+// MT acceptance scan, with only the ACCEPTED triples ever unpacked.
+// Replaces accept_sort_packed_chunks + greedy_accept_scan_mt for the
+// greedytig accept phase: the full-width unpack (3 columns) and the
+// scan's re-read of them moved ~2.4GB at 51M candidates for ~1M accepted
+// rows.  u_out/v_out/d_out have capacity `cap` (the caller bounds accepts
+// by the total out-deficit).  Returns the accept count, -1 on allocation
+// failure, -2 if cap is exceeded (impossible under the deficit bound).
+extern "C" i64 accept_chunks_scan_packed(
+    i64 n_chunks, const long long* const* us, const long long* const* vs,
+    const long long* const* ds, const i64* lens, long long* m,
+    const long long* mirror, const signed char* self_mirror,
+    long long* u_out, long long* v_out, long long* d_out, i64 cap,
+    i64 n_threads, i64 chunk_size) {
+  i64 n = 0;
+  for (i64 c = 0; c < n_chunks; ++c) n += lens[c];
+  if (n <= 0) return 0;
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  std::lock_guard<std::mutex> lock(g_accept_mu);
+  unsigned long long* key =
+      pack_sort_chunks_locked(n_chunks, us, vs, ds, lens, n, nt);
+  if (!key) return -1;
+  return greedy_accept_scan_packed_mt(n, key, m, mirror, self_mirror,
+                                      u_out, v_out, d_out, cap, nt,
+                                      chunk_size);
 }

@@ -597,8 +597,16 @@ def test_chunked_accept_matches_concat():
     rng = np.random.default_rng(6)
     n = 100000
     mirror = np.arange(n, dtype=np.int32).reshape(-1, 2)[:, ::-1].reshape(-1)
+    mirror[n - 2000:] = np.arange(n - 2000, n)  # self-mirror binodes
     g = Bigraph(n, mirror.copy())
-    m0 = rng.integers(-2, 3, n).astype(np.int64)
+    # Honor the production mirror invariant (m[mirror[x]] == -m[x];
+    # self-mirror multiplicities in [0, 1]) — the fused scan's accept-count
+    # bound (total out-deficit) relies on it.
+    m0 = np.empty(n, dtype=np.int64)
+    half = rng.integers(-2, 3, n // 2)
+    m0[0::2] = half
+    m0[1::2] = -half
+    m0[n - 2000:] = rng.integers(0, 2, 2000)  # self-mirror mult in [0, 1]
     chunks = []
     for i in range(4):
         m = int(rng.integers(800_000, 1_500_000))  # total > 2^22
@@ -608,6 +616,14 @@ def test_chunked_accept_matches_concat():
             rng.integers(1, 31, m).astype(np.int64)))
     assert sum(len(c) for c in chunks) >= (1 << 22)
     cat = Candidates.concat(chunks)
-    a_list = M.greedy_accept(g, chunks, m0.copy())
-    a_cat = M.greedy_accept(g, cat, m0.copy())
+    m_list, m_cat, m_fused = m0.copy(), m0.copy(), m0.copy()
+    a_list = M.greedy_accept(g, chunks, m_list)
+    a_cat = M.greedy_accept(g, cat, m_cat)
     assert np.array_equal(a_list, a_cat)
+    assert np.array_equal(m_list, m_cat)
+    # the fully fused scan (accept_chunks_scan_packed) must be eligible
+    # here and bit-identical, including the multiplicity updates
+    fused = M._native_accept_chunks_fused(g, chunks, m_fused)
+    assert fused is not None
+    assert np.array_equal(fused, a_cat)
+    assert np.array_equal(m_fused, m_cat)
