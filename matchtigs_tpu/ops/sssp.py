@@ -698,16 +698,26 @@ def extract_packed_candidates(
     )
     if n < 0:
         raise MemoryError("extract_packed_triples allocation failed")
-    try:
-        flat = np.ctypeslib.as_array(buf_ptr, shape=(3 * n + 1,))
-        out = Candidates(
-            np.array(flat[0:n]),
-            np.array(flat[n : 2 * n]),
-            np.array(flat[2 * n : 3 * n]),
-        )
-    finally:
+    return _wrap_native_triples(lib, buf_ptr, n)
+
+
+def _wrap_native_triples(lib, buf_ptr, n) -> Candidates:
+    """Zero-copy Candidates over a native ``[src..., dst..., dist...]``
+    triple buffer: the columns are views and ownership rides a weakref
+    finalizer on the base array, so ``free_i64_buffer`` fires only after
+    the last column view dies (verified: slices keep the base array as
+    their ``.base``).  Replaces per-column ``np.array`` copies — 1.2GB
+    of fresh first-touch allocations per search at 60M bases, a
+    multi-second fault storm on this ballooning host."""
+    import weakref
+
+    if n <= 0:
         lib.free_i64_buffer(buf_ptr)
-    return out
+        z = np.empty(0, dtype=np.int64)
+        return Candidates(z, z.copy(), z.copy())
+    flat = np.ctypeslib.as_array(buf_ptr, shape=(3 * n + 1,))
+    weakref.finalize(flat, lib.free_i64_buffer, buf_ptr)
+    return Candidates(flat[0:n], flat[n : 2 * n], flat[2 * n : 3 * n])
 
 
 def host_dijkstra_candidates(
@@ -765,16 +775,9 @@ def _native_dijkstra_candidates(
             ctypes.byref(buf_ptr),
         )
     )
-    try:
-        flat = np.ctypeslib.as_array(buf_ptr, shape=(3 * n + 1,))
-        out = Candidates(
-            np.array(flat[0:n]),
-            np.array(flat[n : 2 * n]),
-            np.array(flat[2 * n : 3 * n]),
-        )
-    finally:
-        lib.free_i64_buffer(buf_ptr)
-    return out
+    if n < 0:
+        raise MemoryError(f"{fn_name} allocation failed")
+    return _wrap_native_triples(lib, buf_ptr, n)
 
 
 def reference_dijkstra_candidates(

@@ -12,14 +12,57 @@
 #include <algorithm>
 #include <cstddef>
 #include <cstdint>
+#include <cstdlib>
 #include <queue>
 #include <thread>
 #include <unordered_map>
 #include <utility>
 #include <vector>
 
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
+
 namespace {
 using i64 = long long;
+
+// Assemble thread-local triple vectors into one malloc'd buffer of layout
+// [src..., dst..., dist...] (released by free_i64_buffer): the buffer is
+// bulk-populated (MADV_POPULATE_WRITE) and the segments copied in
+// parallel — at 51M triples the serial copy over fresh pages was a
+// multi-second fault storm on this ballooning host, for ~0.15s of memcpy.
+i64 concat_triples(std::vector<std::vector<i64>>& srcs,
+                   std::vector<std::vector<i64>>& dsts,
+                   std::vector<std::vector<i64>>& dists, i64** out_ptr) {
+  const i64 nt = (i64)srcs.size();
+  i64 total = 0;
+  for (auto& v : srcs) total += (i64)v.size();
+  i64* buf = (i64*)std::malloc(sizeof(i64) * (size_t)(3 * total) + 8);
+  if (!buf) return -1;
+#ifdef __linux__
+  {
+    constexpr int kPopulateWrite = 23;  // MADV_POPULATE_WRITE
+    const uintptr_t a = (uintptr_t)buf;
+    const uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
+    const uintptr_t hi = (a + sizeof(i64) * (size_t)(3 * total)) &
+                         ~(uintptr_t)4095;
+    if (hi > lo) madvise((void*)lo, hi - lo, kPopulateWrite);
+  }
+#endif
+  std::vector<i64> off(nt + 1, 0);
+  for (i64 t = 0; t < nt; ++t) off[t + 1] = off[t] + (i64)srcs[t].size();
+  std::vector<std::thread> copiers;
+  for (i64 t = 0; t < nt; ++t) {
+    copiers.emplace_back([&, t]() {
+      std::copy(srcs[t].begin(), srcs[t].end(), buf + off[t]);
+      std::copy(dsts[t].begin(), dsts[t].end(), buf + total + off[t]);
+      std::copy(dists[t].begin(), dists[t].end(), buf + 2 * total + off[t]);
+    });
+  }
+  for (auto& th : copiers) th.join();
+  *out_ptr = buf;
+  return total;
+}
 }
 
 extern "C" {
@@ -365,6 +408,77 @@ i64 spell_walks_packed_mt(const i64* walks, const i64* walk_offsets,
   return total;
 }
 
+}  // extern "C" — reopened below (templates are not allowed inside)
+
+namespace {
+
+// Shared Dial ball loop for the bounded multi-target Dijkstra engines:
+// a bucket queue (distances bounded by max_weight) over ONE epoch-stamped
+// dense array packing (epoch << DBITS) | dist per node — a single random
+// load per relaxation probe where separate epoch/dist arrays cost two
+// cache misses; the loop is memory-bound on exactly those probes.  O(1)
+// relaxation, no hashing, no per-source reinitialization (the reference's
+// EpochNodeWeightArray, traitgraph-algo, upgraded with the
+// bounded-distance bucket queue).  ET = int (DBITS = 8) covers
+// max_weight <= 254 — every supported k (<= 127) — at half the probe
+// footprint of the ET = long long fallback for wider bounds.
+// `emit(src, u, d)` is called once per settled node in ascending-distance
+// order (bucket insertion order within a distance, matching the original
+// serial formulation bit for bit); returning false aborts with -1.
+template <typename ET, int DBITS, typename Emit>
+i64 dial_range(i64 n_nodes, i64 deg_pad, const int* nbr, const int* nw,
+               const i64* sources, i64 s_begin, i64 s_end, i64 max_weight,
+               Emit&& emit) {
+  constexpr ET DMASK = (ET(1) << DBITS) - 1;
+  const i64 ep_max = ((i64)1 << (8 * (i64)sizeof(ET) - DBITS - 1)) - 1;
+  std::vector<ET> ed(n_nodes, ET(-1));
+  std::vector<std::vector<int>> buckets((size_t)max_weight + 1);
+  i64 ep = 0;
+  for (i64 s = s_begin; s < s_end; ++s) {
+    const i64 src = sources[s];
+    if (++ep >= ep_max) {  // epoch field exhausted: re-stamp
+      std::fill(ed.begin(), ed.end(), ET(-1));
+      ep = 1;
+    }
+    const ET ep_sh = (ET)ep << DBITS;
+    ed[src] = ep_sh;
+    buckets[0].push_back((int)src);
+    for (i64 d = 0; d <= max_weight; ++d) {
+      auto& bucket = buckets[d];
+      const ET want = ep_sh | (ET)d;
+      for (size_t bi = 0; bi < bucket.size(); ++bi) {
+        const i64 u = bucket[bi];
+        if (bi + 2 < bucket.size())
+          __builtin_prefetch(nbr + (i64)bucket[bi + 2] * deg_pad);
+        if (ed[u] != want) continue;  // stale entry
+        if (!emit(src, u, d)) {
+          for (auto& b : buckets) b.clear();
+          return -1;
+        }
+        const int* row = nbr + u * deg_pad;
+        const int* wrow = nw + u * deg_pad;
+        for (i64 j = 0; j < deg_pad; ++j) {
+          const i64 v = row[j];
+          if (v == n_nodes) continue;
+          const i64 nd = d + wrow[j];
+          if (nd > max_weight) continue;
+          const ET e = ed[v];
+          if ((e >> DBITS) != (ET)ep || nd < (i64)(e & DMASK)) {
+            ed[v] = ep_sh | (ET)nd;
+            buckets[nd].push_back((int)v);
+          }
+        }
+      }
+      bucket.clear();
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
 // Bounded multi-target Dijkstra over the padded adjacency, host fallback
 // for capacity-overflow sources and the reference-design baseline
 // (traitgraph-algo Dijkstra analog: binary heap + sparse distance map,
@@ -379,53 +493,24 @@ static i64 dijkstra_range(i64 n_nodes, i64 deg_pad, const int* nbr,
                           const signed char* in_mask, i64 seg_start,
                           i64 seg_cap, i64* out_src, i64* out_dst,
                           i64* out_dist) {
-  // Dial's bucket queue (distances bounded by max_weight) over
-  // epoch-stamped dense distance arrays: O(1) relaxation, no hashing, no
-  // per-source reinitialization (the reference's EpochNodeWeightArray,
-  // traitgraph-algo, upgraded with the bounded-distance bucket queue).
   i64 n_out = 0;
-  std::vector<int> dist(n_nodes, 0);
-  std::vector<int> epoch(n_nodes, -1);
-  std::vector<std::vector<int>> buckets((size_t)max_weight + 1);
-  for (i64 s = s_begin; s < s_end; ++s) {
-    i64 src = sources[s];
-    int ep = (int)(s - s_begin);
-    dist[src] = 0;
-    epoch[src] = ep;
-    buckets[0].push_back((int)src);
-    for (i64 d = 0; d <= max_weight; ++d) {
-      auto& bucket = buckets[d];
-      for (size_t bi = 0; bi < bucket.size(); ++bi) {
-        i64 u = bucket[bi];
-        if (epoch[u] != ep || dist[u] != d) continue;  // stale entry
-        if (u != src && in_mask[u]) {
-          if (n_out >= seg_cap) {
-            for (auto& b : buckets) b.clear();
-            return -1;
-          }
-          out_src[seg_start + n_out] = src;
-          out_dst[seg_start + n_out] = u;
-          out_dist[seg_start + n_out] = d;
-          ++n_out;
-        }
-        const int* row = nbr + u * deg_pad;
-        const int* wrow = nw + u * deg_pad;
-        for (i64 j = 0; j < deg_pad; ++j) {
-          i64 v = row[j];
-          if (v == n_nodes) continue;
-          i64 nd = d + wrow[j];
-          if (nd > max_weight) continue;
-          if (epoch[v] != ep || nd < dist[v]) {
-            epoch[v] = ep;
-            dist[v] = (int)nd;
-            buckets[nd].push_back((int)v);
-          }
-        }
-      }
-      bucket.clear();
+  auto emit = [&](i64 src, i64 u, i64 d) {
+    if (u != src && in_mask[u]) {
+      if (n_out >= seg_cap) return false;
+      out_src[seg_start + n_out] = src;
+      out_dst[seg_start + n_out] = u;
+      out_dist[seg_start + n_out] = d;
+      ++n_out;
     }
-  }
-  return n_out;
+    return true;
+  };
+  const i64 rc =
+      max_weight <= 254
+          ? dial_range<int, 8>(n_nodes, deg_pad, nbr, nw, sources, s_begin,
+                               s_end, max_weight, emit)
+          : dial_range<long long, 32>(n_nodes, deg_pad, nbr, nw, sources,
+                                      s_begin, s_end, max_weight, emit);
+  return rc < 0 ? -1 : n_out;
 }
 
 i64 bounded_dijkstra_candidates(i64 n_nodes, i64 deg_pad, const int* nbr,
@@ -449,42 +534,20 @@ static void dijkstra_collect(i64 n_nodes, i64 deg_pad, const int* nbr,
                              const signed char* in_mask,
                              std::vector<i64>& v_src, std::vector<i64>& v_dst,
                              std::vector<i64>& v_dist) {
-  std::vector<int> dist(n_nodes, 0);
-  std::vector<int> epoch(n_nodes, -1);
-  std::vector<std::vector<int>> buckets((size_t)max_weight + 1);
-  for (i64 s = s_begin; s < s_end; ++s) {
-    i64 src = sources[s];
-    int ep = (int)(s - s_begin);
-    dist[src] = 0;
-    epoch[src] = ep;
-    buckets[0].push_back((int)src);
-    for (i64 d = 0; d <= max_weight; ++d) {
-      auto& bucket = buckets[d];
-      for (size_t bi = 0; bi < bucket.size(); ++bi) {
-        i64 u = bucket[bi];
-        if (epoch[u] != ep || dist[u] != d) continue;
-        if (u != src && in_mask[u]) {
-          v_src.push_back(src);
-          v_dst.push_back(u);
-          v_dist.push_back(d);
-        }
-        const int* row = nbr + u * deg_pad;
-        const int* wrow = nw + u * deg_pad;
-        for (i64 j = 0; j < deg_pad; ++j) {
-          i64 v = row[j];
-          if (v == n_nodes) continue;
-          i64 nd = d + wrow[j];
-          if (nd > max_weight) continue;
-          if (epoch[v] != ep || nd < dist[v]) {
-            epoch[v] = ep;
-            dist[v] = (int)nd;
-            buckets[nd].push_back((int)v);
-          }
-        }
-      }
-      bucket.clear();
+  auto emit = [&](i64 src, i64 u, i64 d) {
+    if (u != src && in_mask[u]) {
+      v_src.push_back(src);
+      v_dst.push_back(u);
+      v_dist.push_back(d);
     }
-  }
+    return true;
+  };
+  if (max_weight <= 254)
+    dial_range<int, 8>(n_nodes, deg_pad, nbr, nw, sources, s_begin, s_end,
+                       max_weight, emit);
+  else
+    dial_range<long long, 32>(n_nodes, deg_pad, nbr, nw, sources, s_begin,
+                              s_end, max_weight, emit);
 }
 
 i64 bounded_dijkstra_candidates_auto(i64 n_nodes, i64 deg_pad, const int* nbr,
@@ -505,27 +568,12 @@ i64 bounded_dijkstra_candidates_auto(i64 n_nodes, i64 deg_pad, const int* nbr,
     });
   }
   for (auto& th : threads) th.join();
-  i64 total = 0;
-  for (auto& v : srcs) total += (i64)v.size();
-  i64* buf = new i64[(size_t)(3 * total) + 1];
-  i64 pos = 0;
-  for (auto& v : srcs) {
-    std::copy(v.begin(), v.end(), buf + pos);
-    pos += (i64)v.size();
-  }
-  for (auto& v : dsts) {
-    std::copy(v.begin(), v.end(), buf + pos);
-    pos += (i64)v.size();
-  }
-  for (auto& v : dists) {
-    std::copy(v.begin(), v.end(), buf + pos);
-    pos += (i64)v.size();
-  }
-  *out_ptr = buf;
-  return total;
+  return concat_triples(srcs, dsts, dists, out_ptr);
 }
 
-void free_i64_buffer(i64* ptr) { delete[] ptr; }
+// Releases buffers returned via the i64** out-params here and in
+// extract.cpp (all malloc'd).
+void free_i64_buffer(i64* ptr) { std::free(ptr); }
 
 // Reference-design baseline Dijkstra: per-source std::priority_queue
 // binary heap + std::unordered_map sparse distance map — the semantics of
@@ -593,24 +641,7 @@ i64 reference_dijkstra_candidates(i64 n_nodes, i64 deg_pad, const int* nbr,
     });
   }
   for (auto& th : threads) th.join();
-  i64 total = 0;
-  for (auto& v : srcs) total += (i64)v.size();
-  i64* buf = new i64[(size_t)(3 * total) + 1];
-  i64 pos = 0;
-  for (auto& v : srcs) {
-    std::copy(v.begin(), v.end(), buf + pos);
-    pos += (i64)v.size();
-  }
-  for (auto& v : dsts) {
-    std::copy(v.begin(), v.end(), buf + pos);
-    pos += (i64)v.size();
-  }
-  for (auto& v : dists) {
-    std::copy(v.begin(), v.end(), buf + pos);
-    pos += (i64)v.size();
-  }
-  *out_ptr = buf;
-  return total;
+  return concat_triples(srcs, dsts, dists, out_ptr);
 }
 
 // Multithreaded variant: sources split into n_threads contiguous chunks,
