@@ -68,6 +68,8 @@ class MatchtigConfig:
     performance_counters: bool = False
     # Host search strategy ("dial" | "heap"); see GreedytigConfig.
     host_strategy: str = "dial"
+    # Search engine ("auto" | "device" | "host"); see GreedytigConfig.
+    engine: str = "auto"
 
 
 def _matching_node_ids(g: Bigraph, diff: np.ndarray):
@@ -386,6 +388,7 @@ def compute_matchtigs(g: Bigraph, config: MatchtigConfig) -> "Walks":
         host_threads=config.host_threads,
         performance_counters=config.performance_counters,
         host_strategy=config.host_strategy,
+        engine=config.engine,
     )
     stats = SearchStats()
     candidates = collect_candidates(g, out_nodes, in_mask, k, gt_config, stats)
