@@ -650,7 +650,23 @@ def compute_greedytigs(
     )
 
     t0 = time.monotonic()
-    accepted = greedy_accept(g, candidates, mult)
+    accepted = None
+    if _want_mesh(config) and isinstance(candidates, list):
+        # Mesh pipeline: the acceptance SORT runs sharded over the mesh
+        # (parallel/mesh.py:sharded_accept_key_sort); only the O(accepts)
+        # multiplicity scan stays host-side.  Falls through to the host
+        # accept when the ids/dists exceed the packed-key ranges.
+        from ..ops.matching import greedy_accept_sorted_keys, pack_accept_keys
+
+        keys = pack_accept_keys(candidates)
+        if keys is not None:
+            from ..parallel.mesh import sharded_accept_key_sort
+
+            sorted_keys = sharded_accept_key_sort(keys)
+            accepted = greedy_accept_sorted_keys(g, sorted_keys, mult)
+            logger.info("Acceptance sort ran sharded over the mesh")
+    if accepted is None:
+        accepted = greedy_accept(g, candidates, mult)
     logger.info(
         "Accepted %d paths as cheap dummy edges in %.2fs",
         len(accepted),

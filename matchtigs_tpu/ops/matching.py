@@ -193,6 +193,81 @@ def _native_accept_chunks_fused(g, chunks, m):
     )
 
 
+def pack_accept_keys(chunks) -> np.ndarray | None:
+    """Pack candidate chunks into the acceptance sort key
+    (``d << 56 | u << 28 | v``, int64, unsorted) — the exchange format of
+    the mesh-sharded acceptance sort (parallel/mesh.py).  None when the
+    ids/dists exceed the packed ranges."""
+    live = [c for c in chunks if len(c)]
+    if not live:
+        return np.empty(0, dtype=np.int64)
+    if any(int(c.d.max(initial=0)) >= 128 for c in live):
+        return None
+    if any(
+        int(c.u.max(initial=0)) >= (1 << 28)
+        or int(c.v.max(initial=0)) >= (1 << 28)
+        for c in live
+    ):
+        return None
+    return np.concatenate(
+        [
+            (c.d.astype(np.int64) << 56)
+            | (c.u.astype(np.int64) << 28)
+            | c.v.astype(np.int64)
+            for c in live
+        ]
+    )
+
+
+def greedy_accept_sorted_keys(
+    g: Bigraph, keys: np.ndarray, m: np.ndarray
+) -> np.ndarray:
+    """Acceptance scan over PRE-SORTED packed keys (``d << 56 | u << 28 |
+    v``): the packed MT scan (native/tigs.cpp:greedy_accept_scan_packed_mt)
+    consumes them directly.  The consumer of the mesh-sharded acceptance
+    sort; identical accepted set as greedy_accept on the unpacked triples
+    (parity-tested).  Mutates ``m``; returns accepted [A, 3] triples."""
+    import ctypes
+    import os
+
+    if len(keys) == 0:
+        return np.empty((0, 3), dtype=np.int64)
+    from .. import native
+
+    lib = native.load()
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    mask28 = np.uint64((1 << 28) - 1)
+    u_max = int(((keys >> np.uint64(28)) & mask28).max())
+    v_max = int((keys & mask28).max())
+    if max(u_max, v_max) >= g.n_nodes:
+        raise ValueError(
+            f"packed key node id {max(u_max, v_max)} out of range "
+            f"(n_nodes={g.n_nodes})"
+        )
+    m64 = np.array(m, dtype=np.int64)
+    sm = np.ascontiguousarray(g.self_mirror_mask(), dtype=np.int8)
+    deficit = np.where(sm != 0, np.maximum(m64, 0), np.maximum(-m64, 0))
+    cap = int(deficit.sum()) + 1
+    u_out = np.empty(cap, dtype=np.int64)
+    v_out = np.empty(cap, dtype=np.int64)
+    d_out = np.empty(cap, dtype=np.int64)
+    mirror = np.ascontiguousarray(g.mirror_node, dtype=np.int64)
+    p = native.as_ll_ptr
+    n_acc = lib.greedy_accept_scan_packed_mt(
+        len(keys),
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_ulonglong)),
+        p(m64), p(mirror), native.as_i8_ptr(sm),
+        p(u_out), p(v_out), p(d_out), cap,
+        min(os.cpu_count() or 1, 16), 1 << 19,
+    )
+    if n_acc < 0:
+        raise RuntimeError(f"packed acceptance scan failed ({n_acc})")
+    m[:] = m64
+    return np.stack(
+        [u_out[:n_acc], v_out[:n_acc], d_out[:n_acc]], axis=1
+    )
+
+
 def _native_sort_packed_chunks(g, chunks):
     """Fused chunk-concat + pack + MT radix + unpack
     (radix.cpp:accept_sort_packed_chunks): the separate three-column

@@ -102,6 +102,58 @@ def test_sharded_sssp_unpacked_fallback():
     assert got == _candidate_set(cands_1)
 
 
+def test_sharded_accept_key_sort_matches_numpy():
+    """The mesh-sharded odd-even merge-split sort is a full global sort
+    (exact, including duplicate keys and the padded tail)."""
+    from matchtigs_tpu.parallel.mesh import sharded_accept_key_sort
+
+    rng = np.random.default_rng(0)
+    for m in (0, 1, 7, 16, 1000, 54321):
+        keys = rng.integers(0, 1 << 62, m, dtype=np.int64)
+        got = sharded_accept_key_sort(keys)
+        assert np.array_equal(got, np.sort(keys)), m
+    # low-entropy duplicates (the d<<56 key space is highly clustered)
+    keys = rng.integers(0, 5, 10000, dtype=np.int64)
+    assert np.array_equal(sharded_accept_key_sort(keys), np.sort(keys))
+
+
+def test_mesh_accept_path_matches_host_accept():
+    """pack_accept_keys -> sharded sort -> packed scan must accept the
+    same set (and multiplicity updates) as the host greedy_accept."""
+    import matchtigs_tpu.ops.matching as M
+    from matchtigs_tpu.graph.bigraph import Bigraph
+    from matchtigs_tpu.ops.candidates import Candidates
+    from matchtigs_tpu.parallel.mesh import sharded_accept_key_sort
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    mirror = np.arange(n, dtype=np.int32).reshape(-1, 2)[:, ::-1].reshape(-1)
+    mirror[n - 200:] = np.arange(n - 200, n)  # self-mirrors
+    g = Bigraph(n, mirror.copy())
+    m0 = np.empty(n, dtype=np.int64)
+    half = rng.integers(-2, 3, n // 2)
+    m0[0::2] = half
+    m0[1::2] = -half
+    m0[n - 200:] = rng.integers(0, 2, 200)
+    chunks = [
+        Candidates(
+            rng.integers(0, n, m).astype(np.int64),
+            rng.integers(0, n, m).astype(np.int64),
+            rng.integers(1, 31, m).astype(np.int64),
+        )
+        for m in (4000, 1, 2500)
+    ]
+    keys = M.pack_accept_keys(chunks)
+    assert keys is not None
+    m_mesh, m_host = m0.copy(), m0.copy()
+    acc_mesh = M.greedy_accept_sorted_keys(
+        g, sharded_accept_key_sort(keys), m_mesh
+    )
+    acc_host = M.greedy_accept(g, Candidates.concat(chunks), m_host)
+    assert np.array_equal(acc_mesh, acc_host)
+    assert np.array_equal(m_mesh, m_host)
+
+
 def test_mesh_greedytigs_identical_to_single_device():
     """Full-pipeline parity: greedy matchtigs over the virtual 8-device
     mesh produce byte-identical tigs to the single-device/host path."""
