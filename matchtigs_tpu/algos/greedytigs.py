@@ -341,8 +341,19 @@ def collect_candidates(
 
             def run_host():
                 try:
+                    # Under a multi-host mesh each host computes only its
+                    # source slice; the collective that restores the
+                    # replicated set runs at the MAIN-thread join (issuing
+                    # it here would race the stage's own collectives —
+                    # cross-process collective order must be uniform).
+                    srcs_h = hard_sources
+                    if use_mesh:
+                        from ..parallel.mesh import process_source_slice
+
+                        srcs_h = process_source_slice(hard_sources)
                     res = host_dijkstra_candidates(
-                        dg, hard_sources, k - 1, in_mask, n_threads=config.host_threads
+                        dg, srcs_h, k - 1, in_mask,
+                        n_threads=config.host_threads,
                     )
                     if len(res):
                         res.u = dg.unmap_nodes(res.u)
@@ -557,14 +568,26 @@ def collect_candidates(
         if len(pending) > 0:
             if config.overflow_mode == "host" and host_available:
                 # Finish the heavy tail with the native host Dijkstra
-                # (keeps a single compiled device program shape).
+                # (keeps a single compiled device program shape).  Under a
+                # multi-host mesh each host computes only its source slice
+                # and the set is allgathered back (main thread: collective
+                # order stays uniform across processes).
                 host_dijkstra_candidates = _host_search_fn(config)
 
                 stats.retries += 1
                 stats.stage_sources.append(len(pending))
                 t_tail = time.monotonic()
+                tail_srcs = pending
+                if use_mesh:
+                    from ..parallel.mesh import (
+                        allgather_candidates,
+                        process_source_slice,
+                    )
+
+                    tail_srcs = process_source_slice(pending)
                 tail = host_dijkstra_candidates(
-                    dg, pending, k - 1, in_mask, n_threads=config.host_threads
+                    dg, tail_srcs, k - 1, in_mask,
+                    n_threads=config.host_threads,
                 )
                 logger.info(
                     "Finished %d overflowed sources on host in %.2fs",
@@ -574,6 +597,9 @@ def collect_candidates(
                 if len(tail):
                     tail.u = dg.unmap_nodes(tail.u)
                     tail.v = dg.unmap_nodes(tail.v)
+                if use_mesh:
+                    tail = allgather_candidates(tail)
+                if len(tail):
                     chunks.append(tail)
                 break
             if capacity >= config.max_capacity:
@@ -596,8 +622,14 @@ def collect_candidates(
                     time.monotonic() - t_phase)
         if host_error:
             raise host_error[0]
-        if host_result and len(host_result[0]):
-            chunks.append(host_result[0])
+        if host_result:
+            res = host_result[0]
+            if use_mesh:
+                from ..parallel.mesh import allgather_candidates
+
+                res = allgather_candidates(res)
+            if len(res):
+                chunks.append(res)
 
     if return_chunks:
         stats.candidates = sum(len(c) for c in chunks)

@@ -310,6 +310,49 @@ def sharded_bounded_sssp(
     return result, dist, overflow, srcs
 
 
+def process_source_slice(sources: np.ndarray) -> np.ndarray:
+    """This process's strided slice of a host-side source set: under a
+    multi-host mesh the host-routed and overflow-tail Dijkstra work
+    shards across hosts by source (each host computes only its slice;
+    :func:`allgather_candidates` restores the replicated candidate set).
+    Identity in single-process runs."""
+    n = jax.process_count()
+    if n == 1:
+        return sources
+    return sources[jax.process_index()::n]
+
+
+def allgather_candidates(c) -> "Candidates":
+    """Gather per-process candidate slices into the identical replicated
+    candidate set on every process, in process order (two-phase: counts,
+    then max-padded triple blocks via ``process_allgather`` — per-process
+    slice sizes differ, and the collective needs equal shapes).  The
+    downstream accept re-sorts globally, so process order only needs to
+    be deterministic, which it is."""
+    from ..ops.candidates import Candidates
+
+    n = jax.process_count()
+    if n == 1:
+        return c
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(
+        np.array([len(c)], dtype=np.int64), tiled=True
+    )
+    cap = int(counts.max())
+    local = np.zeros((3, cap), dtype=np.int64)
+    if len(c):
+        local[0, : len(c)] = c.u
+        local[1, : len(c)] = c.v
+        local[2, : len(c)] = c.d
+    blocks = multihost_utils.process_allgather(local[None], tiled=True)
+    cols = [
+        np.concatenate([blocks[p, i, : int(counts[p])] for p in range(n)])
+        for i in range(3)
+    ]
+    return Candidates(cols[0], cols[1], cols[2])
+
+
 @functools.partial(jax.jit, static_argnames=("n_dev", "mesh"))
 def _sharded_sort_impl(hi, lo, n_dev: int, mesh: Mesh):
     """Global sort of a mesh-sharded 64-bit key vector carried as

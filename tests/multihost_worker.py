@@ -64,12 +64,29 @@ def main() -> None:
     real = srcs != dg.n_nodes
     cands = extract_packed_candidates(dg, packed, srcs, real & ~overflow, mask)
     order = np.lexsort((cands.d, cands.v, cands.u))
+
+    # Full mesh pipeline under 2 real processes: small capacity forces the
+    # overflow host tail and the threshold forces host routing — both now
+    # compute per-process source slices and allgather (the DCN analog of
+    # the reference's single-host thread pool); the acceptance sort runs
+    # sharded over the global mesh.
+    from matchtigs_tpu.algos.greedytigs import GreedytigConfig, compute_greedytigs
+
+    cfg = GreedytigConfig(
+        k=k, use_mesh=True, engine="device", batch_size=4,
+        initial_capacity=4, max_capacity=4, overflow_mode="host",
+        host_route_threshold=1,
+    )
+    g2 = g.copy()
+    tigs = compute_greedytigs(g2, cfg)
     np.savez(
         out,
         u=cands.u[order],
         v=cands.v[order],
         d=cands.d[order],
         n_devices=mesh.devices.size,
+        tigs_flat=tigs.flat,
+        tigs_offsets=tigs.offsets,
     )
     jax.distributed.shutdown()
 

@@ -71,7 +71,7 @@ def test_two_process_sharded_sssp(tmp_path):
 
     res = [np.load(o) for o in outs]
     assert int(res[0]["n_devices"]) == 8
-    for key in ("u", "v", "d"):
+    for key in ("u", "v", "d", "tigs_flat", "tigs_offsets"):
         assert np.array_equal(res[0][key], res[1][key]), key
 
     # single-process reference on the in-process 8-device mesh
@@ -99,3 +99,14 @@ def test_two_process_sharded_sssp(tmp_path):
     assert np.array_equal(res[0]["u"], cands.u[order])
     assert np.array_equal(res[0]["v"], cands.v[order])
     assert np.array_equal(res[0]["d"], cands.d[order])
+
+    # the 2-process full pipeline (sliced host tails + allgather + mesh
+    # acceptance sort) must equal the plain single-process host path
+    from matchtigs_tpu.algos.greedytigs import (
+        GreedytigConfig,
+        compute_greedytigs,
+    )
+
+    tigs_host = compute_greedytigs(g.copy(), GreedytigConfig(k=k, engine="host"))
+    assert np.array_equal(res[0]["tigs_flat"], tigs_host.flat)
+    assert np.array_equal(res[0]["tigs_offsets"], tigs_host.offsets)
