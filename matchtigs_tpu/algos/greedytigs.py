@@ -737,9 +737,31 @@ def compute_greedytigs(
     logger.info("Balancing took %.2fs", time.monotonic() - t0)
 
     t0 = time.monotonic()
-    cycles = euler.eulerian_bicycle_decomposition(g)
-    logger.info("Found %d Eulerian bicycles", len(cycles))
-    tigs = euler.break_cycles(g, cycles, k)
+    tigs = None
+    if _want_mesh(config):
+        # Multi-host: euler+break distribute per-WCC over processes
+        # (byte-identical merge; parallel/mesh.py:distributed_euler_break).
+        try:
+            from .. import native
+
+            native.load()
+            import jax
+
+            if jax.process_count() > 1:
+                from ..parallel.mesh import distributed_euler_break
+
+                tigs = distributed_euler_break(g, k)
+                if tigs is not None:
+                    logger.info(
+                        "Euler+break ran per-WCC distributed over %d "
+                        "processes", jax.process_count(),
+                    )
+        except ImportError:
+            pass
+    if tigs is None:
+        cycles = euler.eulerian_bicycle_decomposition(g)
+        logger.info("Found %d Eulerian bicycles", len(cycles))
+        tigs = euler.break_cycles(g, cycles, k)
     logger.info(
         "Found %d greedytigs (euler+break %.2fs, total %.2fs)",
         len(tigs),

@@ -120,12 +120,20 @@ def load() -> ctypes.CDLL:
     lib.euler_decompose_parsplice.argtypes = [
         ll, ll, i32p, i32p, llp, i32p, ll, llp, llp,
     ]
+    lib.euler_decompose_parsplice_gids.restype = ll
+    lib.euler_decompose_parsplice_gids.argtypes = [
+        ll, ll, i32p, i32p, llp, i32p, ll, llp, llp, llp, llp,
+    ]
     i8p_ = ctypes.POINTER(ctypes.c_byte)
     lib.wcc_labels.restype = ll
     lib.wcc_labels.argtypes = [ll, ll, i32p, i32p, i32p]
     lib.break_cycles_flat.restype = ll
     lib.break_cycles_flat.argtypes = [
         ll, llp, llp, llp, i8p_, ll, llp, llp,
+    ]
+    lib.break_cycles_flat_cyc.restype = ll
+    lib.break_cycles_flat_cyc.argtypes = [
+        ll, llp, llp, llp, i8p_, ll, llp, llp, llp,
     ]
     lib.biwalk_cover.restype = ll
     lib.biwalk_cover.argtypes = [ll, ll] + [llp] * 8

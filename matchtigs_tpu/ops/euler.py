@@ -894,6 +894,204 @@ def _stitch_subtours_py(g: Bigraph, tours: list[list[int]]) -> list[np.ndarray]:
     return cycles
 
 
+def binode_wcc_labels(g: Bigraph) -> tuple[np.ndarray, int]:
+    """Mirror-connected (binode) component labels: per-node int32 labels
+    of the graph whose edges are the biedge endpoints plus the (v,
+    mirror v) contractions — exactly the components the Eulerian
+    decomposition emits one bicycle for.  Native union-find
+    (graphwalk.cpp:wcc_labels); one endpoint row per biedge PAIR (the
+    mirror arc connects the mirrored endpoints, already contracted).
+    Reference analog of the WCC split at
+    /root/reference/src/implementation/matchtigs/mod.rs:555-576."""
+    from .. import native
+
+    lib = native.load()
+    n = g.n_nodes
+    src_pairs = np.ascontiguousarray(g.srcs()[0::2], dtype=np.int32)
+    dst_pairs = np.ascontiguousarray(g.dsts()[0::2], dtype=np.int32)
+    mirr = np.ascontiguousarray(g.mirror_node, dtype=np.int32)
+    src_all = np.concatenate([src_pairs, np.arange(n, dtype=np.int32)])
+    dst_all = np.concatenate([dst_pairs, mirr])
+    labels = np.empty(n, dtype=np.int32)
+    n_comps = lib.wcc_labels(
+        n,
+        len(src_all),
+        native.as_i32_ptr(np.ascontiguousarray(src_all)),
+        native.as_i32_ptr(np.ascontiguousarray(dst_all)),
+        native.as_i32_ptr(labels),
+    )
+    return labels, int(n_comps)
+
+
+def wcc_part_assignment(
+    g: Bigraph, n_parts: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic component->part assignment for the distributed
+    euler+break: components ordered by descending biedge count (ties by
+    label id) are dealt round-robin over parts, so every part sees a
+    similar size profile.  Returns (per-node component labels,
+    per-component part ids)."""
+    labels, n_comps = binode_wcc_labels(g)
+    cl = labels[g.srcs()[0::2]]  # component of each biedge pair
+    sizes = np.bincount(cl, minlength=n_comps)
+    order = np.lexsort((np.arange(n_comps), -sizes))
+    part_of = np.empty(n_comps, dtype=np.int32)
+    part_of[order] = np.arange(n_comps, dtype=np.int32) % n_parts
+    return labels, part_of
+
+
+def decompose_break_wcc_part(
+    g: Bigraph, k: int, n_parts: int, part_id: int
+) -> tuple[Walks, np.ndarray]:
+    """Distributed per-WCC Eulerian decomposition + cycle break: this
+    part's slice of the final tigs, plus one int64 merge key per tig.
+
+    The balanced graph's mirror-connected components are dealt over
+    ``n_parts`` (see :func:`wcc_part_assignment`); each part extracts its
+    components as a subgraph under an ORDER-PRESERVING arc/node
+    renumbering and runs the native parsplice with the global arc ids
+    driving the splitter start set
+    (graphwalk.cpp:euler_decompose_parsplice_gids).  Because every other
+    parsplice phase is per-component and order-isomorphic under the
+    renumbering, each slice's cycles are exactly the global run's cycles
+    for those components — same content, rotation, and relative order —
+    so concatenating all parts and stable-sorting by the per-cycle key
+    ``class << 32 | first_arc_gid`` (class 0 = piece-assembled, 1 =
+    splitterless leftover) reproduces the single-host tig stream
+    byte-for-byte (:func:`merge_tig_parts`; the multiplicity of work the
+    reference distributes per-WCC at matchtigs/mod.rs:555-576).
+
+    Cycle break runs on the slice too
+    (graphwalk.cpp:break_cycles_flat_cyc tags each tig with its source
+    cycle); the returned keys are per-TIG (tigs of one cycle share its
+    key and stay in emission order under a stable merge sort).
+    """
+    import os
+
+    from .. import native
+
+    lib = native.load()
+    labels, part_of = wcc_part_assignment(g, n_parts)
+    src = g.srcs()
+    cl = labels[src[0::2]]
+    pair_ids = np.flatnonzero(part_of[cl] == part_id).astype(np.int64)
+    empty = (
+        Walks(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)),
+        np.empty(0, dtype=np.int64),
+    )
+    if not len(pair_ids):
+        return empty
+    arc_ids = np.empty(2 * len(pair_ids), dtype=np.int64)
+    arc_ids[0::2] = 2 * pair_ids
+    arc_ids[1::2] = 2 * pair_ids + 1
+
+    # order-preserving subgraph renumbering (nodes sorted ascending; the
+    # arc set is mirror- and endpoint-closed by construction)
+    sub_src = src[arc_ids]
+    sub_dst = g.dsts()[arc_ids]
+    nodes = np.unique(sub_src)
+    lsrc = np.searchsorted(nodes, sub_src)
+    ldst = np.ascontiguousarray(
+        np.searchsorted(nodes, sub_dst), dtype=np.int32
+    )
+    lmirror = np.ascontiguousarray(
+        np.searchsorted(nodes, np.asarray(g.mirror_node)[nodes]),
+        dtype=np.int32,
+    )
+    n_loc = len(nodes)
+    E = len(arc_ids)
+    out_off = np.zeros(n_loc + 1, dtype=np.int64)
+    np.cumsum(np.bincount(lsrc, minlength=n_loc), out=out_off[1:])
+    out_edges = np.ascontiguousarray(
+        np.argsort(lsrc, kind="stable"), dtype=np.int32
+    )
+
+    cycles_out = np.empty(E, dtype=np.int64)
+    offsets_out = np.empty(E, dtype=np.int64)
+    n_assembled = np.zeros(1, dtype=np.int64)
+    p = native.as_ll_ptr
+    n_cycles = lib.euler_decompose_parsplice_gids(
+        n_loc,
+        E,
+        native.as_i32_ptr(ldst),
+        native.as_i32_ptr(lmirror),
+        p(out_off),
+        native.as_i32_ptr(out_edges),
+        min(os.cpu_count() or 1, 8),
+        p(np.ascontiguousarray(arc_ids)),
+        p(cycles_out),
+        p(offsets_out),
+        p(n_assembled),
+    )
+    if n_cycles < 0:
+        raise AssertionError(
+            f"euler_decompose_parsplice_gids error {n_cycles}"
+        )
+    if n_cycles == 0:
+        return empty
+    end = int(offsets_out[n_cycles - 1])
+    flat_global = arc_ids[cycles_out[:end]]
+    offsets = offsets_out[:n_cycles]
+    starts = np.concatenate([[0], offsets[:-1]])
+    cycle_keys = (
+        (np.arange(n_cycles, dtype=np.int64) >= int(n_assembled[0])).astype(
+            np.int64
+        )
+        << 32
+    ) | flat_global[starts]
+
+    weights = np.ascontiguousarray(g.weights(), dtype=np.int64)
+    dmask = np.ascontiguousarray(g.is_dummy(), dtype=np.int8)
+    flat_c = np.ascontiguousarray(flat_global)
+    offs_c = np.ascontiguousarray(offsets)
+    tigs_out = np.empty(end, dtype=np.int64)
+    tig_off = np.empty(max(end, 1), dtype=np.int64)
+    tig_cycle = np.empty(max(end, 1), dtype=np.int64)
+    n_tigs = lib.break_cycles_flat_cyc(
+        n_cycles,
+        p(flat_c),
+        p(offs_c),
+        p(weights),
+        native.as_i8_ptr(dmask),
+        k,
+        p(tigs_out),
+        p(tig_off),
+        p(tig_cycle),
+    )
+    t_end = int(tig_off[n_tigs - 1]) if n_tigs else 0
+    return (
+        Walks(tigs_out[:t_end], tig_off[:n_tigs]),
+        cycle_keys[tig_cycle[:n_tigs]],
+    )
+
+
+def merge_tig_parts(parts: list[tuple[Walks, np.ndarray]]) -> Walks:
+    """Merge per-part tig slices into the global single-host tig order:
+    stable sort by the per-tig merge keys (unique per cycle; stability
+    keeps each cycle's tigs in emission order).  Parts must cover
+    disjoint component sets (any part order works — keys are global)."""
+    flats = [w.flat for w, _ in parts]
+    offs = [w.offsets for w, _ in parts]
+    keys = np.concatenate([k for _, k in parts]) if parts else np.empty(0)
+    if not len(keys):
+        return Walks(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    lengths = np.concatenate(
+        [np.diff(o, prepend=np.int64(0)) for o in offs]
+    )
+    flat_all = np.concatenate(flats)
+    starts_all = np.cumsum(lengths) - lengths
+    perm = np.argsort(keys, kind="stable")
+    L = lengths[perm]
+    new_off = np.cumsum(L)
+    new_starts = new_off - L
+    idx = (
+        np.arange(len(flat_all), dtype=np.int64)
+        - np.repeat(new_starts, L)
+        + np.repeat(starts_all[perm], L)
+    )
+    return Walks(flat_all[idx], new_off)
+
+
 def break_cycles(g: Bigraph, cycles: list[np.ndarray], k: int) -> Walks:
     """Rotate each bicycle so its longest dummy is first, then break at
     breaking dummies (weight >= k) and at a dummy in position 0.

@@ -353,6 +353,63 @@ def allgather_candidates(c) -> "Candidates":
     return Candidates(cols[0], cols[1], cols[2])
 
 
+def distributed_euler_break(g, k: int):
+    """Per-WCC distributed Eulerian decomposition + cycle break across
+    mesh PROCESSES (the downstream passes are host-side; chips don't
+    help them — hosts do).  Each process runs
+    :func:`matchtigs_tpu.ops.euler.decompose_break_wcc_part` on its
+    share of the balanced graph's mirror-connected components, then the
+    tig slices are allgathered (two-phase, like
+    :func:`allgather_candidates`) and merged by their global keys into
+    the byte-identical single-host tig stream
+    (:func:`matchtigs_tpu.ops.euler.merge_tig_parts`).  Returns ``None``
+    in single-process runs (callers fall through to the plain path).
+
+    Reference analog: the per-WCC work split at
+    /root/reference/src/implementation/matchtigs/mod.rs:555-576 — here
+    distributed over hosts instead of threads, removing the largest
+    fixed (replicated) cost from the multi-chip scaling model
+    (BASELINE.md round-5).
+    """
+    n = jax.process_count()
+    if n == 1:
+        return None
+    from ..ops.euler import decompose_break_wcc_part, merge_tig_parts
+    from ..ops.walks import Walks
+
+    walks, keys = decompose_break_wcc_part(g, k, n, jax.process_index())
+    lengths = np.diff(np.asarray(walks.offsets), prepend=np.int64(0))
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(
+        np.array([len(keys), len(walks.flat)], dtype=np.int64), tiled=False
+    )
+    counts = np.asarray(counts).reshape(n, 2)
+    cap_t = max(1, int(counts[:, 0].max()))
+    cap_f = max(1, int(counts[:, 1].max()))
+    meta_local = np.zeros((2, cap_t), dtype=np.int64)
+    meta_local[0, : len(keys)] = keys
+    meta_local[1, : len(keys)] = lengths
+    flat_local = np.zeros(cap_f, dtype=np.int64)
+    flat_local[: len(walks.flat)] = walks.flat
+    meta = np.asarray(
+        multihost_utils.process_allgather(meta_local[None], tiled=True)
+    )
+    flats = np.asarray(
+        multihost_utils.process_allgather(flat_local[None], tiled=True)
+    )
+    parts = []
+    for p in range(n):
+        n_t, n_f = int(counts[p, 0]), int(counts[p, 1])
+        parts.append(
+            (
+                Walks(flats[p, :n_f], np.cumsum(meta[p, 1, :n_t])),
+                meta[p, 0, :n_t],
+            )
+        )
+    return merge_tig_parts(parts)
+
+
 @functools.partial(jax.jit, static_argnames=("n_dev", "mesh"))
 def _sharded_sort_impl(hi, lo, n_dev: int, mesh: Mesh):
     """Global sort of a mesh-sharded 64-bit key vector carried as

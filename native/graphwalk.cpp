@@ -685,11 +685,23 @@ static i64 splice_decompose_impl(i64 n_nodes, i64 n_edges, const int32_t* dst,
 // arc sequence per mirror-connected component, each biedge in exactly
 // one orientation); the traversal ORDER differs (golden tests re-pin).
 // The python oracle in ops/euler.py follows this spec bit-for-bit.
+// gids (nullable): per-arc GLOBAL ids for a component-sliced subgraph
+// (ops/euler.py:decompose_break_wcc_part).  The renumbering is
+// order-preserving, so every phase except the splitter start set is
+// automatically identical to the global run restricted to the slice;
+// with gids the splitter test becomes gids[e] % LABEL_STEP == 0, making
+// slice outputs EXACT sub-multisets of the global run's cycles (same
+// content, same rotation, same relative order).  n_assembled_out
+// (nullable) receives the piece-assembled cycle count (the leftover
+// splitterless cycles trail it) so slices can be merged by
+// (class, first-arc) into the global emission order.
 static i64 parsplice_decompose_impl(i64 n_nodes, i64 n_edges,
                                     const int32_t* dst, const int32_t* mirror,
                                     const i64* out_off,
                                     const int32_t* out_edges, i64 n_threads,
-                                    i64* cycles_out, i64* cycle_offsets) {
+                                    i64* cycles_out, i64* cycle_offsets,
+                                    const i64* gids = nullptr,
+                                    i64* n_assembled_out = nullptr) {
   using I = int32_t;
   (void)dst;  // binode incidence is read via the out-CSR of mirror[v]
   PhaseTimer timer("euler_parsplice");
@@ -921,11 +933,24 @@ static i64 parsplice_decompose_impl(i64 n_nodes, i64 n_edges,
 
   // Start set: chosen-orientation splitters + each splice's successors.
   std::vector<uint64_t> sset(n_words, 0);
-  for (i64 e = 0; e < n_edges; e += LABEL_STEP) {
-    const I r = rep[e];
-    if (bit_get(chosen, r)) {
-      bit_set(sset, (I)e);
-      bit_set(has_start, r);
+  if (gids == nullptr) {
+    for (i64 e = 0; e < n_edges; e += LABEL_STEP) {
+      const I r = rep[e];
+      if (bit_get(chosen, r)) {
+        bit_set(sset, (I)e);
+        bit_set(has_start, r);
+      }
+    }
+  } else {
+    // component slice: splitters are the arcs whose GLOBAL id is a
+    // LABEL_STEP multiple (LABEL_STEP is a power of two)
+    for (i64 e = 0; e < n_edges; ++e) {
+      if (gids[e] & (LABEL_STEP - 1)) continue;
+      const I r = rep[e];
+      if (bit_get(chosen, r)) {
+        bit_set(sset, (I)e);
+        bit_set(has_start, r);
+      }
     }
   }
   for (const Swap& s : swaps) {
@@ -1068,6 +1093,7 @@ static i64 parsplice_decompose_impl(i64 n_nodes, i64 n_edges,
     for (auto& th : ts) th.join();
   }
   timer.lap("widening copy");
+  if (n_assembled_out) *n_assembled_out = n_cycles;
 
   // Leftovers: singleton splitterless pairs (no start anywhere in their
   // component) — chase serially from the chosen rep.  Ascending rep
@@ -1202,6 +1228,28 @@ i64 euler_decompose_parsplice(i64 n_nodes, i64 n_edges, const int32_t* dst,
   return parsplice_decompose_impl(n_nodes, n_edges, dst, mirror_node, out_off,
                                   out_edges, n_threads < 1 ? 1 : n_threads,
                                   cycles_out, cycle_offsets);
+}
+
+// Parsplice over a component-sliced subgraph carrying global arc ids
+// (gids, int64 [E] ascending; see parsplice_decompose_impl).  Emits
+// LOCAL arc ids; n_assembled_out gets the piece-assembled cycle count
+// (the splitterless leftovers trail).  Used by the per-WCC distributed
+// euler+break (ops/euler.py): merging slice cycles by (class,
+// first-arc-gid) reproduces the global emission order exactly.
+i64 euler_decompose_parsplice_gids(i64 n_nodes, i64 n_edges,
+                                   const int32_t* dst,
+                                   const int32_t* mirror_node,
+                                   const i64* out_off,
+                                   const int32_t* out_edges, i64 n_threads,
+                                   const i64* gids, i64* cycles_out,
+                                   i64* cycle_offsets,
+                                   i64* n_assembled_out) {
+  if (n_edges >= (i64)INT32_MAX - 1 || n_nodes >= (i64)INT32_MAX - 1)
+    return -4;  // int32 interface ceiling
+  return parsplice_decompose_impl(n_nodes, n_edges, dst, mirror_node, out_off,
+                                  out_edges, n_threads < 1 ? 1 : n_threads,
+                                  cycles_out, cycle_offsets, gids,
+                                  n_assembled_out);
 }
 
 // Maximal edge-disjoint biwalk cover (pathtigs).  Walks are extended
@@ -1400,10 +1448,11 @@ i64 balance_breaking_edges(i64 n_nodes, const i64* diff, const i64* mirror,
 // cycles: flat edge ids + per-cycle end offsets (the decomposition's
 // output format).  Returns the tig count; tigs_out (capacity n_edges)
 // and tig_offsets (capacity n_edges) receive flat tigs + end offsets.
-extern "C" i64 break_cycles_flat(i64 n_cycles, const i64* cycles,
-                                 const i64* cycle_off, const i64* weights,
-                                 const signed char* is_dummy, i64 k,
-                                 i64* tigs_out, i64* tig_offsets) {
+static i64 break_cycles_flat_impl(i64 n_cycles, const i64* cycles,
+                                  const i64* cycle_off, const i64* weights,
+                                  const signed char* is_dummy, i64 k,
+                                  i64* tigs_out, i64* tig_offsets,
+                                  i64* tig_cycle_out) {
   i64 pos = 0;
   i64 n_tigs = 0;
   for (i64 c = 0; c < n_cycles; ++c) {
@@ -1429,6 +1478,7 @@ extern "C" i64 break_cycles_flat(i64 n_cycles, const i64* cycles,
       const bool brk = dummy && (weights[e] >= k || j == 0);
       if (brk) {
         if (start >= 0) {
+          if (tig_cycle_out) tig_cycle_out[n_tigs] = c;
           tig_offsets[n_tigs++] = pos;
           start = -1;
         }
@@ -1438,9 +1488,35 @@ extern "C" i64 break_cycles_flat(i64 n_cycles, const i64* cycles,
       if (start < 0) start = j;
       tigs_out[pos++] = e;
     }
-    if (start >= 0) tig_offsets[n_tigs++] = pos;
+    if (start >= 0) {
+      if (tig_cycle_out) tig_cycle_out[n_tigs] = c;
+      tig_offsets[n_tigs++] = pos;
+    }
   }
   return n_tigs;
+}
+
+extern "C" i64 break_cycles_flat(i64 n_cycles, const i64* cycles,
+                                 const i64* cycle_off, const i64* weights,
+                                 const signed char* is_dummy, i64 k,
+                                 i64* tigs_out, i64* tig_offsets) {
+  return break_cycles_flat_impl(n_cycles, cycles, cycle_off, weights,
+                                is_dummy, k, tigs_out, tig_offsets, nullptr);
+}
+
+// break_cycles_flat + per-tig source-cycle index (tig_cycle_out,
+// capacity n_edges): the per-WCC distributed euler+break
+// (ops/euler.py:decompose_break_wcc_part) keys each tig by its cycle's
+// global merge key so slice outputs interleave into the exact
+// single-host tig order.
+extern "C" i64 break_cycles_flat_cyc(i64 n_cycles, const i64* cycles,
+                                     const i64* cycle_off, const i64* weights,
+                                     const signed char* is_dummy, i64 k,
+                                     i64* tigs_out, i64* tig_offsets,
+                                     i64* tig_cycle_out) {
+  return break_cycles_flat_impl(n_cycles, cycles, cycle_off, weights,
+                                is_dummy, k, tigs_out, tig_offsets,
+                                tig_cycle_out);
 }
 
 // Union-find connected-component labels over an undirected edge list.
