@@ -135,6 +135,10 @@ def load() -> ctypes.CDLL:
     lib.break_cycles_flat_cyc.argtypes = [
         ll, llp, llp, llp, i8p_, ll, llp, llp, llp,
     ]
+    lib.break_cycles_flat_mt.restype = ll
+    lib.break_cycles_flat_mt.argtypes = [
+        ll, llp, llp, llp, i8p_, ll, ll, llp, llp, llp, ll,
+    ]
     lib.biwalk_cover.restype = ll
     lib.biwalk_cover.argtypes = [ll, ll] + [llp] * 8
     lib.balance_breaking_edges.restype = ll

@@ -937,6 +937,22 @@ def wcc_part_assignment(
     order = np.lexsort((np.arange(n_comps), -sizes))
     part_of = np.empty(n_comps, dtype=np.int32)
     part_of[order] = np.arange(n_comps, dtype=np.int32) % n_parts
+    if logger.isEnabledFor(logging.INFO):
+        loads = np.bincount(part_of[cl], minlength=n_parts)
+        frac = loads.max() / max(1, loads.sum())
+        logger.info(
+            "WCC euler distribution: %d components over %d parts, "
+            "per-part biedge loads %s%s",
+            int((sizes > 0).sum()),
+            n_parts,
+            loads.tolist(),
+            (
+                f" (component-capped: largest part holds {100 * frac:.0f}%"
+                " of the biedges)"
+                if frac > 0.6 and n_parts > 1
+                else ""
+            ),
+        )
     return labels, part_of
 
 
@@ -1118,15 +1134,20 @@ def break_cycles(g: Bigraph, cycles: list[np.ndarray], k: int) -> Walks:
     E = len(flat)
     tigs_out = np.empty(E, dtype=np.int64)
     tig_off = np.empty(max(E, 1), dtype=np.int64)
-    n_tigs = lib.break_cycles_flat(
+    import os
+
+    n_tigs = lib.break_cycles_flat_mt(
         len(cycles),
         native.as_ll_ptr(flat),
         native.as_ll_ptr(cycle_off),
         native.as_ll_ptr(weights),
         native.as_i8_ptr(dmask),
         k,
+        min(os.cpu_count() or 1, 8),
         native.as_ll_ptr(tigs_out),
         native.as_ll_ptr(tig_off),
+        None,
+        0,
     )
     end = int(tig_off[n_tigs - 1]) if n_tigs else 0
     return Walks(tigs_out[:end], tig_off[:n_tigs])

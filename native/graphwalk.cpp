@@ -756,7 +756,8 @@ static i64 parsplice_decompose_impl(i64 n_nodes, i64 n_edges,
   // pair, in (node asc, CSR position asc) order.  MT over node ranges;
   // per-thread vectors concatenate back in range order.
   struct Rec {
-    I a0, a;  // in-arcs at the same node, in two different pairs
+    I a0, a;    // in-arcs at the same node, in two different pairs
+    I pA, pB;   // their pairlabels (carried to skip the Kruskal rescan)
   };
   std::vector<std::vector<Rec>> recs_t(nt);
   {
@@ -792,7 +793,7 @@ static i64 parsplice_decompose_impl(i64 n_nodes, i64 n_edges,
               arcs[np] = a;
               ++np;
             }
-            out.push_back({a0, a});
+            out.push_back({a0, a, pl0, pl});
           }
         }
       }
@@ -806,50 +807,52 @@ static i64 parsplice_decompose_impl(i64 n_nodes, i64 n_edges,
   }
   timer.lap("pair records");
 
-  // Kruskal over the records: DSU keyed by pairlabel (lazy, map-backed —
-  // only pairs that appear in records enter).
-  struct DSU {
-    std::unordered_map<I, I> parent;
-    I find(I x) {
-      auto it = parent.find(x);
-      if (it == parent.end()) {
-        parent.emplace(x, x);
-        return x;
-      }
-      I r = it->second;
-      while (true) {
-        auto it2 = parent.find(r);
-        if (it2->second == r) break;
-        r = it2->second;
-      }
-      // path compression
-      I c = x;
-      while (true) {
-        auto it2 = parent.find(c);
-        if (it2->second == r) break;
-        const I nx = it2->second;
-        it2->second = r;
-        c = nx;
-      }
-      return r;
+  // Kruskal over the records, on DENSE pair ids: the hash-map DSU the
+  // first version used cost 0.7-0.9s at 60M bases (one unordered_map
+  // probe per find step); collecting the record pairlabels first,
+  // sort+unique, and running an array DSU over their dense indices cuts
+  // the phase to sort speed.  Record order (hence the accepted forest)
+  // is unchanged.
+  std::vector<I> rec_pairs;  // sorted unique pairlabels in any record
+  {
+    size_t total = 0;
+    for (i64 t = 0; t < nt; ++t) total += recs_t[t].size();
+    rec_pairs.reserve(total * 2);
+  }
+  for (i64 t = 0; t < nt; ++t)
+    for (const Rec& r : recs_t[t]) {
+      rec_pairs.push_back(r.pA);
+      rec_pairs.push_back(r.pB);
     }
-    void unite(I a, I b) { parent[find(a)] = find(b); }
-  } dsu;
+  std::sort(rec_pairs.begin(), rec_pairs.end());
+  rec_pairs.erase(std::unique(rec_pairs.begin(), rec_pairs.end()),
+                  rec_pairs.end());
+  const i64 n_rp = (i64)rec_pairs.size();
+  auto dense_id = [&](I p) -> i64 {
+    return std::lower_bound(rec_pairs.begin(), rec_pairs.end(), p) -
+           rec_pairs.begin();
+  };
+  std::vector<I> parent(n_rp);
+  for (i64 i = 0; i < n_rp; ++i) parent[i] = (I)i;
+  auto find = [&](I x) -> I {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];  // path halving
+      x = parent[x];
+    }
+    return x;
+  };
   struct Edge {
-    I a0, a;   // record arcs (a0 in p0, a in p)
-    I p0, p;   // pairlabels
+    I a0, a;    // record arcs (a0 in pair d0, a in pair d)
+    I d0, d;    // dense pair ids
   };
   std::vector<Edge> tree;
-  std::vector<I> rec_pairs;  // pairlabels appearing in any record
   for (i64 t = 0; t < nt; ++t) {
     for (const Rec& r : recs_t[t]) {
-      const I pA = pairlabel(r.a0), pB = pairlabel(r.a);
-      const I fa = dsu.find(pA), fb = dsu.find(pB);
-      rec_pairs.push_back(pA);
-      rec_pairs.push_back(pB);
+      const I dA = (I)dense_id(r.pA), dB = (I)dense_id(r.pB);
+      const I fa = find(dA), fb = find(dB);
       if (fa != fb) {
-        dsu.unite(pA, pB);
-        tree.push_back({r.a0, r.a, pA, pB});
+        parent[fa] = fb;
+        tree.push_back({r.a0, r.a, dA, dB});
       }
     }
     recs_t[t].clear();
@@ -857,24 +860,34 @@ static i64 parsplice_decompose_impl(i64 n_nodes, i64 n_edges,
   }
   timer.lap("kruskal");
 
-  // Roots: min pairlabel per DSU component.  rec_pairs sorted ascending
-  // makes the first hit per class the minimum.
-  std::sort(rec_pairs.begin(), rec_pairs.end());
-  rec_pairs.erase(std::unique(rec_pairs.begin(), rec_pairs.end()),
-                  rec_pairs.end());
-  std::unordered_map<I, I> root_of;  // find-class -> root pairlabel
-  std::vector<I> roots;
-  for (I p : rec_pairs) {
-    const I f = dsu.find(p);
-    if (root_of.emplace(f, p).second) roots.push_back(p);
+  // Roots: min pairlabel per DSU class = first dense id hitting the
+  // class (dense ids ascend with pairlabel).
+  std::vector<I> root_of(n_rp, (I)-1);  // find-class -> root dense id
+  std::vector<I> roots;                 // root dense ids, ascending
+  for (i64 d = 0; d < n_rp; ++d) {
+    const I f = find((I)d);
+    if (root_of[f] == (I)-1) {
+      root_of[f] = (I)d;
+      roots.push_back((I)d);
+    }
   }
 
   // BFS orientation propagation + splice list (against pristine pi).
-  std::unordered_map<I, std::vector<int>> adj;
-  adj.reserve(rec_pairs.size() * 2);
-  for (size_t i = 0; i < tree.size(); ++i) {
-    adj[tree[i].p0].push_back((int)i);
-    adj[tree[i].p].push_back((int)i);
+  // Tree adjacency as CSR over dense pair ids (was per-pair hash-map
+  // vectors).
+  std::vector<int> adj_off(n_rp + 1, 0);
+  for (const Edge& e : tree) {
+    ++adj_off[e.d0 + 1];
+    ++adj_off[e.d + 1];
+  }
+  for (i64 d = 0; d < n_rp; ++d) adj_off[d + 1] += adj_off[d];
+  std::vector<int> adj_edges(tree.size() * 2);
+  {
+    std::vector<int> cur(adj_off.begin(), adj_off.end() - 1);
+    for (size_t i = 0; i < tree.size(); ++i) {
+      adj_edges[cur[tree[i].d0]++] = (int)i;
+      adj_edges[cur[tree[i].d]++] = (int)i;
+    }
   }
   std::vector<uint64_t> has_start(n_words, 0);
   struct Swap {
@@ -883,25 +896,23 @@ static i64 parsplice_decompose_impl(i64 n_nodes, i64 n_edges,
   std::vector<Swap> swaps;
   swaps.reserve(tree.size());
   {
-    std::unordered_map<I, char> visited;
-    visited.reserve(rec_pairs.size() * 2);
+    std::vector<char> visited(n_rp, 0);
     std::vector<I> queue;
     for (I r0 : roots) {
-      if (visited.count(r0)) continue;
+      if (visited[r0]) continue;
       visited[r0] = 1;
       queue.clear();
       queue.push_back(r0);
       for (size_t qi = 0; qi < queue.size(); ++qi) {
         const I P = queue[qi];
-        auto it = adj.find(P);
-        if (it == adj.end()) continue;
-        for (int ei : it->second) {
+        for (int ai = adj_off[P]; ai < adj_off[P + 1]; ++ai) {
+          const int ei = adj_edges[ai];
           const Edge& ed = tree[ei];
-          const I C = ed.p0 == P ? ed.p : ed.p0;
-          if (visited.count(C)) continue;
+          const I C = ed.d0 == P ? ed.d : ed.d0;
+          if (visited[C]) continue;
           visited[C] = 1;
-          I aP = ed.p0 == P ? ed.a0 : ed.a;
-          I aC = ed.p0 == P ? ed.a : ed.a0;
+          I aP = ed.d0 == P ? ed.a0 : ed.a;
+          I aC = ed.d0 == P ? ed.a : ed.a0;
           if (!bit_get(chosen, rep[(i64)(uint32_t)aP])) {
             // flip the record to the mirror node's representations
             aP = pi[(i64)(uint32_t)aP] ^ (I)1;
@@ -1452,7 +1463,15 @@ static i64 break_cycles_flat_impl(i64 n_cycles, const i64* cycles,
                                   const i64* cycle_off, const i64* weights,
                                   const signed char* is_dummy, i64 k,
                                   i64* tigs_out, i64* tig_offsets,
-                                  i64* tig_cycle_out) {
+                                  i64* tig_cycle_out, i64 n_threads = 1,
+                                  i64 big_threshold = 0) {
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  // A cycle at least this long gets intra-cycle MT (argmax reduce +
+  // break-position collection + per-segment copies); the 60M greedy
+  // graph is ONE 20.7M-arc bicycle, so per-cycle parallelism alone
+  // parallelizes nothing there.  Small cycles keep the sequential walk.
+  // Parity tests pass a tiny threshold to force the MT path.
+  const i64 BIG = big_threshold > 0 ? big_threshold : i64(1) << 21;
   i64 pos = 0;
   i64 n_tigs = 0;
   for (i64 c = 0; c < n_cycles; ++c) {
@@ -1460,6 +1479,110 @@ static i64 break_cycles_flat_impl(i64 n_cycles, const i64* cycles,
     const i64 hi = cycle_off[c];
     const i64 len = hi - lo;
     if (len <= 0) continue;
+    if (nt > 1 && len >= BIG) {
+      // -- MT rotation argmax: first index attaining the max dummy weight
+      std::vector<i64> t_best(nt, 0), t_rot(nt, -1);
+      std::vector<std::thread> ts;
+      const i64 chunk = (len + nt - 1) / nt;
+      for (i64 t = 0; t < nt; ++t) {
+        const i64 a = lo + t * chunk;
+        if (a >= hi) break;
+        ts.emplace_back([&, t, a] {
+          const i64 b = std::min(hi, a + chunk);
+          i64 best = 0, rot = -1;
+          for (i64 i = a; i < b; ++i) {
+            const i64 e = cycles[i];
+            if (is_dummy[e] && weights[e] > best) {
+              best = weights[e];
+              rot = i - lo;
+            }
+          }
+          t_best[t] = best;
+          t_rot[t] = rot;
+        });
+      }
+      for (auto& th : ts) th.join();
+      ts.clear();
+      i64 best = 0, rot = 0;
+      for (i64 t = 0; t < nt; ++t)  // ascending: first chunk wins ties
+        if (t_rot[t] >= 0 && t_best[t] > best) {
+          best = t_best[t];
+          rot = t_rot[t];
+        }
+      // rotated index j -> flat position without modulo
+      const i64 split = len - rot;  // j < split: lo+rot+j, else lo+j-split
+      auto arc_at = [&](i64 j) -> i64 {
+        return cycles[j < split ? lo + rot + j : lo + j - split];
+      };
+      // -- MT break-position collection (rotated coordinates, ascending)
+      std::vector<std::vector<i64>> bp_t(nt);
+      for (i64 t = 0; t < nt; ++t) {
+        const i64 a = t * chunk;
+        if (a >= len) break;
+        ts.emplace_back([&, t, a] {
+          const i64 b = std::min(len, a + chunk);
+          auto& out = bp_t[t];
+          for (i64 j = a; j < b; ++j) {
+            const i64 e = arc_at(j);
+            if (is_dummy[e] && weights[e] >= k) out.push_back(j);
+          }
+        });
+      }
+      for (auto& th : ts) th.join();
+      ts.clear();
+      std::vector<i64> bpos;
+      for (i64 t = 0; t < nt; ++t)
+        bpos.insert(bpos.end(), bp_t[t].begin(), bp_t[t].end());
+      // j == 0 breaks iff the rotation arc is a dummy (any weight)
+      if (is_dummy[arc_at(0)] && (bpos.empty() || bpos[0] != 0))
+        bpos.insert(bpos.begin(), 0);
+      // segments between breaks + the oracle's trailing-dummy tail rule
+      std::vector<i64> seg_st, seg_en;
+      seg_st.reserve(bpos.size() + 1);
+      seg_en.reserve(bpos.size() + 1);
+      i64 st = 0;
+      for (i64 b : bpos) {
+        seg_st.push_back(st);
+        seg_en.push_back(b);
+        st = b + 1;
+      }
+      seg_st.push_back(st);
+      seg_en.push_back(len);
+      if (seg_st.back() < len && is_dummy[arc_at(len - 1)])
+        seg_en.back() = len - 1;
+      // keep non-empty segments; absolute output offsets by prefix sum
+      std::vector<i64> k_st, k_en, k_dst;
+      k_st.reserve(seg_st.size());
+      k_en.reserve(seg_st.size());
+      k_dst.reserve(seg_st.size());
+      for (size_t i = 0; i < seg_st.size(); ++i)
+        if (seg_st[i] < seg_en[i]) {
+          k_st.push_back(seg_st[i]);
+          k_en.push_back(seg_en[i]);
+          k_dst.push_back(pos);
+          pos += seg_en[i] - seg_st[i];
+        }
+      const i64 n_seg = (i64)k_st.size();
+      for (i64 i = 0; i < n_seg; ++i) {
+        if (tig_cycle_out) tig_cycle_out[n_tigs] = c;
+        tig_offsets[n_tigs++] = k_dst[i] + (k_en[i] - k_st[i]);
+      }
+      // -- MT segment copies (two linear spans per segment)
+      const i64 seg_chunk = (n_seg + nt - 1) / nt;
+      for (i64 t = 0; t < nt; ++t) {
+        const i64 a = t * seg_chunk;
+        if (a >= n_seg) break;
+        ts.emplace_back([&, a] {
+          const i64 b = std::min(n_seg, a + seg_chunk);
+          for (i64 i = a; i < b; ++i) {
+            i64* out = tigs_out + k_dst[i];
+            for (i64 j = k_st[i]; j < k_en[i]; ++j) *out++ = arc_at(j);
+          }
+        });
+      }
+      for (auto& th : ts) th.join();
+      continue;
+    }
     // rotation start: first index attaining the max dummy weight
     i64 rot = 0;
     i64 best = 0;
@@ -1517,6 +1640,21 @@ extern "C" i64 break_cycles_flat_cyc(i64 n_cycles, const i64* cycles,
   return break_cycles_flat_impl(n_cycles, cycles, cycle_off, weights,
                                 is_dummy, k, tigs_out, tig_offsets,
                                 tig_cycle_out);
+}
+
+// break_cycles_flat with intra-cycle MT for big cycles (the 60M greedy
+// graph is one 20.7M-arc bicycle, so per-cycle parallelism alone cannot
+// help): MT rotation argmax, MT break-position collection, MT
+// per-segment copies.  tig_cycle_out may be NULL.
+extern "C" i64 break_cycles_flat_mt(i64 n_cycles, const i64* cycles,
+                                    const i64* cycle_off, const i64* weights,
+                                    const signed char* is_dummy, i64 k,
+                                    i64 n_threads, i64* tigs_out,
+                                    i64* tig_offsets, i64* tig_cycle_out,
+                                    i64 big_threshold) {
+  return break_cycles_flat_impl(n_cycles, cycles, cycle_off, weights,
+                                is_dummy, k, tigs_out, tig_offsets,
+                                tig_cycle_out, n_threads, big_threshold);
 }
 
 // Union-find connected-component labels over an undirected edge list.

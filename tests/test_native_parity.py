@@ -476,6 +476,50 @@ def test_break_cycles_native_matches_python(case):
         assert np.array_equal(a, b)
 
 
+@pytest.mark.parametrize("case", CASES)
+@pytest.mark.parametrize("big_threshold", [1, 4, 64])
+def test_break_cycles_mt_path_matches_serial(case, big_threshold):
+    """The intra-cycle MT breaker (forced onto every cycle via a tiny
+    big_threshold, 4 threads) == the serial walk bit-for-bit, including
+    per-tig source-cycle ids."""
+    from matchtigs_tpu import native
+    from matchtigs_tpu.algos.greedytigs import (
+        GreedytigConfig,
+        compute_greedytigs,
+    )
+    from matchtigs_tpu.ops.walks import Walks
+
+    store, _, k = testing.make_unitig_store(**case)
+    g = build_bigraph_from_unitigs(store, k)
+    compute_greedytigs(g.copy(), GreedytigConfig(k=k))
+    euler.make_eulerian_with_breaking_edges(g, k, 0)
+    cycles = euler.eulerian_bicycle_decomposition(g)
+    wk = Walks.from_list(cycles)
+    lib = native.load()
+    p = native.as_ll_ptr
+    flat = np.ascontiguousarray(wk.flat, dtype=np.int64)
+    coff = np.ascontiguousarray(wk.offsets, dtype=np.int64)
+    weights = np.ascontiguousarray(g.weights(), dtype=np.int64)
+    dmask = np.ascontiguousarray(g.is_dummy(), dtype=np.int8)
+    E = len(flat)
+
+    def run(nt, big):
+        tigs = np.empty(E, dtype=np.int64)
+        toff = np.empty(max(E, 1), dtype=np.int64)
+        tcyc = np.empty(max(E, 1), dtype=np.int64)
+        n = lib.break_cycles_flat_mt(
+            len(cycles), p(flat), p(coff), p(weights),
+            native.as_i8_ptr(dmask), k, nt, p(tigs), p(toff), p(tcyc), big,
+        )
+        end = int(toff[n - 1]) if n else 0
+        return tigs[:end].copy(), toff[:n].copy(), tcyc[:n].copy()
+
+    serial = run(1, 1 << 62)
+    forced = run(4, big_threshold)
+    for a, b in zip(serial, forced):
+        assert np.array_equal(a, b)
+
+
 def test_stable_order_matches_numpy_argsort():
     """native stable_order_i32 == np.argsort(kind='stable') bit-exactly,
     over uniform, skewed, and degenerate key distributions."""
