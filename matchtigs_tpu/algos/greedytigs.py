@@ -322,48 +322,18 @@ def collect_candidates(
                 "native host Dijkstra unavailable; disabling host routing "
                 "and using the on-device capacity ladder"
             )
+    hard_sources = None
     if config.host_route_threshold >= 0 and host_available:
         hard = difficulty <= config.host_route_threshold
         if hard.any() and not hard.all():
-            import threading
-
-            host_dijkstra_candidates = _host_search_fn(config)
-
             hard_sources = pending[hard]
             stats.host_routed = len(hard_sources)
             pending = pending[~hard]
             difficulty = difficulty[~hard]
             logger.info(
-                "Routing %d dense-tangle sources to the host Dijkstra "
-                "(concurrent with device batches)",
+                "Routing %d dense-tangle sources to the host Dijkstra",
                 len(hard_sources),
             )
-
-            def run_host():
-                try:
-                    # Under a multi-host mesh each host computes only its
-                    # source slice; the collective that restores the
-                    # replicated set runs at the MAIN-thread join (issuing
-                    # it here would race the stage's own collectives —
-                    # cross-process collective order must be uniform).
-                    srcs_h = hard_sources
-                    if use_mesh:
-                        from ..parallel.mesh import process_source_slice
-
-                        srcs_h = process_source_slice(hard_sources)
-                    res = host_dijkstra_candidates(
-                        dg, srcs_h, k - 1, in_mask,
-                        n_threads=config.host_threads,
-                    )
-                    if len(res):
-                        res.u = dg.unmap_nodes(res.u)
-                        res.v = dg.unmap_nodes(res.v)
-                    host_result.append(res)
-                except BaseException as e:  # re-raised on the main thread
-                    host_error.append(e)
-
-            host_thread = threading.Thread(target=run_host)
-            host_thread.start()
     # primary: difficulty descending; secondary: device node id ascending
     # (gather locality).  One packed value sort (numpy's SIMD int64 sort)
     # instead of a two-key lexsort: ~1.3s saved at 4M sources.
@@ -398,9 +368,39 @@ def collect_candidates(
         and len(pending) >= 8 * batch_size
         and _can_pack_out(dg, k - 1)
     )
-    if use_chunked:
-        import threading as _threading
+    if hard_sources is not None and not use_chunked:
+        # Mesh / non-chunked paths keep the concurrent-thread shape (the
+        # chunked path above runs it inline between dispatch and fetch).
+        import threading
 
+        host_dijkstra_candidates = _host_search_fn(config)
+
+        def run_host():
+            try:
+                # Under a multi-host mesh each host computes only its
+                # source slice; the collective that restores the
+                # replicated set runs at the MAIN-thread join (issuing
+                # it here would race the stage's own collectives —
+                # cross-process collective order must be uniform).
+                srcs_h = hard_sources
+                if use_mesh:
+                    from ..parallel.mesh import process_source_slice
+
+                    srcs_h = process_source_slice(hard_sources)
+                res = host_dijkstra_candidates(
+                    dg, srcs_h, k - 1, in_mask,
+                    n_threads=config.host_threads,
+                )
+                if len(res):
+                    res.u = dg.unmap_nodes(res.u)
+                    res.v = dg.unmap_nodes(res.v)
+                host_result.append(res)
+            except BaseException as e:  # re-raised on the main thread
+                host_error.append(e)
+
+        host_thread = threading.Thread(target=run_host)
+        host_thread.start()
+    if use_chunked:
         from ..ops.sssp import (
             batched_bounded_sssp_dispatch,
             extract_packed_candidates,
@@ -415,9 +415,32 @@ def collect_candidates(
             batched_bounded_sssp_dispatch(dg, h, k - 1, capacity, batch_size)
             for h in halves
         ]
-        tail_results: list[Candidates] = []
-        tail_errors: list[BaseException] = []
-        tail_threads = []
+        # Host-routed dense tangles run HERE, on the main thread, while
+        # the dispatched chunks compute remotely: the device makes full
+        # progress without host CPU, and the result downloads start only
+        # after the host cores are free again.  Running this concurrently
+        # with fetch/extract instead is mutually destructive on the
+        # tunnel-relay transport (measured at 60M: stage 3.9s alone
+        # inflates to 6.6-14.3s under a 4-thread concurrent Dijkstra, and
+        # the 2.2s Dijkstra to 5-15s, in every threading/niceness
+        # combination; dispatch->host->fetch runs both at full speed).
+        host_routed_s = 0.0
+        if hard_sources is not None:
+            t_h = time.monotonic()
+            res = _host_search_fn(config)(
+                dg, hard_sources, k - 1, in_mask,
+                n_threads=config.host_threads,
+            )
+            if len(res):
+                res.u = dg.unmap_nodes(res.u)
+                res.v = dg.unmap_nodes(res.v)
+                chunks.append(res)
+            host_routed_s = time.monotonic() - t_h
+            logger.info(
+                "Host-routed Dijkstra (%d sources) under device compute: "
+                "%.2fs", len(hard_sources), host_routed_s,
+            )
+        pend_tail: list[np.ndarray] = []
         n_overflow = 0
         n_kept = 0
         n_done_slots = 0
@@ -438,27 +461,12 @@ def collect_candidates(
             n_done_slots += int(done.sum()) * key.shape[1]
             pend_h = srcs_h[over]
             if len(pend_h):
-
-                def run_tail(p=pend_h):
-                    try:
-                        t = host_dijkstra_tail(
-                            dg, p, k - 1, in_mask,
-                            n_threads=config.host_threads,
-                        )
-                        if len(t):
-                            t.u = dg.unmap_nodes(t.u)
-                            t.v = dg.unmap_nodes(t.v)
-                        tail_results.append(t)
-                    except BaseException as e:
-                        tail_errors.append(e)
-
-                th = _threading.Thread(target=run_tail)
-                th.start()
-                tail_threads.append(th)
+                pend_tail.append(pend_h)
         stage_t = time.monotonic() - t_dev
         logger.info(
-            "Device stage (2 overlapped chunks): %d sources in %.2fs",
-            len(pending), stage_t,
+            "Device stage (2 overlapped chunks): %d sources in %.2fs"
+            " (%.2fs of host-routed Dijkstra overlapped under compute)",
+            len(pending), stage_t, host_routed_s,
         )
         stats.stage_times.append(stage_t)
         stats.stage_overflow_frac.append(n_overflow / max(1, len(pending)))
@@ -466,16 +474,18 @@ def collect_candidates(
         if n_overflow:
             stats.retries += 1
             stats.stage_sources.append(n_overflow)
-        t_tail = time.monotonic()
-        for th in tail_threads:
-            th.join()
-        if tail_errors:
-            raise tail_errors[0]
-        chunks.extend(t for t in tail_results if len(t))
-        if tail_threads:
+        if pend_tail:
+            t_tail = time.monotonic()
+            t = host_dijkstra_tail(
+                dg, np.concatenate(pend_tail), k - 1, in_mask,
+                n_threads=config.host_threads,
+            )
+            if len(t):
+                t.u = dg.unmap_nodes(t.u)
+                t.v = dg.unmap_nodes(t.v)
+                chunks.append(t)
             logger.info(
-                "Finished %d overflowed sources on host (overlapped; "
-                "join wait %.2fs)",
+                "Finished %d overflowed sources on host in %.2fs",
                 n_overflow, time.monotonic() - t_tail,
             )
         pending = pending[:0]
