@@ -149,36 +149,45 @@ def device_run(genome_length: int = GENOME_LENGTH,
     compute_greedytigs(g.copy(), cfg)
     print(f"warmup(compile+pass): {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
-    # min of two timed passes: host page-fault ambience can inflate a
-    # single pass 1.5-4x (CLAUDE.md); the second pass costs ~elapsed.
-    t0 = time.monotonic()
-    compute_greedytigs(g.copy(), cfg)
-    elapsed_a = time.monotonic() - t0
-    t0 = time.monotonic()
-    stats = SearchStats()
-    tigs = compute_greedytigs(g, cfg, stats=stats)
-    elapsed = min(time.monotonic() - t0, elapsed_a)
-    # Per-chip scaling unit: device-stage sources/s (stage_times holds one
-    # entry per device stage; stage_sources pairs with it positionally —
-    # the host-tail append, if any, trails and is dropped by zip).
-    dev_sources = sum(s for s, _ in zip(stats.stage_sources, stats.stage_times))
-    dev_stage_s = sum(stats.stage_times)
-    print(
-        f"device greedytigs: {elapsed:.2f}s -> {len(store)/elapsed:.0f} "
-        f"unitigs/s, {len(tigs)} tigs; device stage {dev_sources} sources "
-        f"in {dev_stage_s:.2f}s",
-        file=sys.stderr,
-    )
-    Path(result_file).write_text(
-        json.dumps(
-            {
-                "elapsed": elapsed,
+    # min of three timed passes: host page-fault ambience can inflate a
+    # single pass 1.5-4x (CLAUDE.md) and hits random phases, so more
+    # reps buy a much better min at ~elapsed each.  The stage metrics
+    # travel with the best rep (stage_times holds one entry per device
+    # stage; stage_sources pairs with it positionally — the host-tail
+    # append, if any, trails and is dropped by zip).  Note the stage
+    # wall now INCLUDES the host-routed Dijkstra overlapped under the
+    # device compute (dispatch->host->fetch ordering).
+    best = None
+    for rep in range(3):
+        g_rep = g.copy()  # outside the timer, like the host path's caller
+        t0 = time.monotonic()
+        stats = SearchStats()
+        tigs = compute_greedytigs(g_rep, cfg, stats=stats)
+        el = time.monotonic() - t0
+        dev_sources = sum(
+            s for s, _ in zip(stats.stage_sources, stats.stage_times)
+        )
+        dev_stage_s = sum(stats.stage_times)
+        print(
+            f"  device rep {rep}: {el:.2f}s (stage {dev_stage_s:.2f}s)",
+            file=sys.stderr,
+        )
+        if best is None or el < best["elapsed"]:
+            best = {
+                "elapsed": el,
                 "tigs": len(tigs),
                 "device_stage_s": dev_stage_s,
                 "device_stage_sources": dev_sources,
             }
-        )
+    elapsed = best["elapsed"]
+    print(
+        f"device greedytigs: {elapsed:.2f}s -> {len(store)/elapsed:.0f} "
+        f"unitigs/s, {best['tigs']} tigs; device stage "
+        f"{best['device_stage_sources']} sources in "
+        f"{best['device_stage_s']:.2f}s",
+        file=sys.stderr,
     )
+    Path(result_file).write_text(json.dumps(best))
 
 
 def host_greedytigs_time(store, k, g, reference_design: bool = False) -> float:
