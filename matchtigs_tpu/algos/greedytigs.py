@@ -440,11 +440,22 @@ def collect_candidates(
                 "Host-routed Dijkstra (%d sources) under device compute: "
                 "%.2fs", len(hard_sources), host_routed_s,
             )
+        # Overflow-tail policy: a SMALL tail (sub-~0.4s of host work)
+        # overlaps chunk B's compute/download in a thread — measured at
+        # flagship scale (163k sources) it finishes within the stage
+        # (join wait 0.14s) and interferes negligibly.  A big tail
+        # (60M: 918k sources) hits the same mutual destruction as the
+        # concurrent Dijkstra above and runs inline after the fetch loop
+        # instead (1.4-2.1s alone vs 3-5s overlapped).
+        tail_overlap_max = 1 << 18
         pend_tail: list[np.ndarray] = []
+        tail_threads: list = []
+        tail_results: list[Candidates] = []
+        tail_errors: list[BaseException] = []
         n_overflow = 0
         n_kept = 0
         n_done_slots = 0
-        for srcs_h, handle in zip(halves, handles):
+        for ci, (srcs_h, handle) in enumerate(zip(halves, handles)):
             key, over = handle.fetch()
             done = ~over
             t_ext = time.monotonic()
@@ -460,7 +471,28 @@ def collect_candidates(
             n_kept += len(tri)
             n_done_slots += int(done.sum()) * key.shape[1]
             pend_h = srcs_h[over]
-            if len(pend_h):
+            if not len(pend_h):
+                continue
+            if ci + 1 < len(halves) and len(pend_h) <= tail_overlap_max:
+                import threading as _threading
+
+                def run_tail(p=pend_h):
+                    try:
+                        t = host_dijkstra_tail(
+                            dg, p, k - 1, in_mask,
+                            n_threads=config.host_threads,
+                        )
+                        if len(t):
+                            t.u = dg.unmap_nodes(t.u)
+                            t.v = dg.unmap_nodes(t.v)
+                        tail_results.append(t)
+                    except BaseException as e:
+                        tail_errors.append(e)
+
+                th = _threading.Thread(target=run_tail)
+                th.start()
+                tail_threads.append(th)
+            else:
                 pend_tail.append(pend_h)
         stage_t = time.monotonic() - t_dev
         logger.info(
@@ -486,7 +518,18 @@ def collect_candidates(
                 chunks.append(t)
             logger.info(
                 "Finished %d overflowed sources on host in %.2fs",
-                n_overflow, time.monotonic() - t_tail,
+                sum(len(p) for p in pend_tail), time.monotonic() - t_tail,
+            )
+        if tail_threads:
+            t_join = time.monotonic()
+            for th in tail_threads:
+                th.join()
+            if tail_errors:
+                raise tail_errors[0]
+            chunks.extend(t for t in tail_results if len(t))
+            logger.info(
+                "Small overflow tail overlapped with chunk B (join wait "
+                "%.2fs)", time.monotonic() - t_join,
             )
         pending = pending[:0]
 
