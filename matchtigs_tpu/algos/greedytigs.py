@@ -401,10 +401,7 @@ def collect_candidates(
         host_thread = threading.Thread(target=run_host)
         host_thread.start()
     if use_chunked:
-        from ..ops.sssp import (
-            batched_bounded_sssp_dispatch,
-            extract_packed_candidates,
-        )
+        from ..ops.sssp import batched_bounded_sssp_dispatch
 
         host_dijkstra_tail = _host_search_fn(config)
         halves = [pending[0::2], pending[1::2]]
@@ -456,20 +453,19 @@ def collect_candidates(
         n_kept = 0
         n_done_slots = 0
         for ci, (srcs_h, handle) in enumerate(zip(halves, handles)):
-            key, over = handle.fetch()
-            done = ~over
             t_ext = time.monotonic()
-            tri = extract_packed_candidates(dg, key, srcs_h, done, in_mask)
+            tri, over = handle.fetch_candidates(dg, srcs_h, in_mask)
+            done = ~over
             logger.info(
-                "Extracted %d triples from %dx%d packed slots in %.2fs",
-                len(tri), key.shape[0], key.shape[1],
+                "Fetched %d triples from %dx%d slots in %.2fs",
+                len(tri), len(srcs_h), capacity,
                 time.monotonic() - t_ext,
             )
             if len(tri):
                 chunks.append(tri)
             n_overflow += int(over.sum())
             n_kept += len(tri)
-            n_done_slots += int(done.sum()) * key.shape[1]
+            n_done_slots += int(done.sum()) * capacity
             pend_h = srcs_h[over]
             if not len(pend_h):
                 continue

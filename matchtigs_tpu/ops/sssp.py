@@ -438,6 +438,54 @@ def _sssp_run_pool(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "capacity", "max_rounds", "deg_pad", "packed", "pool", "budget",
+        "adj_packed",
+    ),
+)
+def _sssp_run_pool_compact(
+    nbr, nw, sources_all, max_weight,
+    capacity: int, max_rounds: int, deg_pad: int, packed: bool,
+    pool: int, budget: int, adj_packed: bool = False,
+):
+    """Pool stage + device-side valid-slot compaction.
+
+    74-80%% of the packed result slots are invalid (occupancy ~26%% at
+    C=4), yet the full [S, C] buffer rides the high-latency device link
+    (~36MB/chunk = the bulk of a 2.8s fetch window at 60M bases).  This
+    variant filters the slots the host extraction would drop anyway
+    (sentinel node, dist outside [1, max_weight], overflowed row) ON
+    DEVICE, compacts the survivors in row-major order via one two-key
+    sort (x64-free: int32 flat-position key with an invalid bit at
+    2^30), and returns a fixed ``budget``-sized value buffer plus int8
+    per-row counts — a ~3.4x smaller download.  The full buffer stays
+    resident on device as the fallback when the valid count exceeds the
+    budget (``DispatchedStage.fetch_candidates`` re-downloads it whole
+    and runs the native extraction instead)."""
+    nodes_buf, _, over_buf = _pool_impl(
+        nbr, nw, sources_all, max_weight,
+        capacity=capacity, max_rounds=max_rounds, deg_pad=deg_pad,
+        packed=packed, pool=pool, pack_out=True, adj_packed=adj_packed,
+    )
+    R, C = nodes_buf.shape  # S_pad + 1 rows; the trash row is last
+    sentinel = jnp.int32(nbr.shape[0] - 1)
+    dist = nodes_buf & jnp.int32((1 << DIST_BITS) - 1)
+    node = nodes_buf >> DIST_BITS
+    valid = (node != sentinel) & (dist >= 1) & (dist <= max_weight)
+    valid = valid & (~over_buf)[:, None]
+    valid = valid.at[R - 1].set(False)
+    counts = valid.sum(axis=1, dtype=jnp.int32)
+    total = counts.sum(dtype=jnp.int32)
+    if C <= 127:  # counts <= C fit int8: quarters the counts download
+        counts = counts.astype(jnp.int8)
+    flatpos = jnp.arange(R * C, dtype=jnp.int32)
+    key = jnp.where(valid.reshape(-1), flatpos, flatpos + jnp.int32(1 << 30))
+    _, compact = jax.lax.sort((key, nodes_buf.reshape(-1)), num_keys=1)
+    return compact[:budget], counts, total, over_buf, nodes_buf
+
+
 # NOTE: no donate_argnums — XLA's donation/aliasing analysis through the
 # inner while_loop inflates compile time ~100x on this backend; the
 # on-device buffer copies it avoids cost only a few ms per step.
@@ -497,16 +545,53 @@ class DispatchedStage:
     the second stage's device compute — the device executes queued
     programs in order."""
 
-    def __init__(self, nodes_buf, over_buf, n_sources: int):
+    def __init__(self, nodes_buf, over_buf, n_sources: int,
+                 compact=None, counts=None, total=None, budget: int = 0):
         self._nodes_buf = nodes_buf
         self._over_buf = over_buf
         self._n = n_sources
+        self._compact = compact
+        self._counts = counts
+        self._total = total
+        self._budget = budget
 
     def fetch(self):
         """(packed_nodes [S, C] int32, overflow [S] bool), blocking."""
         key = np.asarray(self._nodes_buf)[: self._n]
         over = np.asarray(self._over_buf)[: self._n]
         return key, over
+
+    def fetch_candidates(self, dg, sources, in_mask):
+        """(Candidates, overflow [S] bool), blocking.
+
+        Takes the compact download (budgeted value buffer + int8 per-row
+        counts, ~3.4x less link traffic) when the stage was dispatched
+        with compaction and the valid count fit the budget; falls back
+        to the full-buffer download + native extraction otherwise.  The
+        triple ORDER is row-major (source position, then slot), the same
+        order the native extraction emits."""
+        over = np.asarray(self._over_buf)[: self._n]
+        if self._compact is not None:
+            total = int(self._total)
+            if total <= self._budget:
+                vals = np.asarray(self._compact)[:total]
+                counts = np.asarray(self._counts)[: self._n]
+                rows = np.repeat(
+                    np.arange(self._n, dtype=np.int64), counts
+                )
+                node = (vals >> DIST_BITS).astype(np.int32)
+                dist = (vals & ((1 << DIST_BITS) - 1)).astype(np.int64)
+                keep = np.asarray(in_mask, dtype=bool)[node]
+                u = dg.unmap_nodes(
+                    np.asarray(sources, dtype=np.int32)[rows[keep]]
+                ).astype(np.int64)
+                v = dg.unmap_nodes(node[keep]).astype(np.int64)
+                return Candidates(u, v, dist[keep]), over
+        key = np.asarray(self._nodes_buf)[: self._n]
+        return (
+            extract_packed_candidates(dg, key, sources, ~over, in_mask),
+            over,
+        )
 
 
 def batched_bounded_sssp_dispatch(
@@ -515,10 +600,24 @@ def batched_bounded_sssp_dispatch(
     max_weight: int,
     capacity: int,
     batch_size: int,
+    compact: bool = False,
+    budget: int | None = None,
 ) -> DispatchedStage:
     """Queue one pool-scheduled packed-output stage without waiting
     (single-device path; requires a pack_out-eligible graph, which every
-    k <= 127 configuration is)."""
+    k <= 127 configuration is).  With ``compact`` the valid slots are
+    compacted on device and ``fetch_candidates`` downloads ~3.4x less
+    through the link; ``budget`` overrides the compact buffer size
+    (default: a quarter of the slots, ~20.5%% of which are valid at
+    60M-scale C=4 — overruns fall back to the full download).
+
+    ``compact`` defaults OFF: measured on the v5e tunnel at 60M/C=4
+    (interleaved min-of-4), the compacted stage is 3.99-4.22s vs
+    3.91-4.10s full — the two-chunk pipelining already hides chunk A's
+    download behind chunk B's compute, and the on-device compaction
+    sort costs about what the smaller exposed download saves.  The path
+    stays for transports/configs where the download dominates (bigger C,
+    single-chunk stages); parity-tested either way."""
     sources = np.asarray(sources, dtype=np.int32)
     S = len(sources)
     assert S > 0 and _can_pack_out(dg, max_weight)
@@ -530,18 +629,28 @@ def batched_bounded_sssp_dispatch(
     S_pad = -(-S // batch_size) * batch_size
     padded = np.full(S_pad, dg.n_nodes, dtype=np.int32)
     padded[:S] = sources
-    nodes_buf, _, over_buf = _sssp_run_pool(
-        nbr,
-        nw,
-        jnp.asarray(padded),
-        jnp.int32(max_weight),
+    common = dict(
         capacity=capacity,
         max_rounds=int(max_weight),
         deg_pad=dg.deg_pad,
         packed=_can_pack(dg, max_weight),
         pool=batch_size,
-        pack_out=True,
         adj_packed=adj_packed,
+    )
+    if compact:
+        if budget is None:
+            budget = max(1024, (S_pad * capacity) // 4)
+        budget = min(budget, (S_pad + 1) * capacity)
+        cvals, counts, total, over_buf, nodes_buf = _sssp_run_pool_compact(
+            nbr, nw, jnp.asarray(padded), jnp.int32(max_weight),
+            budget=budget, **common,
+        )
+        return DispatchedStage(
+            nodes_buf, over_buf, S, cvals, counts, total, budget
+        )
+    nodes_buf, _, over_buf = _sssp_run_pool(
+        nbr, nw, jnp.asarray(padded), jnp.int32(max_weight),
+        pack_out=True, **common,
     )
     return DispatchedStage(nodes_buf, over_buf, S)
 

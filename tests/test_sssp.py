@@ -262,3 +262,42 @@ def test_packed_adjacency_matches_unpacked():
         a, b = res[(False, schedule)], res[(True, schedule)]
         assert np.array_equal(a[0], b[0]), schedule
         assert np.array_equal(a[1], b[1]), schedule
+
+
+@pytest.mark.parametrize("budget", [None, 7])
+def test_compact_dispatch_matches_full_extraction(budget):
+    """fetch_candidates on a compact-dispatched stage == the full-buffer
+    native extraction, as (u, v, dist) multisets and overflow flags,
+    both when the valid count fits the budget (compact download) and
+    when a tiny forced budget trips the full-download fallback."""
+    from matchtigs_tpu.ops import sssp as sssp_mod
+
+    store, _, k = testing.make_unitig_store(genome_length=6000, k=11, seed=3)
+    g = build_bigraph_from_unitigs(store, k)
+    dg = build_device_graph(g)
+    sources = np.arange(min(96, g.n_nodes), dtype=np.int32)
+    in_mask = np.ones(dg.n_nodes + 1, dtype=np.int8)
+    in_mask[:: 3] = 0  # nontrivial mask
+
+    h_full = sssp_mod.batched_bounded_sssp_dispatch(
+        dg, sources, k - 1, capacity=4, batch_size=16, compact=False
+    )
+    key, over_full = h_full.fetch()
+    tri_full = sssp_mod.extract_packed_candidates(
+        dg, key, sources, ~over_full, in_mask
+    )
+
+    h = sssp_mod.batched_bounded_sssp_dispatch(
+        dg, sources, k - 1, capacity=4, batch_size=16, compact=True,
+        budget=budget,
+    )
+    if budget is not None:
+        assert int(h._total) > budget  # must exercise the fallback
+    tri, over = h.fetch_candidates(dg, sources, in_mask)
+    assert np.array_equal(over, over_full)
+    assert len(tri) == len(tri_full)
+
+    def triples(t):
+        return sorted(zip(t.u.tolist(), t.v.tolist(), t.d.tolist()))
+
+    assert triples(tri) == triples(tri_full)
