@@ -687,6 +687,16 @@ def _allocate_and_match(
             )
 
             t0 = _time.monotonic()
+            _lap_prev = [t0]
+
+            def _lap(tag):
+                import os as _os
+                if _os.environ.get("MATCHTIGS_NATIVE_TRACE"):
+                    now = _time.monotonic()
+                    print(f"[batch-glue] {tag}: {now - _lap_prev[0]:.2f}s",
+                          flush=True)
+                    _lap_prev[0] = now
+
             slot_dels0 = comp_need == 0
             slot_sel = np.nonzero(slot_dels0)[0]
             if not len(slot_sel):
@@ -713,6 +723,7 @@ def _allocate_and_match(
                 new_pos[np.nonzero(sel_m)[0]] = np.arange(NB)
             # edge slices + profit transform + per-pair max-profit dedup
             # (same stable tie-break as component_matching_variants)
+            _lap("slot maps + node slices")
             sel_e = slot_dels0[slot_of_label[cc_sorted]]
             # the common case is EVERY component in the batch (no
             # deletion variants anywhere): skip the 850MB boolean copy
@@ -723,30 +734,67 @@ def _allocate_and_match(
             else:
                 ubp = new_pos[pos_of_id[es[:, 0]]]
                 vbp = new_pos[pos_of_id[es[:, 1]]]
+            _lap("edge select + gathers")
             lo = np.minimum(ubp, vbp)
             hi = np.maximum(ubp, vbp)
             dist = es[:, 2]
             if NB < (1 << 28) and int(dist.max(initial=0)) < 128:
-                # Per-pair max-profit dedup as ONE packed value sort:
-                # (lo*NB + hi) << 7 | dist — ascending == (pair key asc,
-                # profit DESC), exactly the lexsort((-profit, key))
-                # below, and lo/hi/profit all unpack from the surviving
-                # rows (the lexsort was two 35M argsorts + gathers, ~6s
-                # at 60M bases).  dist fits 7 bits for k <= 127.
-                packed2 = ((lo * np.int64(NB) + hi) << 7) | dist
-                _value_sort(packed2)
-                key2 = packed2 >> 7
-                keep2 = np.empty(len(key2), dtype=bool)
-                if len(keep2):
-                    keep2[0] = True
-                    np.not_equal(key2[1:], key2[:-1], out=keep2[1:])
-                vals2 = packed2[keep2]
-                key2 = vals2 >> 7
-                lo = key2 // np.int64(NB)
-                hi = key2 - lo * np.int64(NB)
-                profit = (np.int64(k - 1) - (vals2 & 127)) * np.int64(
-                    COUNT_SCALE
-                ) + 1
+                # Per-pair max-profit dedup: (lo*NB + hi) << 7 | dist
+                # ascending == (pair key asc, profit DESC), exactly the
+                # lexsort((-profit, key)) below.  The native pass
+                # (pair_dedup_min_dist) does MT pack + MT 64-bit LSD
+                # radix + MT boundary dedup + survivor unpack in one
+                # call with zero numpy temporaries — the numpy version
+                # below (kept as the fallback and parity oracle) paid
+                # ~6 fresh 283MB temporaries whose first-touch faults
+                # cost ~8s at 35.4M edges on this ballooning host.
+                native_trip = None
+                if have_native:
+                    import ctypes as _ct
+
+                    from .. import native as _nat
+                    from ..ops.sssp import _wrap_native_triples
+
+                    lib2 = _nat.load()
+                    buf_ptr = _ct.POINTER(_ct.c_longlong)()
+                    d_ptr = _ct.cast(
+                        es.ctypes.data + 2 * es.strides[1],
+                        _ct.POINTER(_ct.c_longlong),
+                    )
+                    cnt = int(
+                        lib2.pair_dedup_min_dist(
+                            len(lo), _nat.as_ll_ptr(lo),
+                            _nat.as_ll_ptr(hi), d_ptr,
+                            es.strides[0] // 8, NB,
+                            min(os.cpu_count() or 1, 16),
+                            _ct.byref(buf_ptr),
+                        )
+                    )
+                    if cnt >= 0:
+                        native_trip = _wrap_native_triples(
+                            lib2, buf_ptr, cnt
+                        )
+                if native_trip is not None:
+                    lo, hi = native_trip.u, native_trip.v
+                    vals2 = lo  # row count for the log line
+                    profit = (
+                        np.int64(k - 1) - native_trip.d
+                    ) * np.int64(COUNT_SCALE) + 1
+                else:
+                    packed2 = ((lo * np.int64(NB) + hi) << 7) | dist
+                    _value_sort(packed2)
+                    key2 = packed2 >> 7
+                    keep2 = np.empty(len(key2), dtype=bool)
+                    if len(keep2):
+                        keep2[0] = True
+                        np.not_equal(key2[1:], key2[:-1], out=keep2[1:])
+                    vals2 = packed2[keep2]
+                    key2 = vals2 >> 7
+                    lo = key2 // np.int64(NB)
+                    hi = key2 - lo * np.int64(NB)
+                    profit = (np.int64(k - 1) - (vals2 & 127)) * np.int64(
+                        COUNT_SCALE
+                    ) + 1
             else:  # k > 127 or giant batches: index-permutation path
                 profit = (np.int64(k - 1) - dist) * np.int64(COUNT_SCALE) + 1
                 key = lo * np.int64(NB) + hi
@@ -756,6 +804,7 @@ def _allocate_and_match(
                 sel2 = order2[keep2]
                 vals2 = sel2  # row count for the log line
                 lo, hi, profit = lo[sel2], hi[sel2], profit[sel2]
+            _lap("pack-sort-dedup")
             assert np.all(profit >= 1)
             # component slot per surviving edge = slot of its lo position
             slot_per_pos = np.repeat(
@@ -765,6 +814,7 @@ def _allocate_and_match(
             edge_off = np.searchsorted(
                 rank2, np.arange(len(slot_sel) + 1)
             ).astype(np.int64)
+            _lap("edge_off + slots")
             mate, _ = max_weight_matching_sparse_batch(
                 node_off,
                 edge_off,
@@ -772,6 +822,7 @@ def _allocate_and_match(
                 hi - node_off[rank2],
                 profit,
             )
+            _lap("native batch solve")
             # vectorized pair extraction (ascending batch position =
             # ascending member id per component, matching the solo path)
             node_base = np.repeat(node_off[:-1], counts)
@@ -781,6 +832,7 @@ def _allocate_and_match(
             batch_pair_a = batch_members[pos[valid]]
             batch_pair_b = batch_members[partner[valid]]
             batch_pair_cc = m_labels[slot_sel[slot_per_pos[valid]]]
+            _lap("pair extraction")
             logger.info(
                 "Batch-solved %d matching components (%d ids, %d edges, "
                 "%d pairs) in %.1fs",

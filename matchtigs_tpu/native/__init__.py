@@ -227,6 +227,8 @@ def load() -> ctypes.CDLL:
     lib.extract_packed_triples.argtypes = [
         ll, ll, i32p, i32p, i8p, i8p, i32p, ll, ll, llpp,
     ]
+    lib.pair_dedup_min_dist.restype = ll
+    lib.pair_dedup_min_dist.argtypes = [ll, llp, llp, llp, ll, ll, ll, llpp]
     _lib = lib
     return lib
 

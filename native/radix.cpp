@@ -541,3 +541,91 @@ extern "C" i64 accept_chunks_scan_packed(
                                       u_out, v_out, d_out, cap, nt,
                                       chunk_size);
 }
+
+// MT pack + 64-bit LSD radix + boundary dedup for the matching batch's
+// per-pair max-profit edge selection (algos/matchtigs.py run_batch).
+// Key = (lo*nb + hi) << 7 | dist: ascending order == (pair key asc,
+// dist ASC), and minimal dist == maximal profit under the affine
+// profit transform, so the FIRST row of each pair group survives —
+// exactly the python oracle's packed2 sort + boundary mask.  The numpy
+// version paid ~6 fresh 283MB temporaries (pack arithmetic, shifted
+// copies, boolean gathers) whose first-touch page faults dominate on
+// this ballooning host (~8s at 35.4M edges); here the only big
+// allocations are the two key buffers, populated MT.  dist reads with
+// an element stride so the caller can pass a 2D column view.  Requires
+// lo, hi < nb, nb*nb <= 2^57, 0 <= dist < 128.  Returns the surviving
+// count; *out is one malloc'd [3*count] buffer [lo..., hi..., dist...]
+// (caller frees via free_i64_buffer), or NULL when count is 0 or
+// allocation fails (return -1).
+extern "C" i64 pair_dedup_min_dist(i64 n, const long long* lo,
+                                   const long long* hi,
+                                   const long long* dist, i64 dist_stride,
+                                   i64 nb, i64 n_threads, i64** out) {
+  using u64 = unsigned long long;
+  *out = nullptr;
+  if (n <= 0) return 0;
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  u64* key = static_cast<u64*>(std::malloc((size_t)n * 8));
+  u64* tmp = static_cast<u64*>(std::malloc((size_t)n * 8));
+  if (!key || !tmp) {
+    std::free(key);
+    std::free(tmp);
+    return -1;
+  }
+  const i64 chunk = (n + nt - 1) / nt;
+  auto par = [&](auto fn) {
+    std::vector<std::thread> ts;
+    for (i64 t = 0; t < nt; ++t) {
+      const i64 a = t * chunk;
+      if (a >= n) break;
+      ts.emplace_back(fn, t, a, std::min(n, a + chunk));
+    }
+    for (auto& th : ts) th.join();
+  };
+  par([&](i64, i64 a, i64 b) {
+    for (i64 i = a; i < b; ++i)
+      key[i] = (((u64)lo[i] * (u64)nb + (u64)hi[i]) << 7) |
+               (u64)dist[i * dist_stride];
+  });
+  lsd_radix_u64(key, tmp, n, nt);  // 4 passes: result back in `key`
+  // survivor = first row of its pair group (key >> 7 differs from the
+  // previous row's)
+  std::vector<i64> cnt(nt, 0);
+  par([&](i64 t, i64 a, i64 b) {
+    i64 c = 0;
+    for (i64 i = a; i < b; ++i)
+      if (i == 0 || (key[i] >> 7) != (key[i - 1] >> 7)) ++c;
+    cnt[t] = c;
+  });
+  i64 total = 0;
+  std::vector<i64> off(nt, 0);
+  for (i64 t = 0; t < nt; ++t) {
+    off[t] = total;
+    total += cnt[t];
+  }
+  i64* buf = nullptr;
+  if (total > 0) {
+    buf = static_cast<i64*>(std::malloc((size_t)total * 3 * 8));
+    if (!buf) {
+      std::free(key);
+      std::free(tmp);
+      return -1;
+    }
+    par([&](i64 t, i64 a, i64 b) {
+      i64 w = off[t];
+      for (i64 i = a; i < b; ++i) {
+        if (i != 0 && (key[i] >> 7) == (key[i - 1] >> 7)) continue;
+        const u64 k2 = key[i] >> 7;
+        const i64 l = (i64)(k2 / (u64)nb);
+        buf[w] = l;
+        buf[total + w] = (i64)(k2 - (u64)l * (u64)nb);
+        buf[2 * total + w] = (i64)(key[i] & 127);
+        ++w;
+      }
+    });
+  }
+  std::free(key);
+  std::free(tmp);
+  *out = buf;
+  return total;
+}

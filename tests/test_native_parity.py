@@ -671,3 +671,61 @@ def test_chunked_accept_matches_concat():
     assert fused is not None
     assert np.array_equal(fused, a_cat)
     assert np.array_equal(m_fused, m_cat)
+
+
+@pytest.mark.parametrize("stride", [1, 3])
+def test_pair_dedup_min_dist_matches_python_oracle(stride):
+    """native pair_dedup_min_dist == the packed2 value-sort + boundary
+    dedup it replaces (algos/matchtigs.py run_batch): surviving
+    (lo, hi, dist) rows in ascending pair order with the minimum dist
+    (= max profit) kept per pair, including strided dist columns."""
+    import ctypes
+
+    from matchtigs_tpu import native
+    from matchtigs_tpu.ops.sssp import _wrap_native_triples
+
+    rng = np.random.default_rng(11)
+    n, NB = 100_000, 5000
+    lo = rng.integers(0, NB, n).astype(np.int64)
+    hi = rng.integers(0, NB, n).astype(np.int64)
+    lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+    d = rng.integers(0, 128, n).astype(np.int64)
+    if stride == 1:
+        dist_arr, d_ptr, est = d, native.as_ll_ptr(d), 1
+    else:
+        es = np.stack([lo * 0, hi * 0, d], axis=1)  # [n, 3] like run_batch
+        es = np.ascontiguousarray(es)
+        dist_arr = es[:, 2]
+        d_ptr = ctypes.cast(
+            es.ctypes.data + 2 * es.strides[1],
+            ctypes.POINTER(ctypes.c_longlong),
+        )
+        est = es.strides[0] // 8
+
+    # python oracle (the packed2 branch)
+    packed2 = ((lo * np.int64(NB) + hi) << 7) | dist_arr
+    packed2 = packed2.copy()
+    packed2.sort()
+    key2 = packed2 >> 7
+    keep2 = np.empty(n, dtype=bool)
+    keep2[0] = True
+    np.not_equal(key2[1:], key2[:-1], out=keep2[1:])
+    vals2 = packed2[keep2]
+    k2 = vals2 >> 7
+    exp_lo = k2 // np.int64(NB)
+    exp_hi = k2 - exp_lo * np.int64(NB)
+    exp_d = vals2 & 127
+
+    lib = native.load()
+    buf = ctypes.POINTER(ctypes.c_longlong)()
+    cnt = int(
+        lib.pair_dedup_min_dist(
+            n, native.as_ll_ptr(lo), native.as_ll_ptr(hi), d_ptr, est,
+            NB, 4, ctypes.byref(buf),
+        )
+    )
+    trip = _wrap_native_triples(lib, buf, cnt)
+    assert cnt == len(exp_lo)
+    assert np.array_equal(trip.u, exp_lo)
+    assert np.array_equal(trip.v, exp_hi)
+    assert np.array_equal(trip.d, exp_d)
