@@ -507,10 +507,23 @@ def _allocate_and_match(
 
     if n_ids == 0:
         return np.empty((0, 2), dtype=np.int64)
+    import os as _os
+    import time as _time0
+
+    _tr = _os.environ.get("MATCHTIGS_NATIVE_TRACE")
+    _lp = [_time0.monotonic()]
+
+    def _slap(tag):
+        if _tr:
+            now = _time0.monotonic()
+            print(f"[match-setup] {tag}: {now - _lp[0]:.2f}s", flush=True)
+            _lp[0] = now
+
     if len(ka):
         cc = _connected_component_labels(n_ids, ka, kb)
     else:
         cc = np.arange(n_ids)
+    _slap("cc labels")
     has_edge = np.zeros(n_ids, dtype=bool)
     has_edge[ka] = True
     has_edge[kb] = True
@@ -529,14 +542,48 @@ def _allocate_and_match(
         )
         return sorted_labels[starts], starts
 
+    _slap("has_edge")
     edge_cc = cc[ka]
     order = stable_order(edge_cc.astype(np.int32, copy=False), n_ids)
-    edges_sorted = np.stack([ka, kb, kw], axis=1)[order] if len(ka) else None
-    cc_sorted = edge_cc[order] if len(ka) else np.empty(0, dtype=np.int64)
+    # Permute (ka, kb, kw) and edge_cc by `order` in one native MT pass
+    # (gather_edges_cc_i64): np.stack(...)[order] plus the second
+    # fancy-index gather built ~1.7GB of fresh single-threaded
+    # temporaries (~7s at 35.4M edges under this host's ballooning).
+    edges_sorted = None
+    cc_sorted = np.empty(0, dtype=np.int64)
+    if len(ka):
+        try:
+            from .. import native as _natg
+
+            _libg = _natg.load()
+        except ImportError:
+            _libg = None
+        if _libg is not None:
+            import os as _osg
+
+            n_e = len(ka)
+            edges_sorted = np.empty((n_e, 3), dtype=np.int64)
+            cc_sorted = np.empty(n_e, dtype=np.int64)
+            _libg.gather_edges_cc_i64(
+                n_e, _natg.as_ll_ptr(order),
+                _natg.as_ll_ptr(np.ascontiguousarray(ka, dtype=np.int64)),
+                _natg.as_ll_ptr(np.ascontiguousarray(kb, dtype=np.int64)),
+                _natg.as_ll_ptr(np.ascontiguousarray(kw, dtype=np.int64)),
+                _natg.as_ll_ptr(
+                    np.ascontiguousarray(edge_cc, dtype=np.int64)
+                ),
+                _natg.as_ll_ptr(edges_sorted),
+                _natg.as_ll_ptr(cc_sorted),
+                min(_osg.cpu_count() or 1, 16),
+            )
+        else:  # python fallback / oracle
+            edges_sorted = np.stack([ka, kb, kw], axis=1)[order]
+            cc_sorted = edge_cc[order]
     cc_labels, cc_starts = _runs(cc_sorted)
     cc_to_slot = {int(c): i for i, c in enumerate(cc_labels)}
     cc_ends = np.append(cc_starts[1:], len(cc_sorted))
 
+    _slap("edge bucket")
     # members per candidate component
     ids = np.arange(n_ids)
     cc_he = cc[has_edge]
@@ -547,6 +594,7 @@ def _allocate_and_match(
     m_ends = np.append(m_starts[1:], len(mcc_sorted))
     m_slot = {int(c): i for i, c in enumerate(m_labels)}
 
+    _slap("member bucket")
     def comp_members(c: int) -> np.ndarray:
         i = m_slot[int(c)]
         return members_sorted[m_starts[i] : m_ends[i]]
@@ -555,6 +603,7 @@ def _allocate_and_match(
         i = cc_to_slot[int(c)]
         return edges_sorted[cc_starts[i] : cc_ends[i]]
 
+    _slap("comp slices")
     matched_pairs: list[tuple[int, int]] = []
     # Bucket matching ids by input component once (sorted slices) instead
     # of a full boolean scan per component.
@@ -563,6 +612,7 @@ def _allocate_and_match(
     )
     w_labels, w_starts = _runs(id_comp[wcc_order])
     w_ends = np.append(w_starts[1:], n_ids)
+    _slap("wcc bucket")
     # Periodic progress (the reference prints % / dots during its long
     # phases, greedytigs/mod.rs:514-522, matchtigs/mod.rs:224-232).
     import time as _time

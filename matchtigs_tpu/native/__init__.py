@@ -229,6 +229,8 @@ def load() -> ctypes.CDLL:
     ]
     lib.pair_dedup_min_dist.restype = ll
     lib.pair_dedup_min_dist.argtypes = [ll, llp, llp, llp, ll, ll, ll, llpp]
+    lib.gather_edges_cc_i64.restype = None
+    lib.gather_edges_cc_i64.argtypes = [ll, llp, llp, llp, llp, llp, llp, llp, ll]
     _lib = lib
     return lib
 

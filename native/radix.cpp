@@ -629,3 +629,34 @@ extern "C" i64 pair_dedup_min_dist(i64 n, const long long* lo,
   *out = buf;
   return total;
 }
+
+// MT permutation gather for the matching instance's edge bucketing
+// (algos/matchtigs.py): out3[i] = {a,b,c}[order[i]] interleaved row-major
+// and out_cc[i] = ccv[order[i]], with output pages first-touched by the
+// writing threads.  Replaces np.stack(...)[order] + a second fancy-index
+// gather — ~1.7GB of fresh single-threaded numpy temporaries (~7s at
+// 35.4M edges on this ballooning host).
+extern "C" void gather_edges_cc_i64(i64 n, const long long* order,
+                                    const long long* a, const long long* b,
+                                    const long long* c, const long long* ccv,
+                                    long long* out3, long long* out_cc,
+                                    i64 n_threads) {
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  const i64 chunk = (n + nt - 1) / nt;
+  std::vector<std::thread> ts;
+  for (i64 t = 0; t < nt; ++t) {
+    const i64 lo = t * chunk;
+    if (lo >= n) break;
+    ts.emplace_back([&, lo] {
+      const i64 hi = std::min(n, lo + chunk);
+      for (i64 i = lo; i < hi; ++i) {
+        const i64 j = order[i];
+        out3[i * 3] = a[j];
+        out3[i * 3 + 1] = b[j];
+        out3[i * 3 + 2] = c[j];
+        out_cc[i] = ccv[j];
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}

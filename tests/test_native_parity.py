@@ -729,3 +729,26 @@ def test_pair_dedup_min_dist_matches_python_oracle(stride):
     assert np.array_equal(trip.u, exp_lo)
     assert np.array_equal(trip.v, exp_hi)
     assert np.array_equal(trip.d, exp_d)
+
+
+def test_gather_edges_cc_matches_numpy():
+    """native gather_edges_cc_i64 == np.stack([a,b,c],1)[order] plus
+    ccv[order]."""
+    from matchtigs_tpu import native
+
+    rng = np.random.default_rng(5)
+    n = 50_000
+    a = rng.integers(0, 1 << 40, n).astype(np.int64)
+    b = rng.integers(0, 1 << 40, n).astype(np.int64)
+    c = rng.integers(0, 1 << 40, n).astype(np.int64)
+    ccv = rng.integers(0, 1000, n).astype(np.int64)
+    order = rng.permutation(n).astype(np.int64)
+    out3 = np.empty((n, 3), dtype=np.int64)
+    out_cc = np.empty(n, dtype=np.int64)
+    lib = native.load()
+    p = native.as_ll_ptr
+    lib.gather_edges_cc_i64(
+        n, p(order), p(a), p(b), p(c), p(ccv), p(out3), p(out_cc), 4
+    )
+    assert np.array_equal(out3, np.stack([a, b, c], axis=1)[order])
+    assert np.array_equal(out_cc, ccv[order])
