@@ -251,6 +251,47 @@ def _expand_pack_native(g, u, v, w, ids_start, ids_count, is_canon):
     return packed
 
 
+def _dedup_resolve_native(packed, node_of_id, mirror):
+    """Fused dedup + unpack + id->node resolution of the SORTED packed
+    collapse rows (extract.cpp:collapse_dedup_resolve): emits
+    (lo, hi, w, ur, vr) directly, skipping the ~2.8GB numpy
+    gather/where epilogue.  None when native is unavailable or below
+    the thread-spawn payoff."""
+    import os
+
+    try:
+        from .. import native
+
+        lib = native.load()
+    except ImportError:
+        return None
+    if len(packed) < (1 << 18):
+        return None
+    p = native.as_ll_ptr
+    nt = min(os.cpu_count() or 1, 16)
+    node_of_id = np.ascontiguousarray(node_of_id, dtype=np.int64)
+    mirror = np.ascontiguousarray(mirror, dtype=np.int64)
+    n_keep = int(
+        lib.collapse_dedup_resolve(
+            len(packed), p(packed), _IDB, p(node_of_id), p(mirror), nt,
+            None, None, None, None, None,
+        )
+    )
+    lo = np.empty(n_keep, dtype=np.int64)
+    hi = np.empty(n_keep, dtype=np.int64)
+    wk = np.empty(n_keep, dtype=np.int64)
+    ur = np.empty(n_keep, dtype=np.int64)
+    vr = np.empty(n_keep, dtype=np.int64)
+    wrote = int(
+        lib.collapse_dedup_resolve(
+            len(packed), p(packed), _IDB, p(node_of_id), p(mirror), nt,
+            p(lo), p(hi), p(wk), p(ur), p(vr),
+        )
+    )
+    assert wrote == n_keep
+    return lo, hi, wk, ur, vr
+
+
 def _dedup_unpack_native(packed: np.ndarray):
     """First-per-key dedup + self-pair drop + column unpack of the SORTED
     packed collapse rows in one MT pass (extract.cpp:collapse_dedup_unpack)
@@ -306,12 +347,25 @@ def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
     id pair: the minimum weight, with a deterministic tie-break among
     equal-weight candidate rows (any of which is a real shortest path).
     """
+    import os as _osc
+    import time as _tc
+
+    _trc = _osc.environ.get("MATCHTIGS_NATIVE_TRACE")
+    _lc = [_tc.monotonic()]
+
+    def _clap(tag):
+        if _trc:
+            now = _tc.monotonic()
+            print(f"[collapse] {tag}: {now - _lc[0]:.2f}s", flush=True)
+            _lc[0] = now
+
     mirror = g.mirror_node.astype(np.int64)
     is_canon = np.arange(g.n_nodes, dtype=np.int64) <= mirror
 
     packed = _expand_pack_native(
         g, u, v, w, ids_start, ids_count, is_canon
     )
+    _clap("expand+pack+sort (native)")
     if packed is None:
         # numpy fallback/oracle path
         a, b, wrow, su, sv = _expand_candidate_ids(
@@ -326,6 +380,19 @@ def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
         packed |= su.astype(np.int64) << 1
         packed |= sv.astype(np.int64)
         packed.sort()
+    _clap("fallback branch")
+    # canonical node per id: canonical class reps ascending own the
+    # consecutive id ranges (ids_start is a cumsum over them).  Computed
+    # before dedup so the fused native pass can resolve (ur, vr) during
+    # emission — the numpy epilogue below (node_of_id/mirror gathers +
+    # wheres over every survivor, ~2.8GB of temporaries = ~13.6s at
+    # 35.4M rows) then never runs; it stays as the fallback oracle.
+    canon_nodes = np.flatnonzero((ids_count > 0) & is_canon)
+    node_of_id = np.repeat(canon_nodes, ids_count[canon_nodes])
+    res5 = _dedup_resolve_native(packed, node_of_id, mirror)
+    if res5 is not None:
+        _clap("dedup+resolve (fused native)")
+        return res5
     res = _dedup_unpack_native(packed)
     if res is not None:
         lo, hi, wk, o, su, sv = res
@@ -345,16 +412,14 @@ def _collapse_candidates_packed(g, u, v, w, ids_start, ids_count, n_ids):
         su = (vals >> 1) & 1
         sv = vals & 1
 
-    # canonical node per id: canonical class reps ascending own the
-    # consecutive id ranges (ids_start is a cumsum over them)
-    canon_nodes = np.flatnonzero((ids_count > 0) & is_canon)
-    node_of_id = np.repeat(canon_nodes, ids_count[canon_nodes])
+    _clap("dedup+unpack")
     a_node = node_of_id[lo]
     b_node = node_of_id[hi]
     u_can = np.where(o == 1, a_node, b_node)
     v_can = np.where(o == 1, b_node, a_node)
     ur = np.where(su == 1, u_can, mirror[u_can])
     vr = np.where(sv == 1, v_can, mirror[v_can])
+    _clap("epilogue gathers")
     return lo, hi, wk, ur, vr
 
 

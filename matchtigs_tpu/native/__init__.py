@@ -229,6 +229,10 @@ def load() -> ctypes.CDLL:
     ]
     lib.pair_dedup_min_dist.restype = ll
     lib.pair_dedup_min_dist.argtypes = [ll, llp, llp, llp, ll, ll, ll, llpp]
+    lib.collapse_dedup_resolve.restype = ll
+    lib.collapse_dedup_resolve.argtypes = [
+        ll, llp, ll, llp, llp, ll, llp, llp, llp, llp, llp,
+    ]
     lib.gather_edges_cc_i64.restype = None
     lib.gather_edges_cc_i64.argtypes = [ll, llp, llp, llp, llp, llp, llp, llp, ll]
     _lib = lib

@@ -271,3 +271,71 @@ extern "C" void copy_i64_populated(i64* dst, const i64* src, i64 n,
   }
   for (auto& th : ts) th.join();
 }
+
+// collapse_dedup_unpack fused with the id->node resolution epilogue
+// (algos/matchtigs.py:_collapse_candidates_packed): instead of emitting
+// the o/su/sv orientation bits for a ~2.8GB numpy gather/where chain
+// (node_of_id[lo/hi], mirror[...] — ~13.6s at 35.4M survivors on this
+// ballooning host), resolve the concrete (ur, vr) node pair per
+// survivor in the same MT emission pass.  Semantics are exactly the
+// python epilogue's: a = node_of_id[lo], b = node_of_id[hi];
+// (u_can, v_can) = o ? (a, b) : (b, a); ur = su ? u_can : mirror[u_can];
+// vr = sv ? v_can : mirror[v_can].  Count-only mode when lo_out is
+// NULL, like collapse_dedup_unpack.
+extern "C" i64 collapse_dedup_resolve(i64 n, const i64* packed, i64 idb,
+                                      const i64* node_of_id,
+                                      const i64* mirror, i64 n_threads,
+                                      i64* lo_out, i64* hi_out, i64* w_out,
+                                      i64* ur_out, i64* vr_out) {
+  if (n <= 0) return 0;
+  const i64 nt = std::max<i64>(1, std::min<i64>(n_threads, 16));
+  const i64 chunk = (n + nt - 1) / nt;
+  const i64 id_mask = ((i64)1 << idb) - 1;
+  std::vector<i64> cnt((size_t)nt + 1, 0);
+  auto keep_row = [&](i64 i) -> bool {
+    const i64 key = packed[i] >> 10;
+    if (i > 0 && (packed[i - 1] >> 10) == key) return false;
+    const i64 lo = key >> idb, hi = key & id_mask;
+    return lo != hi;
+  };
+  auto par = [&](auto fn) {
+    if (nt == 1 || n < (i64)1 << 18) {
+      fn(0, 0, n);
+      return;
+    }
+    std::vector<std::thread> ts;
+    for (i64 t = 0; t < nt; ++t) {
+      const i64 lo = t * chunk;
+      if (lo >= n) break;
+      ts.emplace_back(fn, t, lo, std::min(n, lo + chunk));
+    }
+    for (auto& th : ts) th.join();
+  };
+  par([&](i64 t, i64 lo, i64 hi) {
+    i64 c = 0;
+    for (i64 i = lo; i < hi; ++i) c += keep_row(i) ? 1 : 0;
+    cnt[(size_t)t + 1] = c;
+  });
+  for (i64 t = 0; t < nt; ++t) cnt[(size_t)t + 1] += cnt[(size_t)t];
+  const i64 total = cnt[(size_t)nt];
+  if (!lo_out) return total;  // count-only mode
+  par([&](i64 t, i64 lo, i64 hi) {
+    i64 pos = cnt[(size_t)t];
+    for (i64 i = lo; i < hi; ++i) {
+      if (!keep_row(i)) continue;
+      const i64 v = packed[i];
+      const i64 key = v >> 10;
+      const i64 l = key >> idb, h = key & id_mask;
+      lo_out[pos] = l;
+      hi_out[pos] = h;
+      w_out[pos] = (v >> 3) & 127;
+      const i64 a = node_of_id[l], b = node_of_id[h];
+      const bool o = (v >> 2) & 1;
+      const i64 u_can = o ? a : b, v_can = o ? b : a;
+      ur_out[pos] = ((v >> 1) & 1) ? u_can : mirror[u_can];
+      vr_out[pos] = (v & 1) ? v_can : mirror[v_can];
+      ++pos;
+    }
+  });
+  return total;
+}

@@ -605,7 +605,7 @@ extern "C" i64 pair_dedup_min_dist(i64 n, const long long* lo,
   }
   i64* buf = nullptr;
   if (total > 0) {
-    buf = static_cast<i64*>(std::malloc((size_t)total * 3 * 8));
+    buf = static_cast<i64*>(std::malloc(((size_t)total * 3 + 1) * 8));
     if (!buf) {
       std::free(key);
       std::free(tmp);

@@ -752,3 +752,65 @@ def test_gather_edges_cc_matches_numpy():
     )
     assert np.array_equal(out3, np.stack([a, b, c], axis=1)[order])
     assert np.array_equal(out_cc, ccv[order])
+
+
+def test_collapse_dedup_resolve_matches_python_epilogue():
+    """native collapse_dedup_resolve (fused dedup+unpack+id->node
+    resolution) == the python first-of-run dedup + node_of_id/mirror
+    epilogue it replaces (algos/matchtigs.py:_collapse_candidates_packed)."""
+    from matchtigs_tpu import native
+    from matchtigs_tpu.algos.matchtigs import _ID_MASK, _IDB
+
+    rng = np.random.default_rng(17)
+    n_ids, n_nodes, n = 4000, 6000, 200_000
+    a = rng.integers(0, n_ids, n).astype(np.int64)
+    b = rng.integers(0, n_ids, n).astype(np.int64)
+    w = rng.integers(0, 128, n).astype(np.int64)
+    o = rng.integers(0, 2, n).astype(np.int64)
+    su = rng.integers(0, 2, n).astype(np.int64)
+    sv = rng.integers(0, 2, n).astype(np.int64)
+    lo_in, hi_in = np.minimum(a, b), np.maximum(a, b)
+    packed = (
+        (lo_in << (_IDB + 10)) | (hi_in << 10) | (w << 3) | (o << 2)
+        | (su << 1) | sv
+    )
+    packed.sort()
+    node_of_id = rng.integers(0, n_nodes, n_ids).astype(np.int64)
+    mirror = rng.permutation(n_nodes).astype(np.int64)
+
+    # python oracle: first-of-run dedup, self-pair drop, resolve
+    key = packed >> 10
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.not_equal(key[1:], key[:-1], out=first[1:])
+    vals = packed[first]
+    lo = vals >> (_IDB + 10)
+    hi = (vals >> 10) & _ID_MASK
+    keep = lo != hi
+    vals, lo, hi = vals[keep], lo[keep], hi[keep]
+    wk = (vals >> 3) & 127
+    oo = (vals >> 2) & 1
+    ss = (vals >> 1) & 1
+    tt = vals & 1
+    a_n, b_n = node_of_id[lo], node_of_id[hi]
+    u_can = np.where(oo == 1, a_n, b_n)
+    v_can = np.where(oo == 1, b_n, a_n)
+    exp_ur = np.where(ss == 1, u_can, mirror[u_can])
+    exp_vr = np.where(tt == 1, v_can, mirror[v_can])
+
+    lib = native.load()
+    p = native.as_ll_ptr
+    cnt = int(
+        lib.collapse_dedup_resolve(
+            n, p(packed), _IDB, p(node_of_id), p(mirror), 4,
+            None, None, None, None, None,
+        )
+    )
+    assert cnt == len(lo)
+    out = [np.empty(cnt, dtype=np.int64) for _ in range(5)]
+    lib.collapse_dedup_resolve(
+        n, p(packed), _IDB, p(node_of_id), p(mirror), 4,
+        p(out[0]), p(out[1]), p(out[2]), p(out[3]), p(out[4]),
+    )
+    for got, exp in zip(out, (lo, hi, wk, exp_ur, exp_vr)):
+        assert np.array_equal(got, exp)
